@@ -386,6 +386,12 @@ class GF2(NamedTuple):
     def shape(self):
         return self.c0.shape
 
+    def __getitem__(self, idx):
+        return GF2(self.c0[idx], self.c1[idx])
+
+    def reshape(self, *shape):
+        return GF2(self.c0.reshape(*shape), self.c1.reshape(*shape))
+
 
 def ext_from_base(a: GF) -> GF2:
     return GF2(a, zeros(a.shape))
