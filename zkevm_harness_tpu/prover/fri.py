@@ -1,0 +1,240 @@
+"""FRI low-degree test: batched folding on device, Merkle-committed layers.
+
+TPU-native counterpart of boojum's FRI inside `prove_from_precomputations`
+(reference call site src/prover_utils.rs:338-348; configs
+circuit_definitions/src/lib.rs:28-57 — base layer lde_factor 2, cap 16, no
+PoW). Folding is radix-2 over the extension field: each round is one fused
+kernel over the whole codeword; layer commitments use pair-leaves so a single
+opening serves the butterfly.
+
+Layer layout. codeword_0 (the DEEP composition, size N0 on coset g·<w>) is
+NOT committed here — its queried values are recomputed by the verifier from
+the trace/quotient openings. Layers 1..R-1 are committed with leaf
+l ∈ [0, N_r/2) = [c0(a), c1(a), c0(b), c1(b)] for a = f(d_l), b = f(-d_l).
+The final layer is sent as coefficients; the verifier checks its degree and
+evaluates it directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import goldilocks as gl
+from ..ops import merkle as mk
+from ..ops import ntt as nt
+from ..ops.goldilocks import GF, GF2, P
+from ..utils import field_int as fi
+from .transcript import Transcript
+
+INV2 = pow(2, P - 2, P)
+
+
+@dataclasses.dataclass(frozen=True)
+class FriConfig:
+    folding_rounds: int  # number of radix-2 folds (N0 -> N0 >> folding_rounds)
+    cap_size: int = 16
+    num_queries: int = 40
+    lde_factor: int = 2  # rate; final poly degree bound = N_final / lde_factor
+
+
+@dataclasses.dataclass
+class FriLayerOpening:
+    leaves: np.ndarray  # (q, 4) object ints [a0, a1, b0, b1]
+    paths: np.ndarray  # (q, depth, 4) object ints
+
+
+@dataclasses.dataclass
+class FriProof:
+    caps: List[np.ndarray]  # per committed layer: (cap, 4) object ints
+    final_poly: List[Tuple[int, int]]  # ext coefficients, low-to-high
+    openings: List[FriLayerOpening]  # per committed layer
+    query_positions: np.ndarray  # (q,) in [0, N0)
+
+
+def _fold_once(cw: GF2, alpha: GF2, inv_domain: GF) -> GF2:
+    """One radix-2 fold: new(y) = f_e(y) + alpha * f_o(y), y = x^2."""
+    n = cw.shape[0]
+    h = n // 2
+    a, b = cw[:h], cw[h:]
+    inv2 = gl.broadcast_to(gl.from_int(INV2), (h,))
+    e = gl.GF2(gl.mul(gl.add(a.c0, b.c0), inv2), gl.mul(gl.add(a.c1, b.c1), inv2))
+    o = gl.GF2(gl.mul(gl.sub(a.c0, b.c0), inv2), gl.mul(gl.sub(a.c1, b.c1), inv2))
+    o = gl.ext_mul_base(o, inv_domain)
+    alpha_b = gl.GF2(gl.broadcast_to(alpha.c0, (h,)), gl.broadcast_to(alpha.c1, (h,)))
+    return gl.ext_add(e, gl.ext_mul(alpha_b, o))
+
+
+def _inv_domain_half(n: int, shift: int) -> GF:
+    """[1/d_0 .. 1/d_{n/2-1}] for d_i = shift * w^i, w of order n (host)."""
+    log_n = n.bit_length() - 1
+    w_inv = pow(gl.primitive_root_of_unity(log_n), P - 2, P)
+    s_inv = pow(shift, P - 2, P)
+    tbl = gl.powers_host(w_inv, n // 2)
+    tbl = (tbl.astype(object) * s_inv) % P  # object ints
+    return gl.from_int(tbl)
+
+
+def _gf2_to_np(x: GF2) -> np.ndarray:
+    c0 = gl.to_ints(x.c0)
+    c1 = gl.to_ints(x.c1)
+    return np.stack([c0, c1], axis=-1)
+
+
+def _pair_leaf_rows(cw: GF2) -> GF:
+    """(n,) ext codeword -> (n/2, 4) leaf rows [a0, a1, b0, b1]."""
+    n = cw.shape[0]
+    h = n // 2
+    a, b = cw[:h], cw[h:]
+    return gl.stack([a.c0, a.c1, b.c0, b.c1], axis=-1)
+
+
+def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig) -> FriProof:
+    n0 = codeword.shape[0]
+    codewords = [codeword]
+    trees: List[mk.MerkleTree] = []
+    caps_np: List[np.ndarray] = []
+
+    cur = codeword
+    cur_shift = shift
+    alphas: List[GF2] = []
+    for r in range(cfg.folding_rounds):
+        alpha = tr.challenge_ext()
+        alphas.append(alpha)
+        inv_dom = _inv_domain_half(cur.shape[0], cur_shift)
+        cur = _fold_once(cur, alpha, inv_dom)
+        cur_shift = (cur_shift * cur_shift) % P
+        codewords.append(cur)
+        if r < cfg.folding_rounds - 1:
+            # commit the folded layer (pair leaves for the NEXT fold)
+            rows = _pair_leaf_rows(cur)
+            tree = mk.build_tree(mk.hash_leaves(rows), min(cfg.cap_size, rows.shape[0]))
+            trees.append(tree)
+            cap_np = gl.to_ints(tree.cap)
+            caps_np.append(cap_np)
+            tr.absorb_ints([int(v) for v in cap_np.ravel()])
+
+    # final polynomial from the last codeword (coset intt + unscale)
+    final_cw = codewords[-1]
+    n_f = final_cw.shape[0]
+    c0 = nt.intt(final_cw.c0)
+    c1 = nt.intt(final_cw.c1)
+    s_inv_pows = gl.powers_host(pow(cur_shift, P - 2, P), n_f)
+    unscale = gl.from_int(s_inv_pows.astype(object))
+    c0 = gl.mul(c0, unscale)
+    c1 = gl.mul(c1, unscale)
+    final_coeffs = [(int(a), int(b))
+                    for a, b in zip(gl.to_ints(c0), gl.to_ints(c1))]
+    for a, b in final_coeffs:
+        tr.absorb_ints([a, b])
+
+    # queries
+    positions = tr.query_indices(cfg.num_queries, n0)
+
+    openings: List[FriLayerOpening] = []
+    pos = positions.copy()
+    for r in range(1, cfg.folding_rounds):
+        cw_r = codewords[r]
+        n_r = cw_r.shape[0]
+        tree = trees[r - 1]
+        pos_r = pos % np.uint32(n_r)
+        leaf_idx = pos_r % np.uint32(n_r // 2)
+        rows = _pair_leaf_rows(cw_r)
+        leaves = gl.take(rows, jnp.asarray(leaf_idx), axis=0)
+        paths = mk.open_indices(tree, leaf_idx)
+        openings.append(FriLayerOpening(gl.to_ints(leaves), gl.to_ints(paths)))
+
+    return FriProof(caps=caps_np, final_poly=final_coeffs, openings=openings,
+                    query_positions=positions)
+
+
+def fri_verify(proof: FriProof, n0: int, shift: int, tr: Transcript,
+               cfg: FriConfig, codeword0_at) -> bool:
+    """Verify a FRI proof.
+
+    `codeword0_at(position) -> (c0, c1)` returns the layer-0 (DEEP) value at
+    an LDE index; the STARK verifier derives it from the trace/quotient
+    openings. Transcript must be in the same state as the prover's was at
+    fri_prove entry.
+    """
+    # 1. replay transcript: alphas, caps, final poly, positions
+    alphas = []
+    for r in range(cfg.folding_rounds):
+        alphas.append(tr.challenge_ext_ints())
+        if r < cfg.folding_rounds - 1:
+            cap = proof.caps[r]
+            tr.absorb_ints([int(v) for v in np.asarray(cap, dtype=object).ravel()])
+    for a, b in proof.final_poly:
+        tr.absorb_ints([a, b])
+    positions = tr.query_indices(cfg.num_queries, n0)
+    if not np.array_equal(positions, proof.query_positions):
+        return False
+
+    # 2. degree check on the final polynomial
+    n_f = n0 >> cfg.folding_rounds
+    if len(proof.final_poly) != n_f:
+        return False
+    deg_bound = n_f // cfg.lde_factor
+    if any(c != (0, 0) for c in proof.final_poly[deg_bound:]):
+        return False
+
+    # 3. batch-verify Merkle paths of committed layers
+    for r in range(1, cfg.folding_rounds):
+        n_r = n0 >> r
+        pos_r = positions % np.uint32(n_r)
+        leaf_idx = pos_r % np.uint32(n_r // 2)
+        op = proof.openings[r - 1]
+        leaves_gf = gl.from_int(np.asarray(op.leaves, dtype=object))
+        paths_gf = gl.from_int(np.asarray(op.paths, dtype=object))
+        cap_gf = gl.from_int(np.asarray(proof.caps[r - 1], dtype=object))
+        digests = mk.hash_leaves(leaves_gf)
+        ok = mk.verify_paths(digests, leaf_idx, paths_gf, cap_gf)
+        if not bool(np.all(np.asarray(ok))):
+            return False
+
+    # 4. fold-consistency per query (exact ints)
+    log_n0 = n0.bit_length() - 1
+    w_r = [gl.primitive_root_of_unity(log_n0 - r) for r in range(cfg.folding_rounds + 1)]
+    shifts = [shift]
+    for _ in range(cfg.folding_rounds):
+        shifts.append((shifts[-1] * shifts[-1]) % P)
+
+    for qi, p0 in enumerate(positions):
+        p0 = int(p0)
+        # layer 0 values from the callback
+        h0 = n0 // 2
+        j0 = p0 % h0
+        a = codeword0_at(j0)
+        b = codeword0_at(j0 + h0)
+        value = None
+        j = j0
+        for r in range(cfg.folding_rounds):
+            n_r = n0 >> r
+            h_r = n_r // 2
+            if r > 0:
+                op = proof.openings[r - 1]
+                leaf = [int(v) for v in op.leaves[qi]]
+                a_leaf = (leaf[0], leaf[1])
+                b_leaf = (leaf[2], leaf[3])
+                # consistency: previous folded value must equal the component
+                # of this leaf at our position
+                expected = a_leaf if j < h_r else b_leaf
+                if value != expected:
+                    return False
+                a, b = a_leaf, b_leaf
+                j = j % h_r
+            # fold a,b at index j of layer r
+            d = (shifts[r] * pow(w_r[r], j, P)) % P
+            e = fi.escale(fi.eadd(a, b), INV2)
+            o = fi.escale(fi.emul(fi.esub(a, b), (fi.finv(d), 0)), INV2)
+            value = fi.eadd(e, fi.emul(alphas[r], o))
+            j = j  # next-layer index: position j in folded codeword of size h_r
+        # final check: value == final_poly(x) at x = shifts[R] * w_R^j
+        x = (shifts[cfg.folding_rounds] * pow(w_r[cfg.folding_rounds], j % n_f, P)) % P
+        got = fi.eval_poly_ext(proof.final_poly, (x, 0))
+        if got != value:
+            return False
+    return True

@@ -1,0 +1,83 @@
+"""Fiat-Shamir transcript over a Poseidon2 sponge.
+
+TPU-native counterpart of boojum's `GoldilocksPoisedon2Transcript`
+(src/prover_utils.rs:40 `TR`): absorb commitments/evaluations as Goldilocks
+elements, squeeze base/extension challenges and query indices. Runs host-side
+between the big device kernels (the permutation itself is the JAX kernel);
+proving is staged, so transcript state transitions are on concrete values.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from ..ops import goldilocks as gl
+from ..ops import poseidon2 as p2
+from ..ops.poseidon2_params import RATE, T
+
+
+class Transcript:
+    def __init__(self, domain_tag: int = 0):
+        state = np.zeros(T, dtype=object)
+        state[T - 1] = domain_tag % gl.P
+        self._state = gl.from_int(state)
+        self._buffer: List[int] = []
+        self._squeezed: List[int] = []
+
+    # -- absorbing ---------------------------------------------------------
+
+    def absorb_ints(self, values: Sequence[int]):
+        self._squeezed = []  # any new absorption invalidates pending squeeze
+        self._buffer.extend(int(v) % gl.P for v in values)
+        while len(self._buffer) >= RATE:
+            chunk, self._buffer = self._buffer[:RATE], self._buffer[RATE:]
+            self._permute_with(chunk)
+
+    def absorb_gf(self, values: gl.GF):
+        self.absorb_ints([int(v) for v in gl.to_ints(values).ravel()])
+
+    def absorb_ext(self, value: gl.GF2):
+        self.absorb_ints([int(gl.to_ints(value.c0)), int(gl.to_ints(value.c1))])
+
+    def _permute_with(self, chunk: Sequence[int]):
+        enc = gl.from_int(list(chunk))
+        state = p2._overwrite(self._state, enc, 0)
+        self._state = p2.permute(state)
+
+    def _flush(self):
+        if self._buffer:
+            chunk = self._buffer + [0] * (RATE - len(self._buffer))
+            self._buffer = []
+            self._permute_with(chunk)
+
+    # -- squeezing ---------------------------------------------------------
+
+    def _squeeze_one(self) -> int:
+        if not self._squeezed:
+            self._flush()
+            out = gl.to_ints(self._state)[:RATE]
+            self._squeezed = [int(v) for v in out]
+            self._state = p2.permute(self._state)
+        return self._squeezed.pop(0)
+
+    def challenge_base(self) -> int:
+        return self._squeeze_one()
+
+    def challenge_ext(self) -> gl.GF2:
+        c0 = self._squeeze_one()
+        c1 = self._squeeze_one()
+        return gl.ext_from_ints(c0, c1)
+
+    def challenge_ext_ints(self):
+        return self._squeeze_one(), self._squeeze_one()
+
+    def query_indices(self, count: int, domain_size: int) -> np.ndarray:
+        """`count` indices in [0, domain_size); domain_size a power of two."""
+        mask = domain_size - 1
+        assert domain_size & mask == 0
+        out = np.empty(count, dtype=np.uint32)
+        for i in range(count):
+            out[i] = self._squeeze_one() & mask
+        return out
