@@ -1,0 +1,42 @@
+"""Sharded-kernel tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from zkevm_harness_tpu.ops import goldilocks as gl
+from zkevm_harness_tpu.ops import merkle as mk
+from zkevm_harness_tpu.ops import ntt as nt
+from zkevm_harness_tpu.ops import poseidon2 as p2
+from zkevm_harness_tpu.parallel import mesh as pm
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    return pm.make_mesh(8)
+
+
+def test_sharded_lde_matches_single(mesh, rng):
+    w, n = 16, 64
+    trace = gl.from_int(rng.integers(0, 2**63, size=(w, n), dtype=np.uint64))
+    want = nt.coset_lde(trace, 2)
+    got = pm.sharded_coset_lde(pm.shard_columns(trace, mesh), 2, mesh)
+    assert bool(np.all(np.asarray(gl.equal(got, want))))
+
+
+def test_sharded_leaf_hash_matches(mesh, rng):
+    w, n = 8, 64
+    evals = gl.from_int(rng.integers(0, 2**63, size=(w, n), dtype=np.uint64))
+    import jax.numpy as jnp
+    rows = gl.GF(jnp.moveaxis(evals.lo, 0, 1), jnp.moveaxis(evals.hi, 0, 1))
+    want = mk.hash_leaves(rows)
+    got = pm.sharded_leaf_hash(pm.shard_columns(evals, mesh), mesh)
+    assert bool(np.all(np.asarray(gl.equal(got, want))))
+
+
+def test_sharded_poseidon_matches(mesh, rng):
+    states = gl.from_int(rng.integers(0, 2**63, size=(16, 12), dtype=np.uint64))
+    want = p2.permute(states)
+    got = pm.sharded_poseidon_throughput_step(pm.shard_columns(states, mesh), mesh)
+    assert bool(np.all(np.asarray(gl.equal(got, want))))

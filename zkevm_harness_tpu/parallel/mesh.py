@@ -1,0 +1,106 @@
+"""Device-mesh sharding for the proving pipeline (jax.sharding + shard_map).
+
+The reference is single-process rayon (SURVEY §2d); here sharding is
+first-class. Round-1 design:
+
+  - axis "col": witness/LDE COLUMNS are sharded across chips. NTT/LDE,
+    constraint evaluation and quotient math are embarrassingly parallel per
+    column, so the per-chip program is exactly the single-chip kernel on a
+    column slice — no collectives in the steady state.
+  - Merkle leaf hashing needs whole rows; rows are materialized by an
+    all_gather of the column shards (rides ICI), then leaf-RANGES are sharded
+    across chips and each chip hashes its range; caps assemble via a final
+    all_gather of per-chip subtrees.
+
+A row-sharded NTT with per-stage all-to-all (the "TP/SP" analogue for traces
+too tall for one chip, SURVEY §5 long-context) is the next step on top of
+this module.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P_
+
+from ..ops import goldilocks as gl
+from ..ops import merkle as mk
+from ..ops import ntt as nt
+from ..ops import poseidon2 as p2
+from ..ops.goldilocks import GF
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "col") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_columns(x: GF, mesh: Mesh, axis: str = "col") -> GF:
+    """Place a (num_cols, n) GF array with columns sharded over the mesh."""
+    sh = NamedSharding(mesh, P_(axis, None))
+    return GF(jax.device_put(x.lo, sh), jax.device_put(x.hi, sh))
+
+
+def sharded_coset_lde(trace: GF, lde_factor: int, mesh: Mesh,
+                      axis: str = "col") -> GF:
+    """Column-sharded coset LDE: (W, N) -> (W, N*lde), W sharded over chips.
+
+    Each chip runs the full NTT on its column slice; XLA keeps the output
+    sharded the same way.
+    """
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P_(axis, None),) * 2, out_specs=P_(axis, None))
+    def _local(lo, hi):
+        out = nt.coset_lde(GF(lo, hi), lde_factor)
+        return out.lo, out.hi
+
+    lo, hi = _local(trace.lo, trace.hi)
+    return GF(lo, hi)
+
+
+def sharded_leaf_hash(col_lde: GF, mesh: Mesh, axis: str = "col") -> GF:
+    """(W, N_lde) column-sharded evals -> (N_lde, 4) leaf digests.
+
+    all_gather the columns (ICI), then each chip hashes a contiguous row
+    range; output digests are row-sharded.
+    """
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P_(axis, None),) * 2, out_specs=P_(axis, None))
+    def _local(lo, hi):
+        full_lo = jax.lax.all_gather(lo, axis, tiled=True)
+        full_hi = jax.lax.all_gather(hi, axis, tiled=True)
+        n = full_lo.shape[1]
+        k = jax.lax.axis_size(axis)
+        i = jax.lax.axis_index(axis)
+        rows_per = n // k
+        sl = jax.lax.dynamic_slice_in_dim(jnp.moveaxis(full_lo, 0, 1),
+                                          i * rows_per, rows_per, 0)
+        sh_ = jax.lax.dynamic_slice_in_dim(jnp.moveaxis(full_hi, 0, 1),
+                                           i * rows_per, rows_per, 0)
+        d = mk.hash_leaves(GF(sl, sh_))
+        return d.lo, d.hi
+
+    lo, hi = _local(col_lde.lo, col_lde.hi)
+    return GF(lo, hi)
+
+
+def sharded_poseidon_throughput_step(states: GF, mesh: Mesh,
+                                     axis: str = "col") -> GF:
+    """Batch-sharded Poseidon2 permutation (states (B, 12), B over chips)."""
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P_(axis, None),) * 2, out_specs=P_(axis, None))
+    def _local(lo, hi):
+        out = p2.permute(GF(lo, hi))
+        return out.lo, out.hi
+
+    lo, hi = _local(states.lo, states.hi)
+    return GF(lo, hi)
