@@ -116,3 +116,44 @@ def test_public_inputs():
 def _perm():
     cycles = [[(2, i), (0, i + 1)] for i in range(N - 1)]
     return pk.apply_copy_cycles(pk.identity_permutation(3, N), cycles)
+
+
+def lookup_ir():
+    """2 witness cols; no gates; w0 and w1 must be in the range table [0, 8)."""
+    table = np.arange(8, dtype=object).reshape(8, 1)
+
+    def eval_gates(alg, w, w_next, c):
+        return []
+
+    return pk.PlonkishIR(log_n=LOG_N, num_witness=2, num_const=0,
+                         gate_degree=2, num_gate_constraints=0,
+                         eval_gates=eval_gates, copy_chunk=2,
+                         lookup_tables=(table,),
+                         lookup_sets=((0, (0,)), (0, (1,))))
+
+
+def test_lookup_roundtrip():
+    ir = lookup_ir()
+    w0 = np.array([i % 8 for i in range(N)], dtype=object)
+    w1 = np.array([(3 * i) % 8 for i in range(N)], dtype=object)
+    witness = gl.from_int(np.stack([w0, w1]))
+    setup = pk.build_setup(ir, np.zeros((0, N), dtype=object),
+                           pk.identity_permutation(2, N), CFG)
+    proof = pk.prove(ir, setup, witness, CFG)
+    assert pk.verify(ir, setup.vk(), proof, CFG)
+    # tampered lookup helper rejected
+    bad = proof.ood_stage3.copy()
+    bad[0] = ((bad[0][0] + 1) % P, bad[0][1])
+    proof.ood_stage3 = bad
+    assert not pk.verify(ir, setup.vk(), proof, CFG)
+
+
+def test_lookup_out_of_table_asserts():
+    ir = lookup_ir()
+    w0 = np.array([i % 8 for i in range(N)], dtype=object)
+    w0[5] = 9  # not in table
+    witness = gl.from_int(np.stack([w0, w0]))
+    setup = pk.build_setup(ir, np.zeros((0, N), dtype=object),
+                           pk.identity_permutation(2, N), CFG)
+    with pytest.raises(AssertionError):
+        pk.prove(ir, setup, witness, CFG)

@@ -61,6 +61,13 @@ class PlonkishIR:
     eval_gates: Callable
     copy_chunk: int = 3  # witness columns per partial-product chunk
     public_input_cells: Tuple[Tuple[int, int], ...] = ()  # (col, row)
+    # lookup argument (logup with inverse-helper columns, all degree <= 2):
+    # lookup_tables[t] = np.ndarray (entries, L_t); lookup_sets[s] =
+    # (table_idx, (witness col indices of width L_t)). Every row of the listed
+    # witness columns must be a row of the table (pad rows must look up a
+    # real entry, as in the reference's specialized lookups).
+    lookup_tables: Tuple = ()
+    lookup_sets: Tuple = ()
 
 
 @dataclasses.dataclass
@@ -74,6 +81,8 @@ class PlonkishSetup:
 
     const_cols: GF  # (num_const, n)
     sigma_cols: GF  # (num_witness, n)
+    table_cols: GF  # (sum of table widths, n) padded lookup tables
+    table_np: Tuple  # per-table padded (n, L) int arrays (multiplicity calc)
     tree: mk.MerkleTree
     cap_np: np.ndarray
 
@@ -104,6 +113,10 @@ class PlonkishProof:
     ood_witness_next: List[Tuple[int, int]]
     ood_stage2: List[Tuple[int, int]]
     ood_stage2_next: List[Tuple[int, int]]
+    stage3_cap: np.ndarray
+    ood_stage3: List[Tuple[int, int]]
+    ood_stage3_next: List[Tuple[int, int]]
+    ood_table: List[Tuple[int, int]]
     ood_const: List[Tuple[int, int]]
     ood_sigma: List[Tuple[int, int]]
     ood_quotient: List[Tuple[int, int]]
@@ -132,12 +145,25 @@ def build_setup(ir: PlonkishIR, const_cols_int: np.ndarray,
         sigma[j] = (ks[pc[j]] * w_pows[pr[j]]) % P
     const_cols = gl.from_int(const_cols_int) if ir.num_const else gl.zeros((0, n))
     sigma_cols = gl.from_int(sigma)
-    # commit [const || sigma] on the commitment domain
-    all_cols = gl.concatenate([const_cols, sigma_cols], axis=0)
+    # pad lookup tables to n rows (repeat entry 0) and lay out as columns
+    table_np = []
+    tcol_list = []
+    for tbl in ir.lookup_tables:
+        tbl = np.asarray(tbl, dtype=object)
+        assert tbl.shape[0] <= n, "table larger than trace domain"
+        padded = np.vstack([tbl] + [tbl[:1]] * (n - tbl.shape[0]))
+        table_np.append(padded)
+        for j in range(padded.shape[1]):
+            tcol_list.append(padded[:, j])
+    table_cols = (gl.from_int(np.stack(tcol_list)) if tcol_list
+                  else gl.zeros((0, n)))
+    # commit [const || sigma || tables] on the commitment domain
+    all_cols = gl.concatenate([const_cols, sigma_cols, table_cols], axis=0)
     lde = nt.coset_lde(all_cols, cfg.rate)
     rows = GF(jnp.moveaxis(lde.lo, 0, 1), jnp.moveaxis(lde.hi, 0, 1))
     tree = mk.build_tree(mk.hash_leaves(rows), cfg.cap_size)
     return PlonkishSetup(const_cols=const_cols, sigma_cols=sigma_cols,
+                         table_cols=table_cols, table_np=tuple(table_np),
                          tree=tree, cap_np=gl.to_ints(tree.cap))
 
 
@@ -204,6 +230,68 @@ def _ext_prefix_product_exclusive(ratios: GF2) -> GF2:
 
 def _ext_batch_inv(x: GF2) -> GF2:
     return gl.ext_inv(x)
+
+
+def _ext_prefix_sum_exclusive(deltas: GF2) -> GF2:
+    """S[0]=0, S[i] = sum_{t<i} deltas[t] (log-depth associative scan)."""
+    import jax
+
+    def comb(a, b):
+        r = gl.ext_add(GF2(GF(a[0], a[1]), GF(a[2], a[3])),
+                       GF2(GF(b[0], b[1]), GF(b[2], b[3])))
+        return (r.c0.lo, r.c0.hi, r.c1.lo, r.c1.hi)
+
+    flat = (deltas.c0.lo, deltas.c0.hi, deltas.c1.lo, deltas.c1.hi)
+    inc = jax.lax.associative_scan(comb, flat, axis=-1)
+    inc = GF2(GF(inc[0], inc[1]), GF(inc[2], inc[3]))
+    zero = gl.ext_zeros((1,))
+    return GF2(gl.concatenate([zero.c0, inc.c0[:-1]]),
+               gl.concatenate([zero.c1, inc.c1[:-1]]))
+
+
+def _multiplicities(ir, setup, wit_np, n):
+    """Per-table multiplicity columns (host; witness-gen side)."""
+    ms = []
+    for t_idx, padded in enumerate(setup.table_np):
+        index = {}
+        for row in range(padded.shape[0]):
+            key = tuple(int(v) for v in padded[row])
+            index.setdefault(key, row)
+        m = np.zeros(n, dtype=object)
+        for (tbl, cols) in ir.lookup_sets:
+            if tbl != t_idx:
+                continue
+            for i in range(n):
+                key = tuple(int(wit_np[c][i]) for c in cols)
+                r = index.get(key)
+                assert r is not None, f"lookup miss: set cols {cols} row {i}"
+                m[r] += 1
+        ms.append(m)
+    return ms
+
+
+def _compress_theta(cols: List[GF], theta) -> GF2:
+    """sum_j theta^j * cols[j] as an ext vector (theta ext scalar ints)."""
+    shape = cols[0].shape
+    acc = GF2(cols[0], gl.zeros(shape))
+    tpow = (1, 0)
+    for col in cols[1:]:
+        tpow = fi.emul(tpow, theta)
+        t_gf = gl.ext_from_ints(*tpow)
+        acc = GF2(gl.add(acc.c0, gl.mul(gl.broadcast_to(t_gf.c0, shape), col)),
+                  gl.add(acc.c1, gl.mul(gl.broadcast_to(t_gf.c1, shape), col)))
+    return acc
+
+
+def _table_col_slices(ir) -> List[Tuple[int, int]]:
+    """(start, width) into the flattened table-column block, per table."""
+    out = []
+    ofs = 0
+    for tbl in ir.lookup_tables:
+        w = np.asarray(tbl).shape[1]
+        out.append((ofs, w))
+        ofs += w
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -276,23 +364,72 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         acc = gl.ext_mul(acc, gl.ext_mul(nums[c], den_invs[c]))
         pps.append(acc)
 
+    has_lk = bool(ir.lookup_sets)
     stage2_cols = [z_col.c0, z_col.c1]
     for pp in pps:
         stage2_cols.extend([pp.c0, pp.c1])
-    stage2 = gl.stack(stage2_cols, axis=0)  # (2k, n) base
+    if has_lk:
+        wit_np_all = gl.to_ints(witness)
+        m_cols = _multiplicities(ir, setup, wit_np_all, n)
+        for m in m_cols:
+            stage2_cols.append(gl.from_int(m))
+    stage2 = gl.stack(stage2_cols, axis=0)  # base cols
     s2_coeffs = nt.intt(stage2)
     s2_lde, s2_rows, s2_tree = _commit_cols(stage2, rate, cfg.cap_size)
     s2_cap = gl.to_ints(s2_tree.cap)
     tr.absorb_ints([int(v) for v in s2_cap.ravel()])
 
+    # -- stage 2b: lookup helper columns (logup with inverses) ------------
+    n_tables = len(ir.lookup_tables)
+    if has_lk:
+        theta = tr.challenge_ext_ints()
+        beta_lk = tr.challenge_ext_ints()
+        beta_lk_gf = gl.ext_from_ints(*beta_lk)
+        tslices = _table_col_slices(ir)
+        h_tables: List[GF2] = []
+        h_sets: List[GF2] = []
+        for (start, width) in tslices:
+            t_comp = _compress_theta([setup.table_cols[start + j]
+                                      for j in range(width)], theta)
+            denom = gl.ext_add(t_comp, _ebc(beta_lk_gf, (n,)))
+            h_tables.append(gl.ext_inv(denom))
+        for t_idx, (start, width) in enumerate(tslices):
+            m_gf = gl.from_int(m_cols[t_idx])
+            h_tables[t_idx] = gl.ext_mul_base(h_tables[t_idx], m_gf)
+        for (tbl, cols) in ir.lookup_sets:
+            a_comp = _compress_theta([witness[c] for c in cols], theta)
+            h_sets.append(gl.ext_inv(gl.ext_add(a_comp, _ebc(beta_lk_gf, (n,)))))
+        delta = gl.ext_zeros((n,))
+        for h in h_sets:
+            delta = gl.ext_add(delta, h)
+        for h in h_tables:
+            delta = gl.ext_sub(delta, h)
+        s_col = _ext_prefix_sum_exclusive(delta)
+        stage3_cols = [s_col.c0, s_col.c1]
+        for h in h_tables:
+            stage3_cols.extend([h.c0, h.c1])
+        for h in h_sets:
+            stage3_cols.extend([h.c0, h.c1])
+        stage3 = gl.stack(stage3_cols, axis=0)
+        s3_coeffs = nt.intt(stage3)
+        s3_lde, s3_rows, s3_tree = _commit_cols(stage3, rate, cfg.cap_size)
+        s3_cap = gl.to_ints(s3_tree.cap)
+        tr.absorb_ints([int(v) for v in s3_cap.ravel()])
+    else:
+        theta = beta_lk = None
+        s3_coeffs = s3_lde = s3_rows = s3_tree = None
+        s3_cap = np.zeros((0, 4), dtype=object)
+
     # -- stage 3: quotient (coset-streamed over the eval domain) ----------
     alpha = tr.challenge_ext_ints()
     const_coeffs = nt.intt(setup.const_cols) if ir.num_const else None
     sigma_coeffs = nt.intt(setup.sigma_cols)
+    table_coeffs = nt.intt(setup.table_cols) if n_tables else None
 
     comp_cosets = _quotient_cosets(
         ir, chunks, n, lde_eval, shift, wit_coeffs, s2_coeffs, const_coeffs,
-        sigma_coeffs, beta, gamma, alpha, ks, public_inputs)
+        sigma_coeffs, beta, gamma, alpha, ks, public_inputs,
+        theta, beta_lk, table_coeffs, s3_coeffs)
 
     # interleave cosets -> full eval-domain values -> coefficients
     n_eval = n * lde_eval
@@ -328,22 +465,26 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     ood_witness_next = _ext_evals(wit_coeffs, zw_gf)
     ood_stage2 = _ext_evals(s2_coeffs, z_gf)
     ood_stage2_next = _ext_evals(s2_coeffs, zw_gf)
+    ood_stage3 = _ext_evals(s3_coeffs, z_gf) if has_lk else []
+    ood_stage3_next = _ext_evals(s3_coeffs, zw_gf) if has_lk else []
+    ood_table = _ext_evals(table_coeffs, z_gf) if n_tables else []
     ood_const = _ext_evals(const_coeffs, z_gf) if ir.num_const else []
     ood_sigma = _ext_evals(sigma_coeffs, z_gf)
     ood_quotient = _ext_evals(q_coeffs, z_gf)
     for pair in (ood_witness + ood_witness_next + ood_stage2 + ood_stage2_next
+                 + ood_stage3 + ood_stage3_next + ood_table
                  + ood_const + ood_sigma + ood_quotient):
         tr.absorb_ints(list(pair))
 
     # -- stage 5: DEEP + FRI ----------------------------------------------
     gamma_deep = tr.challenge_ext_ints()
-    setup_lde = nt.coset_lde(gl.concatenate([setup.const_cols, setup.sigma_cols],
-                                            axis=0) if ir.num_const
-                             else setup.sigma_cols, rate)
-    deep = _deep(ir, wit_lde, s2_lde, q_lde, setup_lde,
+    setup_lde = nt.coset_lde(gl.concatenate(
+        [setup.const_cols, setup.sigma_cols, setup.table_cols], axis=0), rate)
+    deep = _deep(ir, wit_lde, s2_lde, s3_lde, q_lde, setup_lde,
                  ood_witness, ood_witness_next, ood_stage2, ood_stage2_next,
-                 ood_const + ood_sigma, ood_quotient, z_pt, zw, gamma_deep, n_comm,
-                 shift)
+                 ood_stage3, ood_stage3_next,
+                 ood_const + ood_sigma + ood_table, ood_quotient,
+                 z_pt, zw, gamma_deep, n_comm, shift)
     fri_cfg = cfg.fri_config(n_comm)
     fri_proof = fri_prove(deep, shift, tr, fri_cfg)
 
@@ -355,10 +496,13 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     setup_rows = GF(jnp.moveaxis(setup_lde.lo, 0, 1), jnp.moveaxis(setup_lde.hi, 0, 1))
     openings: Dict[str, Dict[int, List[int]]] = {}
     paths: Dict[str, Dict[int, np.ndarray]] = {}
-    for name, rows, tree in (("witness", wit_rows, wit_tree),
-                             ("stage2", s2_rows, s2_tree),
-                             ("quotient", q_rows, q_tree),
-                             ("setup", setup_rows, setup.tree)):
+    all_trees = [("witness", wit_rows, wit_tree),
+                 ("stage2", s2_rows, s2_tree),
+                 ("quotient", q_rows, q_tree),
+                 ("setup", setup_rows, setup.tree)]
+    if has_lk:
+        all_trees.insert(2, ("stage3", s3_rows, s3_tree))
+    for name, rows, tree in all_trees:
         vals = gl.to_ints(gl.take(rows, jnp.asarray(idx_arr), axis=0))
         pth = gl.to_ints(mk.open_indices(tree, idx_arr))
         openings[name] = {int(i): [int(v) for v in vals[k]]
@@ -370,13 +514,16 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         witness_cap=wit_cap, stage2_cap=s2_cap, quotient_cap=q_cap,
         ood_witness=ood_witness, ood_witness_next=ood_witness_next,
         ood_stage2=ood_stage2, ood_stage2_next=ood_stage2_next,
+        stage3_cap=s3_cap, ood_stage3=ood_stage3,
+        ood_stage3_next=ood_stage3_next, ood_table=ood_table,
         ood_const=ood_const, ood_sigma=ood_sigma, ood_quotient=ood_quotient,
         openings=openings, paths=paths, fri=fri_proof)
 
 
 def _quotient_cosets(ir, chunks, n, lde_eval, shift, wit_coeffs, s2_coeffs,
                      const_coeffs, sigma_coeffs, beta, gamma, alpha, ks,
-                     public_inputs):
+                     public_inputs, theta=None, beta_lk=None,
+                     table_coeffs=None, s3_coeffs=None):
     """Constraint composition values per eval-domain coset (streamed)."""
     n_eval = n * lde_eval
     v = gl.primitive_root_of_unity(n_eval.bit_length() - 1)
@@ -384,6 +531,9 @@ def _quotient_cosets(ir, chunks, n, lde_eval, shift, wit_coeffs, s2_coeffs,
     alg = DeviceAlgebra()
     beta_gf = gl.ext_from_ints(*beta)
     gamma_gf = gl.ext_from_ints(*gamma)
+    has_lk = bool(ir.lookup_sets)
+    n_tables = len(ir.lookup_tables)
+    tslices = _table_col_slices(ir)
     out = []
     for c in range(lde_eval):
         s_c = (shift * pow(v, c, P)) % P
@@ -397,6 +547,8 @@ def _quotient_cosets(ir, chunks, n, lde_eval, shift, wit_coeffs, s2_coeffs,
 
         wit_ev = eval_cols(wit_coeffs)
         s2_ev = eval_cols(s2_coeffs)
+        s3_ev = eval_cols(s3_coeffs)
+        table_ev = eval_cols(table_coeffs)
         const_ev = eval_cols(const_coeffs)
         sigma_ev = eval_cols(sigma_coeffs)
         roll = lambda a: GF(jnp.roll(a.lo, -1, -1), jnp.roll(a.hi, -1, -1))
@@ -435,6 +587,39 @@ def _quotient_cosets(ir, chunks, n, lde_eval, shift, wit_coeffs, s2_coeffs,
                                         gl.ext_mul(prev, num_p)))
             prev = pp_ext[t] if t < len(chunks) - 1 else None
 
+        # lookup constraints (logup; all degree <= 2)
+        lookup_vals: List[GF2] = []
+        s_ext = s_next = None
+        if has_lk:
+            beta_lk_gf = gl.ext_from_ints(*beta_lk)
+            m_ofs = 2 + 2 * (len(chunks) - 1)
+            s_ext = GF2(s3_ev[0], s3_ev[1])
+            s_next = GF2(roll(s3_ev)[0], roll(s3_ev)[1])
+            h_tables = [GF2(s3_ev[2 + 2 * t], s3_ev[3 + 2 * t])
+                        for t in range(n_tables)]
+            h_ofs = 2 + 2 * n_tables
+            h_sets = [GF2(s3_ev[h_ofs + 2 * s], s3_ev[h_ofs + 2 * s + 1])
+                      for s in range(len(ir.lookup_sets))]
+            one_v = gl.ext_ones((n,))
+            for s, (tbl, cols) in enumerate(ir.lookup_sets):
+                a_comp = _compress_theta([wit_cols[c] for c in cols], theta)
+                denom = gl.ext_add(a_comp, _ebc(beta_lk_gf, (n,)))
+                lookup_vals.append(gl.ext_sub(gl.ext_mul(h_sets[s], denom), one_v))
+            for t, (start, width) in enumerate(tslices):
+                t_comp = _compress_theta([table_ev[start + j]
+                                          for j in range(width)], theta)
+                denom = gl.ext_add(t_comp, _ebc(beta_lk_gf, (n,)))
+                m_vec = s2_ev[m_ofs + t]
+                m_ext = GF2(m_vec, gl.zeros((n,)))
+                lookup_vals.append(gl.ext_sub(gl.ext_mul(h_tables[t], denom),
+                                              m_ext))
+            s_trans = gl.ext_sub(s_next, s_ext)
+            for h in h_sets:
+                s_trans = gl.ext_sub(s_trans, h)
+            for h in h_tables:
+                s_trans = gl.ext_add(s_trans, h)
+            lookup_vals.append(s_trans)
+
         # combine with alpha powers
         comb = gl.ext_zeros((n,))
         apow = (1, 0)
@@ -443,7 +628,7 @@ def _quotient_cosets(ir, chunks, n, lde_eval, shift, wit_coeffs, s2_coeffs,
             a_gf = gl.ext_from_ints(*apow)
             comb = gl.ext_add(comb, GF2(gl.mul(gl.broadcast_to(a_gf.c0, (n,)), gv),
                                         gl.mul(gl.broadcast_to(a_gf.c1, (n,)), gv)))
-        for cv in copy_vals:
+        for cv in copy_vals + lookup_vals:
             apow = fi.emul(apow, alpha)
             comb = gl.ext_add(comb, gl.ext_mul(_ebc(gl.ext_from_ints(*apow), (n,)), cv))
         # divide by Z_H (constant per coset)
@@ -458,6 +643,12 @@ def _quotient_cosets(ir, chunks, n, lde_eval, shift, wit_coeffs, s2_coeffs,
         bterm = GF2(gl.mul(zm1.c0, xm1_inv), gl.mul(zm1.c1, xm1_inv))
         comb = gl.ext_add(comb, gl.ext_mul(_ebc(gl.ext_from_ints(*apow_b), (n,)),
                                            bterm))
+        # lookup-sum boundary: alpha^{..} * S(x) / (x - 1)
+        if has_lk:
+            apow_b = fi.emul(apow_b, alpha)
+            sterm = GF2(gl.mul(s_ext.c0, xm1_inv), gl.mul(s_ext.c1, xm1_inv))
+            comb = gl.ext_add(comb, gl.ext_mul(_ebc(gl.ext_from_ints(*apow_b),
+                                                    (n,)), sterm))
         # public inputs: alpha^{..} * (w_col(x) - v) / (x - w^row)
         apow_pi = apow_b
         for (col, row), value in zip(ir.public_input_cells, public_inputs):
@@ -473,8 +664,9 @@ def _quotient_cosets(ir, chunks, n, lde_eval, shift, wit_coeffs, s2_coeffs,
     return out
 
 
-def _deep(ir, wit_lde, s2_lde, q_lde, setup_lde, ood_w, ood_wn, ood_s2, ood_s2n,
-          ood_setup, ood_q, z_pt, zw, gamma, n_comm, shift):
+def _deep(ir, wit_lde, s2_lde, s3_lde, q_lde, setup_lde, ood_w, ood_wn,
+          ood_s2, ood_s2n, ood_s3, ood_s3n, ood_setup, ood_q, z_pt, zw,
+          gamma, n_comm, shift):
     xs_host = gl.powers_host(gl.primitive_root_of_unity(n_comm.bit_length() - 1),
                              n_comm).astype(object)
     xs = gl.from_int((xs_host * shift) % P)
@@ -504,6 +696,11 @@ def _deep(ir, wit_lde, s2_lde, q_lde, setup_lde, ood_w, ood_wn, ood_s2, ood_s2n,
         deep = accum(deep, s2_lde[j], ood_s2[j], inv_xz)
     for j in range(s2_lde.shape[0]):
         deep = accum(deep, s2_lde[j], ood_s2n[j], inv_xzw)
+    if s3_lde is not None:
+        for j in range(s3_lde.shape[0]):
+            deep = accum(deep, s3_lde[j], ood_s3[j], inv_xz)
+        for j in range(s3_lde.shape[0]):
+            deep = accum(deep, s3_lde[j], ood_s3n[j], inv_xzw)
     for j in range(setup_lde.shape[0]):
         deep = accum(deep, setup_lde[j], ood_setup[j], inv_xz)
     for j in range(q_lde.shape[0]):
@@ -535,13 +732,21 @@ def verify(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
     beta = tr.challenge_ext_ints()
     gamma = tr.challenge_ext_ints()
     tr.absorb_ints([int(v) for v in np.asarray(proof.stage2_cap, dtype=object).ravel()])
+    has_lk = bool(ir.lookup_sets)
+    n_tables = len(ir.lookup_tables)
+    if has_lk:
+        theta = tr.challenge_ext_ints()
+        beta_lk = tr.challenge_ext_ints()
+        tr.absorb_ints([int(v) for v in
+                        np.asarray(proof.stage3_cap, dtype=object).ravel()])
     alpha = tr.challenge_ext_ints()
     tr.absorb_ints([int(v) for v in np.asarray(proof.quotient_cap, dtype=object).ravel()])
     z_pt = tr.challenge_ext_ints()
     zw = fi.escale(z_pt, w_gen)
     for pair in (proof.ood_witness + proof.ood_witness_next + proof.ood_stage2
-                 + proof.ood_stage2_next + proof.ood_const + proof.ood_sigma
-                 + proof.ood_quotient):
+                 + proof.ood_stage2_next + proof.ood_stage3
+                 + proof.ood_stage3_next + proof.ood_table
+                 + proof.ood_const + proof.ood_sigma + proof.ood_quotient):
         tr.absorb_ints(list(pair))
     gamma_deep = tr.challenge_ext_ints()
 
@@ -576,12 +781,53 @@ def verify(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
         copy_vals.append(fi.esub(fi.emul(nxt, den_p), fi.emul(prev, num_p)))
         prev = pp_ext[t] if t < len(chunks) - 1 else None
 
+    # lookup constraint values at z
+    lookup_vals = []
+    s_ext_lk = None
+    if has_lk:
+        def _pair_ext(pairs, i):
+            return fi.eadd(pairs[2 * i], fi.emul((0, 1), pairs[2 * i + 1]))
+
+        s_ext_lk = _pair_ext(proof.ood_stage3, 0)
+        s_next_lk = fi.eadd(proof.ood_stage3_next[0],
+                            fi.emul((0, 1), proof.ood_stage3_next[1]))
+        h_tables = [_pair_ext(proof.ood_stage3, 1 + t) for t in range(n_tables)]
+        h_sets = [_pair_ext(proof.ood_stage3, 1 + n_tables + s)
+                  for s in range(len(ir.lookup_sets))]
+        m_ofs = 2 + 2 * (len(chunks) - 1)
+        tslices = _table_col_slices(ir)
+
+        def _compress_ood(vals, theta_c):
+            acc = vals[0]
+            tp = (1, 0)
+            for v2 in vals[1:]:
+                tp = fi.emul(tp, theta_c)
+                acc = fi.eadd(acc, fi.emul(tp, v2))
+            return acc
+
+        for s, (tbl, cols) in enumerate(ir.lookup_sets):
+            a_comp = _compress_ood([proof.ood_witness[c] for c in cols], theta)
+            denom = fi.eadd(a_comp, beta_lk)
+            lookup_vals.append(fi.esub(fi.emul(h_sets[s], denom), (1, 0)))
+        for t, (start, width) in enumerate(tslices):
+            t_comp = _compress_ood([proof.ood_table[start + j]
+                                    for j in range(width)], theta)
+            denom = fi.eadd(t_comp, beta_lk)
+            m_val = proof.ood_stage2[m_ofs + t]
+            lookup_vals.append(fi.esub(fi.emul(h_tables[t], denom), m_val))
+        s_trans = fi.esub(s_next_lk, s_ext_lk)
+        for h in h_sets:
+            s_trans = fi.esub(s_trans, h)
+        for h in h_tables:
+            s_trans = fi.eadd(s_trans, h)
+        lookup_vals.append(s_trans)
+
     comb = (0, 0)
     apow = (1, 0)
     for gv in gate_vals:
         apow = fi.emul(apow, alpha)
         comb = fi.eadd(comb, fi.emul(apow, gv))
-    for cv in copy_vals:
+    for cv in copy_vals + lookup_vals:
         apow = fi.emul(apow, alpha)
         comb = fi.eadd(comb, fi.emul(apow, cv))
     zn = fi.epow(z_pt, n)
@@ -591,6 +837,11 @@ def verify(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
     zm1 = fi.esub(z_ext, (1, 0))
     comb = fi.eadd(comb, fi.emul(apow_b,
                                  fi.emul(zm1, fi.einv(fi.esub(z_pt, (1, 0))))))
+    if has_lk:
+        apow_b = fi.emul(apow_b, alpha)
+        comb = fi.eadd(comb, fi.emul(apow_b,
+                                     fi.emul(s_ext_lk,
+                                             fi.einv(fi.esub(z_pt, (1, 0))))))
     apow_pi = apow_b
     for (col, row), value in zip(ir.public_input_cells, proof.public_inputs):
         apow_pi = fi.emul(apow_pi, alpha)
@@ -614,9 +865,13 @@ def verify(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
     caps = {"witness": proof.witness_cap, "stage2": proof.stage2_cap,
             "quotient": proof.quotient_cap, "setup": np.array(vk, dtype=object
                                                               ).reshape(-1, 4)}
+    tree_names = ["witness", "stage2", "quotient", "setup"]
+    if has_lk:
+        caps["stage3"] = proof.stage3_cap
+        tree_names.insert(2, "stage3")
     idx_list = sorted(proof.openings["witness"].keys())
     idx_arr = np.array(idx_list, dtype=np.uint32)
-    for name in ("witness", "stage2", "quotient", "setup"):
+    for name in tree_names:
         rows = gl.from_int(np.array([proof.openings[name][i] for i in idx_list],
                                     dtype=object))
         pth = gl.from_int(np.stack([np.asarray(proof.paths[name][i], dtype=object)
@@ -629,7 +884,7 @@ def verify(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
     # -- DEEP recomputation at queried points ------------------------------
     log_nc = n_comm.bit_length() - 1
     v = gl.primitive_root_of_unity(log_nc)
-    ood_setup = proof.ood_const + proof.ood_sigma
+    ood_setup = proof.ood_const + proof.ood_sigma + proof.ood_table
 
     def deep_at(idx: int):
         x = (shift * pow(v, idx, P)) % P
@@ -642,6 +897,13 @@ def verify(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
             (proof.openings["witness"][idx], proof.ood_witness_next, inv_xzw),
             (proof.openings["stage2"][idx], proof.ood_stage2, inv_xz),
             (proof.openings["stage2"][idx], proof.ood_stage2_next, inv_xzw),
+        ]
+        if has_lk:
+            groups.append((proof.openings["stage3"][idx], proof.ood_stage3,
+                           inv_xz))
+            groups.append((proof.openings["stage3"][idx],
+                           proof.ood_stage3_next, inv_xzw))
+        groups += [
             (proof.openings["setup"][idx], ood_setup, inv_xz),
             (proof.openings["quotient"][idx], proof.ood_quotient, inv_xz),
         ]
