@@ -1,0 +1,129 @@
+"""Pod-level proof-DAG scheduler: base -> leaf -> node -> scheduler pipeline.
+
+The reference runs the aggregation pipeline sequentially in one process with
+filesystem hand-off (SURVEY §2d "Pipeline"); here the pipeline is an explicit
+DAG of proof tasks with:
+  - data-source guarded execution (skip-if-present resume, matching the
+    reference's `if source.get_X().is_err() { compute; set_X }` protocol —
+    complex_tests/mod.rs:323-331);
+  - ready-set scheduling so independent tasks (all base instances, all leaf
+    chunks) can be dispatched to parallel workers/chips;
+  - pluggable `prove_fn(task) -> proof` so the same DAG drives real proving,
+    satisfiability-only checks, or dry runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+from ..circuits.types import RecursionLayerCircuitType
+from ..utils.data_source import InMemoryDataSource
+from ..witness.recursion import (LeafAggregationTask, NodeAggregationTask,
+                                 aggregate_to_single_node,
+                                 create_leaf_witnesses)
+from ..witness.queues import QueueSimulator
+
+
+@dataclasses.dataclass(frozen=True)
+class ProofTask:
+    kind: str  # "base" | "leaf" | "node" | "scheduler"
+    circuit_type: int
+    index: int
+    depth: int = 0
+    deps: Tuple["ProofTask", ...] = ()
+    payload: object = None
+
+    def key(self):
+        return (self.kind, self.circuit_type, self.depth, self.index)
+
+
+def build_block_dag(recursion_queues: Dict[int, QueueSimulator],
+                    num_base_instances: Dict[int, int]) -> List[ProofTask]:
+    """Build the full aggregation DAG for one block.
+
+    recursion_queues: base_circuit_type -> queue of recursion requests
+    num_base_instances: base_circuit_type -> number of base circuit instances
+    Returns tasks in a valid topological order (scheduler last).
+    """
+    tasks: List[ProofTask] = []
+    final_nodes: List[ProofTask] = []
+    for base_type in sorted(recursion_queues):
+        queue = recursion_queues[base_type]
+        n_inst = num_base_instances.get(base_type, len(queue))
+        base_tasks = [ProofTask("base", base_type, i) for i in range(n_inst)]
+        tasks.extend(base_tasks)
+        leaf_wits = create_leaf_witnesses(base_type, queue)
+        leaf_tasks = []
+        for lw in leaf_wits:
+            deps = tuple(base_tasks[j] for j in lw.proof_indices)
+            leaf_tasks.append(ProofTask("leaf", lw.circuit_type, lw.index,
+                                        deps=deps, payload=lw))
+        tasks.extend(leaf_tasks)
+        levels = aggregate_to_single_node(base_type, leaf_wits)
+        prev_tasks: Sequence[ProofTask] = leaf_tasks
+        for depth, level in enumerate(levels):
+            node_tasks = []
+            for nw in level:
+                deps = tuple(prev_tasks[j] for j in
+                             range(nw.index * 32, min((nw.index + 1) * 32,
+                                                      len(prev_tasks))))
+                node_tasks.append(ProofTask("node", base_type, nw.index,
+                                            depth=depth, deps=deps, payload=nw))
+            tasks.extend(node_tasks)
+            prev_tasks = node_tasks
+        final_nodes.append(prev_tasks[0])
+    tasks.append(ProofTask("scheduler", int(RecursionLayerCircuitType.SCHEDULER),
+                           0, deps=tuple(final_nodes)))
+    return tasks
+
+
+def run_dag(tasks: List[ProofTask], prove_fn: Callable[[ProofTask, Dict], object],
+            source: Optional[InMemoryDataSource] = None,
+            progress: Optional[Callable[[str], None]] = None) -> Dict:
+    """Execute the DAG with resume semantics. Returns key -> proof."""
+    source = source or InMemoryDataSource()
+    done: Dict = {}
+
+    def store_get(t: ProofTask):
+        if t.kind == "base":
+            return source.get_base_layer_proof(t.circuit_type, t.index)
+        if t.kind == "leaf":
+            return source.get_leaf_layer_proof(t.circuit_type, t.index)
+        if t.kind == "node":
+            return source.get_node_layer_proof(t.circuit_type, t.depth, t.index)
+        return source.get_scheduler_proof()
+
+    def store_set(t: ProofTask, proof):
+        if t.kind == "base":
+            source.set_base_layer_proof(proof, t.circuit_type, t.index)
+        elif t.kind == "leaf":
+            source.set_leaf_layer_proof(proof, t.circuit_type, t.index)
+        elif t.kind == "node":
+            source.set_node_layer_proof(proof, t.circuit_type, t.depth, t.index)
+        else:
+            source.set_scheduler_proof(proof)
+
+    for t in tasks:
+        existing = store_get(t)
+        if existing is not None:
+            done[t.key()] = existing
+            continue
+        assert all(d.key() in done for d in t.deps), "DAG order violated"
+        proof = prove_fn(t, {d.key(): done[d.key()] for d in t.deps})
+        store_set(t, proof)
+        done[t.key()] = proof
+        if progress:
+            progress(f"{t.kind}[{t.circuit_type}][d{t.depth}][{t.index}] done")
+    return done
+
+
+def ready_batches(tasks: List[ProofTask]) -> List[List[ProofTask]]:
+    """Group tasks into maximal parallel waves (for multi-chip dispatch)."""
+    level: Dict[Tuple, int] = {}
+    for t in tasks:
+        level[t.key()] = 1 + max((level[d.key()] for d in t.deps), default=-1)
+    waves: Dict[int, List[ProofTask]] = {}
+    for t in tasks:
+        waves.setdefault(level[t.key()], []).append(t)
+    return [waves[k] for k in sorted(waves)]
