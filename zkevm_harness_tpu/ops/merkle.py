@@ -12,6 +12,7 @@ Digests are 4 Goldilocks elements. The tree stops at `cap_size` nodes; the cap
 
 from __future__ import annotations
 
+import functools
 from typing import List, NamedTuple, Tuple
 
 import jax
@@ -41,6 +42,17 @@ class MerkleTree(NamedTuple):
 def hash_leaves(rows: GF) -> GF:
     """(n, w) leaf rows -> (n, 4) leaf digests (one batched sponge)."""
     return p2.hash_elements(rows)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def commit(rows: GF, cap_size: int) -> MerkleTree:
+    """Single fused kernel: leaf hashing + full tree build.
+
+    One XLA program per (shape, cap) — the per-level python loop unrolls at
+    trace time, so a whole commitment is ONE device dispatch (critical when
+    driving the chip over a high-latency link).
+    """
+    return build_tree(hash_leaves(rows), cap_size)
 
 
 def build_tree(leaf_digests: GF, cap_size: int) -> MerkleTree:

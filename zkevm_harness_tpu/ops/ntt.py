@@ -115,6 +115,7 @@ def scale_by_powers(values: GF, base: int) -> GF:
     return gl.mul(values, gl.broadcast_to(pw, values.shape))
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def coset_lde(evals: GF, lde_factor: int, shift: int = gl.MULTIPLICATIVE_GENERATOR) -> GF:
     """Low-degree extend evaluations on H (size n) to the coset shift*K of the
     size n*lde_factor subgroup K. Returns (..., n * lde_factor), natural order.

@@ -27,8 +27,10 @@ Gate sets are provided by a static `PlonkishIR` (the "circuit IR" of SURVEY
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Dict, List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -295,6 +297,320 @@ def _table_col_slices(ir) -> List[Tuple[int, int]]:
 
 
 # ---------------------------------------------------------------------------
+# Jitted phase kernels (compiled once per circuit shape, reused per instance)
+# ---------------------------------------------------------------------------
+
+_PHASE_CACHE: Dict = {}
+
+
+def _phase_jit(f):
+    """Jit a prove-phase kernel on TPU; run eagerly on CPU.
+
+    XLA:CPU compile time explodes on the large fused integer-limb graphs these
+    phases produce (minutes for a few thousand u32 ops), while XLA:TPU — the
+    deployment target — handles them and benefits hugely from single-dispatch
+    phases over the high-latency link. Tests run on the CPU backend and take
+    the eager path (each gl.* op is its own small cached jit)."""
+    jf = jax.jit(f)
+
+    def call(*args):
+        if jax.default_backend() == "cpu":
+            return f(*args)
+        return jf(*args)
+
+    return call
+
+
+def _scalar(a: GF, i) -> GF:
+    return GF(a.lo[i], a.hi[i])
+
+
+def _scalar2(a: GF2, i) -> GF2:
+    return GF2(_scalar(a.c0, i), _scalar(a.c1, i))
+
+
+def _compress_theta_traced(cols: List[GF], theta: GF2) -> GF2:
+    """sum_j theta^j * cols[j]; theta a traced GF2 scalar."""
+    shape = cols[0].shape
+    acc = GF2(cols[0], gl.zeros(shape))
+    tpow = gl.ext_ones(())
+    for col in cols[1:]:
+        tpow = gl.ext_mul(tpow, theta)
+        acc = GF2(gl.add(acc.c0, gl.mul(gl.broadcast_to(tpow.c0, shape), col)),
+                  gl.add(acc.c1, gl.mul(gl.broadcast_to(tpow.c1, shape), col)))
+    return acc
+
+
+def _stage2_fn(num_witness: int, copy_chunk: int):
+    key = ("stage2", num_witness, copy_chunk)
+    if key not in _PHASE_CACHE:
+        chunks = _copy_chunks(num_witness, copy_chunk)
+
+        def f(witness, sigma_cols, beta, gamma, w_pows, ks_vec):
+            n = witness.shape[-1]
+            nums, dens = [], []
+            for chunk in chunks:
+                num_p = gl.ext_ones((n,))
+                den_p = gl.ext_ones((n,))
+                for j in chunk:
+                    id_j = gl.mul(w_pows, gl.broadcast_to(_scalar(ks_vec, j), (n,)))
+                    num_p = gl.ext_mul(num_p, _lin_term_device(witness[j], id_j,
+                                                               beta, gamma))
+                    den_p = gl.ext_mul(den_p, _lin_term_device(
+                        witness[j], sigma_cols[j], beta, gamma))
+                nums.append(num_p)
+                dens.append(den_p)
+            den_invs = [gl.ext_inv(d) for d in dens]
+            total_ratio = gl.ext_ones((n,))
+            for num_p, den_inv in zip(nums, den_invs):
+                total_ratio = gl.ext_mul(total_ratio, gl.ext_mul(num_p, den_inv))
+            z_col = _ext_prefix_product_exclusive(total_ratio)
+            pps = []
+            acc = z_col
+            for c in range(len(chunks) - 1):
+                acc = gl.ext_mul(acc, gl.ext_mul(nums[c], den_invs[c]))
+                pps.append(acc)
+            cols = [z_col.c0, z_col.c1]
+            for pp in pps:
+                cols.extend([pp.c0, pp.c1])
+            return gl.stack(cols, axis=0)
+
+        _PHASE_CACHE[key] = _phase_jit(f)
+    return _PHASE_CACHE[key]
+
+
+def _stage3_fn(ir: PlonkishIR):
+    key = ("stage3", id(ir))
+    if key not in _PHASE_CACHE:
+        tslices = _table_col_slices(ir)
+
+        def f(witness, table_cols, m_cols, theta, beta_lk):
+            n = witness.shape[-1]
+            h_tables = []
+            for t, (start, width) in enumerate(tslices):
+                t_comp = _compress_theta_traced(
+                    [table_cols[start + j] for j in range(width)], theta)
+                denom = gl.ext_add(t_comp, _ebc(beta_lk, (n,)))
+                h_tables.append(gl.ext_mul_base(gl.ext_inv(denom), m_cols[t]))
+            h_sets = []
+            for (tbl, cols) in ir.lookup_sets:
+                a_comp = _compress_theta_traced([witness[c] for c in cols], theta)
+                h_sets.append(gl.ext_inv(gl.ext_add(a_comp, _ebc(beta_lk, (n,)))))
+            delta = gl.ext_zeros((n,))
+            for h in h_sets:
+                delta = gl.ext_add(delta, h)
+            for h in h_tables:
+                delta = gl.ext_sub(delta, h)
+            s_col = _ext_prefix_sum_exclusive(delta)
+            out = [s_col.c0, s_col.c1]
+            for h in h_tables:
+                out.extend([h.c0, h.c1])
+            for h in h_sets:
+                out.extend([h.c0, h.c1])
+            return gl.stack(out, axis=0)
+
+        _PHASE_CACHE[key] = _phase_jit(f)
+    return _PHASE_CACHE[key]
+
+
+def _commit_cols_body(cols: GF, rate: int, cap_size: int):
+    lde = nt.coset_lde(cols, rate)
+    rows = GF(jnp.moveaxis(lde.lo, 0, 1), jnp.moveaxis(lde.hi, 0, 1))
+    tree = mk.build_tree(mk.hash_leaves(rows), cap_size)
+    return lde, rows, tree
+
+
+_commit_cols_jitted = jax.jit(_commit_cols_body, static_argnums=(1, 2))
+
+
+def _commit_cols_jit(cols: GF, rate: int, cap_size: int):
+    if jax.default_backend() == "cpu":
+        return _commit_cols_body(cols, rate, cap_size)
+    return _commit_cols_jitted(cols, rate, cap_size)
+
+
+def _coset_fn(ir: PlonkishIR):
+    """One jitted kernel evaluating the full constraint composition on one
+    coset of the evaluation domain (all columns, all constraints, fused)."""
+    key = ("coset", id(ir))
+    if key not in _PHASE_CACHE:
+        chunks = _copy_chunks(ir.num_witness, ir.copy_chunk)
+        has_lk = bool(ir.lookup_sets)
+        n_tables = len(ir.lookup_tables)
+        tslices = _table_col_slices(ir)
+        alg = DeviceAlgebra()
+        w_gen_cached = gl.primitive_root_of_unity(ir.log_n)
+
+        def f(wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs, sigma_coeffs,
+              table_coeffs, s_c, zh_inv, u_pows, ks_vec, apows, beta, gamma,
+              theta, beta_lk, pi_vals):
+            n = wit_coeffs.shape[-1]
+            pw = nt.powers_device(s_c, n)
+
+            def ev(coeffs):
+                if coeffs is None:
+                    return None
+                scaled = gl.mul(coeffs, gl.broadcast_to(pw, coeffs.shape))
+                return nt.ntt(scaled)
+
+            wit_ev = ev(wit_coeffs)
+            s2_ev = ev(s2_coeffs)
+            s3_ev = ev(s3_coeffs)
+            table_ev = ev(table_coeffs)
+            const_ev = ev(const_coeffs)
+            sigma_ev = ev(sigma_coeffs)
+            roll = lambda a: GF(jnp.roll(a.lo, -1, -1), jnp.roll(a.hi, -1, -1))
+            wit_cols = [wit_ev[j] for j in range(ir.num_witness)]
+            wit_next = [roll(wit_ev)[j] for j in range(ir.num_witness)]
+            const_cols = ([const_ev[j] for j in range(ir.num_const)]
+                          if const_coeffs is not None else [])
+            xs = gl.mul(u_pows, gl.broadcast_to(s_c, (n,)))
+
+            gate_vals = ir.eval_gates(alg, wit_cols, wit_next, const_cols)
+            assert len(gate_vals) == ir.num_gate_constraints
+
+            z_ext = GF2(s2_ev[0], s2_ev[1])
+            z_next = GF2(roll(s2_ev)[0], roll(s2_ev)[1])
+            pp_ext = [GF2(s2_ev[2 + 2 * t], s2_ev[3 + 2 * t])
+                      for t in range(len(chunks) - 1)]
+            copy_vals: List[GF2] = []
+            prev = z_ext
+            for t, chunk in enumerate(chunks):
+                num_p = gl.ext_ones((n,))
+                den_p = gl.ext_ones((n,))
+                for j in chunk:
+                    id_j = gl.mul(xs, gl.broadcast_to(_scalar(ks_vec, j), (n,)))
+                    num_p = gl.ext_mul(num_p, _lin_term_device(wit_cols[j], id_j,
+                                                               beta, gamma))
+                    den_p = gl.ext_mul(den_p, _lin_term_device(
+                        wit_cols[j], sigma_ev[j], beta, gamma))
+                nxt = pp_ext[t] if t < len(chunks) - 1 else z_next
+                copy_vals.append(gl.ext_sub(gl.ext_mul(nxt, den_p),
+                                            gl.ext_mul(prev, num_p)))
+                prev = pp_ext[t] if t < len(chunks) - 1 else None
+
+            lookup_vals: List[GF2] = []
+            s_ext = None
+            if has_lk:
+                m_ofs = 2 + 2 * (len(chunks) - 1)
+                s_ext = GF2(s3_ev[0], s3_ev[1])
+                s_next = GF2(roll(s3_ev)[0], roll(s3_ev)[1])
+                h_tables = [GF2(s3_ev[2 + 2 * t], s3_ev[3 + 2 * t])
+                            for t in range(n_tables)]
+                h_ofs = 2 + 2 * n_tables
+                h_sets = [GF2(s3_ev[h_ofs + 2 * s], s3_ev[h_ofs + 2 * s + 1])
+                          for s in range(len(ir.lookup_sets))]
+                one_v = gl.ext_ones((n,))
+                for s, (tbl, cols) in enumerate(ir.lookup_sets):
+                    a_comp = _compress_theta_traced([wit_cols[c] for c in cols],
+                                                    theta)
+                    denom = gl.ext_add(a_comp, _ebc(beta_lk, (n,)))
+                    lookup_vals.append(gl.ext_sub(gl.ext_mul(h_sets[s], denom),
+                                                  one_v))
+                for t, (start, width) in enumerate(tslices):
+                    t_comp = _compress_theta_traced(
+                        [table_ev[start + j] for j in range(width)], theta)
+                    denom = gl.ext_add(t_comp, _ebc(beta_lk, (n,)))
+                    m_ext = GF2(s2_ev[m_ofs + t], gl.zeros((n,)))
+                    lookup_vals.append(gl.ext_sub(gl.ext_mul(h_tables[t], denom),
+                                                  m_ext))
+                s_trans = gl.ext_sub(s_next, s_ext)
+                for h in h_sets:
+                    s_trans = gl.ext_sub(s_trans, h)
+                for h in h_tables:
+                    s_trans = gl.ext_add(s_trans, h)
+                lookup_vals.append(s_trans)
+
+            # combine with the transcript-derived alpha-power array
+            ai = [0]
+
+            def next_apow() -> GF2:
+                a = _scalar2(apows, ai[0])
+                ai[0] += 1
+                return a
+
+            comb = gl.ext_zeros((n,))
+            for gv in gate_vals:
+                a = next_apow()
+                comb = gl.ext_add(comb, GF2(
+                    gl.mul(gl.broadcast_to(a.c0, (n,)), gv),
+                    gl.mul(gl.broadcast_to(a.c1, (n,)), gv)))
+            for cv in copy_vals + lookup_vals:
+                a = next_apow()
+                comb = gl.ext_add(comb, gl.ext_mul(_ebc(a, (n,)), cv))
+            comb = GF2(gl.mul(comb.c0, gl.broadcast_to(zh_inv, (n,))),
+                       gl.mul(comb.c1, gl.broadcast_to(zh_inv, (n,))))
+            # boundary z(1) = 1
+            a = next_apow()
+            zm1 = GF2(gl.sub(z_ext.c0, gl.broadcast_to(gl.from_int(1), (n,))),
+                      z_ext.c1)
+            xm1_inv = gl.inv(gl.sub(xs, gl.broadcast_to(gl.from_int(1), (n,))))
+            comb = gl.ext_add(comb, gl.ext_mul(_ebc(a, (n,)), GF2(
+                gl.mul(zm1.c0, xm1_inv), gl.mul(zm1.c1, xm1_inv))))
+            if has_lk:
+                a = next_apow()
+                comb = gl.ext_add(comb, gl.ext_mul(_ebc(a, (n,)), GF2(
+                    gl.mul(s_ext.c0, xm1_inv), gl.mul(s_ext.c1, xm1_inv))))
+            for idx, (col, row) in enumerate(ir.public_input_cells):
+                a = next_apow()
+                pt = pow(w_gen_cached, row, P)
+                den_inv = gl.inv(gl.sub(xs, gl.broadcast_to(gl.from_int(pt),
+                                                            (n,))))
+                num = gl.sub(wit_cols[col],
+                             gl.broadcast_to(_scalar(pi_vals, idx), (n,)))
+                term = gl.mul(num, den_inv)
+                comb = gl.ext_add(comb, GF2(
+                    gl.mul(gl.broadcast_to(a.c0, (n,)), term),
+                    gl.mul(gl.broadcast_to(a.c1, (n,)), term)))
+            return comb
+
+        _PHASE_CACHE[key] = _phase_jit(f)
+    return _PHASE_CACHE[key]
+
+
+def _deep_fn(ir: PlonkishIR):
+    key = ("deep", id(ir))
+    if key not in _PHASE_CACHE:
+
+        def f(wit_lde, s2_lde, s3_lde, setup_lde, q_lde, ood_w, ood_wn,
+              ood_s2, ood_s2n, ood_s3, ood_s3n, ood_setup, ood_q, z, zw,
+              gpows, xs):
+            n_comm = xs.shape[0]
+            x_ext = GF2(xs, gl.zeros((n_comm,)))
+            inv_xz = gl.ext_inv(gl.ext_sub(x_ext, _ebc(z, (n_comm,))))
+            inv_xzw = gl.ext_inv(gl.ext_sub(x_ext, _ebc(zw, (n_comm,))))
+            gi = [0]
+            deep = gl.ext_zeros((n_comm,))
+
+            def accum(deep, col: GF, ood: GF2, inv_den: GF2):
+                g = _scalar2(gpows, gi[0])
+                gi[0] += 1
+                num = GF2(gl.sub(col, gl.broadcast_to(ood.c0, (n_comm,))),
+                          gl.neg(gl.broadcast_to(ood.c1, (n_comm,))))
+                term = gl.ext_mul(num, inv_den)
+                return gl.ext_add(deep, gl.ext_mul(_ebc(g, (n_comm,)), term))
+
+            groups = [(wit_lde, ood_w, inv_xz), (wit_lde, ood_wn, inv_xzw),
+                      (s2_lde, ood_s2, inv_xz), (s2_lde, ood_s2n, inv_xzw)]
+            if s3_lde is not None:
+                groups += [(s3_lde, ood_s3, inv_xz), (s3_lde, ood_s3n, inv_xzw)]
+            groups += [(setup_lde, ood_setup, inv_xz), (q_lde, ood_q, inv_xz)]
+            for cols, oods, inv_den in groups:
+                for j in range(cols.shape[0]):
+                    deep = accum(deep, cols[j], _scalar2(oods, j), inv_den)
+            return deep
+
+        _PHASE_CACHE[key] = _phase_jit(f)
+    return _PHASE_CACHE[key]
+
+
+def _oods_to_gf2(oods: List[Tuple[int, int]]) -> GF2:
+    arr = np.asarray(oods if oods else np.zeros((0, 2)), dtype=object)
+    return GF2(gl.from_int(arr[:, 0] if len(oods) else np.zeros(0, dtype=object)),
+               gl.from_int(arr[:, 1] if len(oods) else np.zeros(0, dtype=object)))
+
+
+# ---------------------------------------------------------------------------
 # Prover
 # ---------------------------------------------------------------------------
 
@@ -308,21 +624,22 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     max_deg = max(ir.gate_degree, ir.copy_chunk + 1)
     lde_eval = 1 << (max_deg - 1).bit_length()  # eval-domain blowup
     num_q_chunks = max(1, max_deg - 1)
+    has_lk = bool(ir.lookup_sets)
+    n_tables = len(ir.lookup_tables)
 
     tr = Transcript()
     tr.absorb_ints(setup.vk())
 
-    # public inputs: values of the declared witness cells, absorbed first
-    # (the reference binds them via simulated closed-form-input commitments —
-    # src/witness/utils.rs:269-308; here they enter the transcript and the
-    # composition as (w_col(x) - v)/(x - w^row) terms)
+    # public inputs (bound via transcript + composition terms; the reference
+    # binds them via simulated closed-form-input commitments,
+    # src/witness/utils.rs:269-308)
     wit_np = gl.to_ints(witness) if ir.public_input_cells else None
     public_inputs = [int(wit_np[c, r]) for (c, r) in ir.public_input_cells]
     tr.absorb_ints(public_inputs)
 
     # -- stage 1: witness commitment --------------------------------------
     wit_coeffs = nt.intt(witness)
-    wit_lde, wit_rows, wit_tree = _commit_cols(witness, rate, cfg.cap_size)
+    wit_lde, wit_rows, wit_tree = _commit_cols_jit(witness, rate, cfg.cap_size)
     wit_cap = gl.to_ints(wit_tree.cap)
     tr.absorb_ints([int(v) for v in wit_cap.ravel()])
 
@@ -331,92 +648,38 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     gamma = tr.challenge_ext_ints()
     beta_gf = gl.ext_from_ints(*beta)
     gamma_gf = gl.ext_from_ints(*gamma)
-
     w_gen = gl.primitive_root_of_unity(ir.log_n)
-    w_pows = gl.from_int(gl.powers_host(w_gen, n).astype(object))  # id base
+    w_pows = gl.from_int(gl.powers_host(w_gen, n).astype(object))
     ks = gl.powers_host(K_COSET_GEN, max(ir.num_witness, 1)).astype(object)
+    ks_vec = gl.from_int(ks)
 
-    # per-chunk numerator/denominator vectors on H
-    nums: List[GF2] = []
-    dens: List[GF2] = []
-    for chunk in chunks:
-        num_p = gl.ext_ones((n,))
-        den_p = gl.ext_ones((n,))
-        for j in chunk:
-            id_j = gl.mul(w_pows, gl.broadcast_to(gl.from_int(int(ks[j])), (n,)))
-            num_p = gl.ext_mul(num_p, _lin_term_device(witness[j], id_j,
-                                                       beta_gf, gamma_gf))
-            den_p = gl.ext_mul(den_p, _lin_term_device(witness[j], setup.sigma_cols[j],
-                                                       beta_gf, gamma_gf))
-        nums.append(num_p)
-        dens.append(den_p)
-
-    total_ratio = gl.ext_ones((n,))
-    den_invs = [_ext_batch_inv(d) for d in dens]
-    for num_p, den_inv in zip(nums, den_invs):
-        total_ratio = gl.ext_mul(total_ratio, gl.ext_mul(num_p, den_inv))
-    z_col = _ext_prefix_product_exclusive(total_ratio)  # (n,) ext
-
-    # partial products pp_c = z * prod_{t<=c} ratio_t for c < k-1
-    pps: List[GF2] = []
-    acc = z_col
-    for c in range(len(chunks) - 1):
-        acc = gl.ext_mul(acc, gl.ext_mul(nums[c], den_invs[c]))
-        pps.append(acc)
-
-    has_lk = bool(ir.lookup_sets)
-    stage2_cols = [z_col.c0, z_col.c1]
-    for pp in pps:
-        stage2_cols.extend([pp.c0, pp.c1])
+    stage2 = _stage2_fn(ir.num_witness, ir.copy_chunk)(
+        witness, setup.sigma_cols, beta_gf, gamma_gf, w_pows, ks_vec)
     if has_lk:
         wit_np_all = gl.to_ints(witness)
-        m_cols = _multiplicities(ir, setup, wit_np_all, n)
-        for m in m_cols:
-            stage2_cols.append(gl.from_int(m))
-    stage2 = gl.stack(stage2_cols, axis=0)  # base cols
+        m_cols_np = _multiplicities(ir, setup, wit_np_all, n)
+        m_cols = gl.from_int(np.stack(m_cols_np))
+        stage2 = gl.concatenate([stage2, m_cols], axis=0)
     s2_coeffs = nt.intt(stage2)
-    s2_lde, s2_rows, s2_tree = _commit_cols(stage2, rate, cfg.cap_size)
+    s2_lde, s2_rows, s2_tree = _commit_cols_jit(stage2, rate, cfg.cap_size)
     s2_cap = gl.to_ints(s2_tree.cap)
     tr.absorb_ints([int(v) for v in s2_cap.ravel()])
 
     # -- stage 2b: lookup helper columns (logup with inverses) ------------
-    n_tables = len(ir.lookup_tables)
     if has_lk:
         theta = tr.challenge_ext_ints()
         beta_lk = tr.challenge_ext_ints()
+        theta_gf = gl.ext_from_ints(*theta)
         beta_lk_gf = gl.ext_from_ints(*beta_lk)
-        tslices = _table_col_slices(ir)
-        h_tables: List[GF2] = []
-        h_sets: List[GF2] = []
-        for (start, width) in tslices:
-            t_comp = _compress_theta([setup.table_cols[start + j]
-                                      for j in range(width)], theta)
-            denom = gl.ext_add(t_comp, _ebc(beta_lk_gf, (n,)))
-            h_tables.append(gl.ext_inv(denom))
-        for t_idx, (start, width) in enumerate(tslices):
-            m_gf = gl.from_int(m_cols[t_idx])
-            h_tables[t_idx] = gl.ext_mul_base(h_tables[t_idx], m_gf)
-        for (tbl, cols) in ir.lookup_sets:
-            a_comp = _compress_theta([witness[c] for c in cols], theta)
-            h_sets.append(gl.ext_inv(gl.ext_add(a_comp, _ebc(beta_lk_gf, (n,)))))
-        delta = gl.ext_zeros((n,))
-        for h in h_sets:
-            delta = gl.ext_add(delta, h)
-        for h in h_tables:
-            delta = gl.ext_sub(delta, h)
-        s_col = _ext_prefix_sum_exclusive(delta)
-        stage3_cols = [s_col.c0, s_col.c1]
-        for h in h_tables:
-            stage3_cols.extend([h.c0, h.c1])
-        for h in h_sets:
-            stage3_cols.extend([h.c0, h.c1])
-        stage3 = gl.stack(stage3_cols, axis=0)
+        stage3 = _stage3_fn(ir)(witness, setup.table_cols, m_cols,
+                                theta_gf, beta_lk_gf)
         s3_coeffs = nt.intt(stage3)
-        s3_lde, s3_rows, s3_tree = _commit_cols(stage3, rate, cfg.cap_size)
+        s3_lde, s3_rows, s3_tree = _commit_cols_jit(stage3, rate, cfg.cap_size)
         s3_cap = gl.to_ints(s3_tree.cap)
         tr.absorb_ints([int(v) for v in s3_cap.ravel()])
     else:
         theta = beta_lk = None
+        theta_gf = beta_lk_gf = gl.ext_zeros(())
         s3_coeffs = s3_lde = s3_rows = s3_tree = None
         s3_cap = np.zeros((0, 4), dtype=object)
 
@@ -426,13 +689,35 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     sigma_coeffs = nt.intt(setup.sigma_cols)
     table_coeffs = nt.intt(setup.table_cols) if n_tables else None
 
-    comp_cosets = _quotient_cosets(
-        ir, chunks, n, lde_eval, shift, wit_coeffs, s2_coeffs, const_coeffs,
-        sigma_coeffs, beta, gamma, alpha, ks, public_inputs,
-        theta, beta_lk, table_coeffs, s3_coeffs)
+    # alpha powers in exact constraint order (matches verify)
+    n_constraints = (ir.num_gate_constraints + len(chunks)
+                     + ((len(ir.lookup_sets) + n_tables + 1) if has_lk else 0)
+                     + 1 + (1 if has_lk else 0) + len(ir.public_input_cells))
+    apow_list = []
+    ap = (1, 0)
+    for _ in range(n_constraints):
+        ap = fi.emul(ap, alpha)
+        apow_list.append(ap)
+    apows = _oods_to_gf2(apow_list)
+
+    n_eval = n * lde_eval
+    v = gl.primitive_root_of_unity(n_eval.bit_length() - 1)
+    u = pow(v, lde_eval, P)
+    u_pows = gl.from_int(gl.powers_host(u, n).astype(object))
+    pi_vals = gl.from_int(np.asarray(public_inputs if public_inputs else
+                                     np.zeros(0, dtype=object), dtype=object))
+    coset_eval = _coset_fn(ir)
+    comp_cosets = []
+    for c in range(lde_eval):
+        s_c = (shift * pow(v, c, P)) % P
+        zh_c = (pow(s_c, n, P) - 1) % P
+        comp_cosets.append(coset_eval(
+            wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs, sigma_coeffs,
+            table_coeffs, gl.from_int(s_c), gl.from_int(pow(zh_c, P - 2, P)),
+            u_pows, ks_vec, apows, beta_gf, gamma_gf, theta_gf, beta_lk_gf,
+            pi_vals))
 
     # interleave cosets -> full eval-domain values -> coefficients
-    n_eval = n * lde_eval
     comp0 = jnp.stack([c.c0.lo for c in comp_cosets], axis=1).reshape(n_eval)
     comp1 = jnp.stack([c.c0.hi for c in comp_cosets], axis=1).reshape(n_eval)
     comp2 = jnp.stack([c.c1.lo for c in comp_cosets], axis=1).reshape(n_eval)
@@ -447,10 +732,8 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         q_cols.append(q_coeff_c0[j * n:(j + 1) * n])
         q_cols.append(q_coeff_c1[j * n:(j + 1) * n])
     q_coeffs = gl.stack(q_cols, axis=0)
-    pad = gl.zeros((q_coeffs.shape[0], n_comm - n))
-    q_lde = nt.ntt(nt.scale_by_powers(gl.concatenate([q_coeffs, pad], axis=-1), shift))
-    q_rows = GF(jnp.moveaxis(q_lde.lo, 0, 1), jnp.moveaxis(q_lde.hi, 0, 1))
-    q_tree = mk.build_tree(mk.hash_leaves(q_rows), cfg.cap_size)
+    q_lde, q_rows, q_tree = _commit_cols_from_coeffs(q_coeffs, n_comm,
+                                                     cfg.cap_size)
     q_cap = gl.to_ints(q_tree.cap)
     tr.absorb_ints([int(v) for v in q_cap.ravel()])
 
@@ -480,11 +763,26 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     gamma_deep = tr.challenge_ext_ints()
     setup_lde = nt.coset_lde(gl.concatenate(
         [setup.const_cols, setup.sigma_cols, setup.table_cols], axis=0), rate)
-    deep = _deep(ir, wit_lde, s2_lde, s3_lde, q_lde, setup_lde,
-                 ood_witness, ood_witness_next, ood_stage2, ood_stage2_next,
-                 ood_stage3, ood_stage3_next,
-                 ood_const + ood_sigma + ood_table, ood_quotient,
-                 z_pt, zw, gamma_deep, n_comm, shift)
+    ood_setup = ood_const + ood_sigma + ood_table
+    n_deep_terms = (2 * ir.num_witness + 2 * s2_lde.shape[0]
+                    + (2 * s3_lde.shape[0] if has_lk else 0)
+                    + setup_lde.shape[0] + q_lde.shape[0])
+    gp_list = []
+    gp = (1, 0)
+    for _ in range(n_deep_terms):
+        gp = fi.emul(gp, gamma_deep)
+        gp_list.append(gp)
+    gpows = _oods_to_gf2(gp_list)
+    xs_host = gl.powers_host(gl.primitive_root_of_unity(n_comm.bit_length() - 1),
+                             n_comm).astype(object)
+    xs = gl.from_int((xs_host * shift) % P)
+    deep = _deep_fn(ir)(
+        wit_lde, s2_lde, s3_lde, setup_lde, q_lde,
+        _oods_to_gf2(ood_witness), _oods_to_gf2(ood_witness_next),
+        _oods_to_gf2(ood_stage2), _oods_to_gf2(ood_stage2_next),
+        _oods_to_gf2(ood_stage3), _oods_to_gf2(ood_stage3_next),
+        _oods_to_gf2(ood_setup), _oods_to_gf2(ood_quotient),
+        z_gf, zw_gf, gpows, xs)
     fri_cfg = cfg.fri_config(n_comm)
     fri_proof = fri_prove(deep, shift, tr, fri_cfg)
 
@@ -520,192 +818,23 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         openings=openings, paths=paths, fri=fri_proof)
 
 
-def _quotient_cosets(ir, chunks, n, lde_eval, shift, wit_coeffs, s2_coeffs,
-                     const_coeffs, sigma_coeffs, beta, gamma, alpha, ks,
-                     public_inputs, theta=None, beta_lk=None,
-                     table_coeffs=None, s3_coeffs=None):
-    """Constraint composition values per eval-domain coset (streamed)."""
-    n_eval = n * lde_eval
-    v = gl.primitive_root_of_unity(n_eval.bit_length() - 1)
-    w_gen = gl.primitive_root_of_unity(ir.log_n)
-    alg = DeviceAlgebra()
-    beta_gf = gl.ext_from_ints(*beta)
-    gamma_gf = gl.ext_from_ints(*gamma)
-    has_lk = bool(ir.lookup_sets)
-    n_tables = len(ir.lookup_tables)
-    tslices = _table_col_slices(ir)
-    out = []
-    for c in range(lde_eval):
-        s_c = (shift * pow(v, c, P)) % P
-        pw = gl.from_int(gl.powers_host(s_c, n).astype(object))
-
-        def eval_cols(coeffs):
-            if coeffs is None:
-                return None
-            scaled = gl.mul(coeffs, gl.broadcast_to(pw, coeffs.shape))
-            return nt.ntt(scaled)
-
-        wit_ev = eval_cols(wit_coeffs)
-        s2_ev = eval_cols(s2_coeffs)
-        s3_ev = eval_cols(s3_coeffs)
-        table_ev = eval_cols(table_coeffs)
-        const_ev = eval_cols(const_coeffs)
-        sigma_ev = eval_cols(sigma_coeffs)
-        roll = lambda a: GF(jnp.roll(a.lo, -1, -1), jnp.roll(a.hi, -1, -1))
-        wit_cols = [wit_ev[j] for j in range(ir.num_witness)]
-        wit_next = [roll(wit_ev)[j] for j in range(ir.num_witness)]
-        const_cols = ([const_ev[j] for j in range(ir.num_const)]
-                      if const_coeffs is not None else [])
-
-        # gates (base-valued)
-        gate_vals = ir.eval_gates(alg, wit_cols, wit_next, const_cols)
-        assert len(gate_vals) == ir.num_gate_constraints
-
-        # copy constraints (ext-valued)
-        z_ext = GF2(s2_ev[0], s2_ev[1])
-        z_next = GF2(roll(s2_ev)[0], roll(s2_ev)[1])
-        pp_ext = [GF2(s2_ev[2 + 2 * t], s2_ev[3 + 2 * t])
-                  for t in range(len(chunks) - 1)]
-        # id_j(X) = k_j * X: evals are k_j * (domain points of this coset),
-        # x_i = s_c * u^i with u = v^lde_eval (the order-n subgroup generator)
-        u = pow(v, lde_eval, P)
-        xs = gl.from_int(((gl.powers_host(u, n).astype(object)) * s_c) % P)
-
-        copy_vals: List[GF2] = []
-        prev = z_ext
-        for t, chunk in enumerate(chunks):
-            num_p = gl.ext_ones((n,))
-            den_p = gl.ext_ones((n,))
-            for j in chunk:
-                id_j = gl.mul(xs, gl.broadcast_to(gl.from_int(int(ks[j])), (n,)))
-                num_p = gl.ext_mul(num_p, _lin_term_device(wit_cols[j], id_j,
-                                                           beta_gf, gamma_gf))
-                den_p = gl.ext_mul(den_p, _lin_term_device(wit_cols[j], sigma_ev[j],
-                                                           beta_gf, gamma_gf))
-            nxt = pp_ext[t] if t < len(chunks) - 1 else z_next
-            copy_vals.append(gl.ext_sub(gl.ext_mul(nxt, den_p),
-                                        gl.ext_mul(prev, num_p)))
-            prev = pp_ext[t] if t < len(chunks) - 1 else None
-
-        # lookup constraints (logup; all degree <= 2)
-        lookup_vals: List[GF2] = []
-        s_ext = s_next = None
-        if has_lk:
-            beta_lk_gf = gl.ext_from_ints(*beta_lk)
-            m_ofs = 2 + 2 * (len(chunks) - 1)
-            s_ext = GF2(s3_ev[0], s3_ev[1])
-            s_next = GF2(roll(s3_ev)[0], roll(s3_ev)[1])
-            h_tables = [GF2(s3_ev[2 + 2 * t], s3_ev[3 + 2 * t])
-                        for t in range(n_tables)]
-            h_ofs = 2 + 2 * n_tables
-            h_sets = [GF2(s3_ev[h_ofs + 2 * s], s3_ev[h_ofs + 2 * s + 1])
-                      for s in range(len(ir.lookup_sets))]
-            one_v = gl.ext_ones((n,))
-            for s, (tbl, cols) in enumerate(ir.lookup_sets):
-                a_comp = _compress_theta([wit_cols[c] for c in cols], theta)
-                denom = gl.ext_add(a_comp, _ebc(beta_lk_gf, (n,)))
-                lookup_vals.append(gl.ext_sub(gl.ext_mul(h_sets[s], denom), one_v))
-            for t, (start, width) in enumerate(tslices):
-                t_comp = _compress_theta([table_ev[start + j]
-                                          for j in range(width)], theta)
-                denom = gl.ext_add(t_comp, _ebc(beta_lk_gf, (n,)))
-                m_vec = s2_ev[m_ofs + t]
-                m_ext = GF2(m_vec, gl.zeros((n,)))
-                lookup_vals.append(gl.ext_sub(gl.ext_mul(h_tables[t], denom),
-                                              m_ext))
-            s_trans = gl.ext_sub(s_next, s_ext)
-            for h in h_sets:
-                s_trans = gl.ext_sub(s_trans, h)
-            for h in h_tables:
-                s_trans = gl.ext_add(s_trans, h)
-            lookup_vals.append(s_trans)
-
-        # combine with alpha powers
-        comb = gl.ext_zeros((n,))
-        apow = (1, 0)
-        for gv in gate_vals:
-            apow = fi.emul(apow, alpha)
-            a_gf = gl.ext_from_ints(*apow)
-            comb = gl.ext_add(comb, GF2(gl.mul(gl.broadcast_to(a_gf.c0, (n,)), gv),
-                                        gl.mul(gl.broadcast_to(a_gf.c1, (n,)), gv)))
-        for cv in copy_vals + lookup_vals:
-            apow = fi.emul(apow, alpha)
-            comb = gl.ext_add(comb, gl.ext_mul(_ebc(gl.ext_from_ints(*apow), (n,)), cv))
-        # divide by Z_H (constant per coset)
-        zh_c = (pow(s_c, n, P) - 1) % P
-        zh_inv = gl.from_int(pow(zh_c, P - 2, P))
-        comb = GF2(gl.mul(comb.c0, gl.broadcast_to(zh_inv, (n,))),
-                   gl.mul(comb.c1, gl.broadcast_to(zh_inv, (n,))))
-        # boundary: alpha^k * (z(x) - 1) / (x - 1)
-        apow_b = fi.emul(apow, alpha)
-        zm1 = GF2(gl.sub(z_ext.c0, gl.broadcast_to(gl.from_int(1), (n,))), z_ext.c1)
-        xm1_inv = gl.inv(gl.sub(xs, gl.broadcast_to(gl.from_int(1), (n,))))
-        bterm = GF2(gl.mul(zm1.c0, xm1_inv), gl.mul(zm1.c1, xm1_inv))
-        comb = gl.ext_add(comb, gl.ext_mul(_ebc(gl.ext_from_ints(*apow_b), (n,)),
-                                           bterm))
-        # lookup-sum boundary: alpha^{..} * S(x) / (x - 1)
-        if has_lk:
-            apow_b = fi.emul(apow_b, alpha)
-            sterm = GF2(gl.mul(s_ext.c0, xm1_inv), gl.mul(s_ext.c1, xm1_inv))
-            comb = gl.ext_add(comb, gl.ext_mul(_ebc(gl.ext_from_ints(*apow_b),
-                                                    (n,)), sterm))
-        # public inputs: alpha^{..} * (w_col(x) - v) / (x - w^row)
-        apow_pi = apow_b
-        for (col, row), value in zip(ir.public_input_cells, public_inputs):
-            apow_pi = fi.emul(apow_pi, alpha)
-            pt = pow(w_gen, row, P)
-            den_inv = gl.inv(gl.sub(xs, gl.broadcast_to(gl.from_int(pt), (n,))))
-            num = gl.sub(wit_cols[col], gl.broadcast_to(gl.from_int(value), (n,)))
-            term = gl.mul(num, den_inv)
-            comb = gl.ext_add(comb, GF2(
-                gl.mul(gl.broadcast_to(gl.ext_from_ints(*apow_pi).c0, (n,)), term),
-                gl.mul(gl.broadcast_to(gl.ext_from_ints(*apow_pi).c1, (n,)), term)))
-        out.append(comb)
-    return out
+def _commit_coeffs_body(coeffs: GF, n_comm: int, cap_size: int):
+    n = coeffs.shape[-1]
+    pad = gl.zeros((coeffs.shape[0], n_comm - n))
+    lde = nt.ntt(nt.scale_by_powers(gl.concatenate([coeffs, pad], axis=-1),
+                                    gl.MULTIPLICATIVE_GENERATOR))
+    rows = GF(jnp.moveaxis(lde.lo, 0, 1), jnp.moveaxis(lde.hi, 0, 1))
+    tree = mk.build_tree(mk.hash_leaves(rows), cap_size)
+    return lde, rows, tree
 
 
-def _deep(ir, wit_lde, s2_lde, s3_lde, q_lde, setup_lde, ood_w, ood_wn,
-          ood_s2, ood_s2n, ood_s3, ood_s3n, ood_setup, ood_q, z_pt, zw,
-          gamma, n_comm, shift):
-    xs_host = gl.powers_host(gl.primitive_root_of_unity(n_comm.bit_length() - 1),
-                             n_comm).astype(object)
-    xs = gl.from_int((xs_host * shift) % P)
-    x_ext = GF2(xs, gl.zeros((n_comm,)))
-    z_gf = gl.ext_from_ints(*z_pt)
-    zw_gf = gl.ext_from_ints(*zw)
-    inv_xz = gl.ext_inv(gl.ext_sub(x_ext, _ebc(z_gf, (n_comm,))))
-    inv_xzw = gl.ext_inv(gl.ext_sub(x_ext, _ebc(zw_gf, (n_comm,))))
+_commit_coeffs_jitted = jax.jit(_commit_coeffs_body, static_argnums=(1, 2))
 
-    deep = gl.ext_zeros((n_comm,))
-    gpow = [(1, 0)]
 
-    def accum(deep, col: GF, ood_val, inv_den: GF2):
-        gpow[0] = fi.emul(gpow[0], gamma)
-        ood = gl.ext_from_ints(*ood_val)
-        num = GF2(gl.sub(col, gl.broadcast_to(ood.c0, (n_comm,))),
-                  gl.neg(gl.broadcast_to(ood.c1, (n_comm,))))
-        term = gl.ext_mul(num, inv_den)
-        return gl.ext_add(deep, gl.ext_mul(_ebc(gl.ext_from_ints(*gpow[0]),
-                                                (n_comm,)), term))
-
-    for j in range(wit_lde.shape[0]):
-        deep = accum(deep, wit_lde[j], ood_w[j], inv_xz)
-    for j in range(wit_lde.shape[0]):
-        deep = accum(deep, wit_lde[j], ood_wn[j], inv_xzw)
-    for j in range(s2_lde.shape[0]):
-        deep = accum(deep, s2_lde[j], ood_s2[j], inv_xz)
-    for j in range(s2_lde.shape[0]):
-        deep = accum(deep, s2_lde[j], ood_s2n[j], inv_xzw)
-    if s3_lde is not None:
-        for j in range(s3_lde.shape[0]):
-            deep = accum(deep, s3_lde[j], ood_s3[j], inv_xz)
-        for j in range(s3_lde.shape[0]):
-            deep = accum(deep, s3_lde[j], ood_s3n[j], inv_xzw)
-    for j in range(setup_lde.shape[0]):
-        deep = accum(deep, setup_lde[j], ood_setup[j], inv_xz)
-    for j in range(q_lde.shape[0]):
-        deep = accum(deep, q_lde[j], ood_q[j], inv_xz)
-    return deep
+def _commit_cols_from_coeffs(coeffs: GF, n_comm: int, cap_size: int):
+    if jax.default_backend() == "cpu":
+        return _commit_coeffs_body(coeffs, n_comm, cap_size)
+    return _commit_coeffs_jitted(coeffs, n_comm, cap_size)
 
 
 # ---------------------------------------------------------------------------
