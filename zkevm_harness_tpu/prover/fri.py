@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,7 +56,7 @@ class FriProof:
     query_positions: np.ndarray  # (q,) in [0, N0)
 
 
-def _fold_once(cw: GF2, alpha: GF2, inv_domain: GF) -> GF2:
+def _fold_eager(cw: GF2, alpha: GF2, inv_domain: GF) -> GF2:
     """One radix-2 fold: new(y) = f_e(y) + alpha * f_o(y), y = x^2."""
     n = cw.shape[0]
     h = n // 2
@@ -66,6 +67,18 @@ def _fold_once(cw: GF2, alpha: GF2, inv_domain: GF) -> GF2:
     o = gl.ext_mul_base(o, inv_domain)
     alpha_b = gl.GF2(gl.broadcast_to(alpha.c0, (h,)), gl.broadcast_to(alpha.c1, (h,)))
     return gl.ext_add(e, gl.ext_mul(alpha_b, o))
+
+
+_fold_jitted = None
+
+
+def _fold_once(cw: GF2, alpha: GF2, inv_domain: GF) -> GF2:
+    global _fold_jitted
+    if jax.default_backend() == "cpu":
+        return _fold_eager(cw, alpha, inv_domain)
+    if _fold_jitted is None:
+        _fold_jitted = jax.jit(_fold_eager)
+    return _fold_jitted(cw, alpha, inv_domain)
 
 
 def _inv_domain_half(n: int, shift: int) -> GF:
@@ -111,7 +124,11 @@ def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig) -> FriP
         if r < cfg.folding_rounds - 1:
             # commit the folded layer (pair leaves for the NEXT fold)
             rows = _pair_leaf_rows(cur)
-            tree = mk.build_tree(mk.hash_leaves(rows), min(cfg.cap_size, rows.shape[0]))
+            cap_sz = min(cfg.cap_size, rows.shape[0])
+            if jax.default_backend() == "cpu":
+                tree = mk.build_tree(mk.hash_leaves(rows), cap_sz)
+            else:
+                tree = mk.commit(rows, cap_sz)
             trees.append(tree)
             cap_np = gl.to_ints(tree.cap)
             caps_np.append(cap_np)

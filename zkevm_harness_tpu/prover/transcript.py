@@ -13,9 +13,23 @@ from typing import List, Sequence
 
 import numpy as np
 
+import jax
+
 from ..ops import goldilocks as gl
 from ..ops import poseidon2 as p2
 from ..ops.poseidon2_params import RATE, T
+
+
+@jax.jit
+def _absorb_chunks_kernel(state: gl.GF, chunks: gl.GF):
+    """Scan overwrite-absorb over (k, RATE) chunks in one dispatch."""
+    def body(st, enc):
+        st = p2._overwrite(st, enc, 0)
+        return p2.permute(st), 0
+
+    enc_scan = gl.GF(chunks.lo, chunks.hi)
+    state, _ = jax.lax.scan(body, state, enc_scan)
+    return state
 
 
 class Transcript:
@@ -31,9 +45,18 @@ class Transcript:
     def absorb_ints(self, values: Sequence[int]):
         self._squeezed = []  # any new absorption invalidates pending squeeze
         self._buffer.extend(int(v) % gl.P for v in values)
-        while len(self._buffer) >= RATE:
+        n_chunks = len(self._buffer) // RATE
+        if n_chunks == 0:
+            return
+        if n_chunks == 1:
             chunk, self._buffer = self._buffer[:RATE], self._buffer[RATE:]
             self._permute_with(chunk)
+            return
+        flat = self._buffer[:n_chunks * RATE]
+        self._buffer = self._buffer[n_chunks * RATE:]
+        chunks = gl.from_int(
+            [flat[i * RATE:(i + 1) * RATE] for i in range(n_chunks)])
+        self._state = _absorb_chunks_kernel(self._state, chunks)
 
     def absorb_gf(self, values: gl.GF):
         self.absorb_ints([int(v) for v in gl.to_ints(values).ravel()])
