@@ -15,3 +15,21 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the fat fused prover kernels take minutes
+# to compile (especially over the remote-compile tunnel) but are fully
+# shape-cached; persist them across processes. Opt out with ZKTPU_NO_CACHE=1.
+import os as _os
+
+if not _os.environ.get("ZKTPU_NO_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get(
+            "ZKTPU_CACHE_DIR",
+            _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
+        _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # cache is best-effort
+        pass

@@ -633,7 +633,7 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     # public inputs (bound via transcript + composition terms; the reference
     # binds them via simulated closed-form-input commitments,
     # src/witness/utils.rs:269-308)
-    wit_np = gl.to_ints(witness) if ir.public_input_cells else None
+    wit_np = gl.to_u64(witness) if ir.public_input_cells else None
     public_inputs = [int(wit_np[c, r]) for (c, r) in ir.public_input_cells]
     tr.absorb_ints(public_inputs)
 
@@ -656,7 +656,7 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     stage2 = _stage2_fn(ir.num_witness, ir.copy_chunk)(
         witness, setup.sigma_cols, beta_gf, gamma_gf, w_pows, ks_vec)
     if has_lk:
-        wit_np_all = gl.to_ints(witness)
+        wit_np_all = gl.to_u64(witness)
         m_cols_np = _multiplicities(ir, setup, wit_np_all, n)
         m_cols = gl.from_int(np.stack(m_cols_np))
         stage2 = gl.concatenate([stage2, m_cols], axis=0)
