@@ -21,7 +21,8 @@ __version__ = "0.1.0"
 # shape-cached; persist them across processes. Opt out with ZKTPU_NO_CACHE=1.
 import os as _os
 
-if not _os.environ.get("ZKTPU_NO_CACHE"):
+if (not _os.environ.get("ZKTPU_NO_CACHE")
+        and _os.environ.get("JAX_PLATFORMS", "") != "cpu"):
     try:
         import jax as _jax
 
