@@ -1,0 +1,116 @@
+"""VM interpreter + witness tracer tests (storage rollback, log queue
+semantics mirroring the reference simple_tests style — log.rs, near_call.rs)."""
+
+from zkevm_harness_tpu.circuits.types import testing_geometry
+from zkevm_harness_tpu.vm import isa
+from zkevm_harness_tpu.vm.environment import (DefaultPrecompilesProcessor,
+                                              InMemoryEventSink,
+                                              InMemoryStorage,
+                                              SimpleDecommitter, SimpleMemory)
+from zkevm_harness_tpu.vm.interpreter import run_vm
+from zkevm_harness_tpu.vm.state import BlockProperties, ProvingToolset, create_vm
+from zkevm_harness_tpu.witness.tracer import WitnessTracer
+
+R = isa.reg
+I = isa.imm
+
+
+def make_vm(snapshot_every=5):
+    tracer = WitnessTracer(snapshot_every)
+    tools = ProvingToolset(
+        storage=InMemoryStorage(), memory=SimpleMemory(),
+        decommitter=SimpleDecommitter(), event_sink=InMemoryEventSink(),
+        precompiles=DefaultPrecompilesProcessor(), tracer=tracer,
+        geometry=testing_geometry())
+    vm = create_vm(tools, BlockProperties(block_number=1), entry_address=0xAA,
+                   code_page=0)
+    return vm, tracer, tools
+
+
+def test_arithmetic_and_heap():
+    code = [
+        isa.BinOp("add", I(20), I(22), 1),     # r1 = 42
+        isa.BinOp("mul", R(1), I(2), 2),       # r2 = 84
+        isa.HeapWrite(I(7), R(2)),
+        isa.HeapRead(I(7), 3),
+        isa.Ret(),
+    ]
+    vm, tracer, tools = make_vm()
+    cycles = run_vm(vm, code, 100)
+    assert vm.finished and cycles == 5
+    assert vm.reg_read(3).value == 84
+    mem_q = tracer.memory_queries
+    assert len(mem_q) == 2
+    assert mem_q[0][1].rw_flag and not mem_q[1][1].rw_flag
+    assert mem_q[1][1].value == 84
+    assert len(tracer.vm_snapshots) == 1  # cycle 0
+
+
+def test_storage_write_read_and_log_queue():
+    code = [
+        isa.StorageWrite(I(5), I(123)),
+        isa.StorageRead(I(5), 1),
+        isa.Ret(),
+    ]
+    vm, tracer, tools = make_vm()
+    run_vm(vm, code, 100)
+    assert vm.reg_read(1).value == 123
+    assert tools.storage.read(0, 0xAA, 5) == 123
+    queue = tracer.final_log_queue()
+    assert len(queue) == 2  # write + read (no panics -> no rollback entries)
+    assert queue[0][1].rw_flag and not queue[1][1].rw_flag
+    # the pending rollback for the un-reverted write stays unapplied
+    assert len(tracer.callstack_with_aux_data.unapplied_rollbacks()) == 1
+
+
+def test_near_call_panic_rolls_back():
+    code = [
+        isa.StorageWrite(I(1), I(111)),      # 0: outer write
+        isa.NearCall(target=4, exception_handler=3),  # 1
+        isa.Ret(),                           # 2: normal exit after call ok
+        isa.Ret(),                           # 3: exception handler -> done
+        isa.StorageWrite(I(1), I(222)),      # 4: inner write
+        isa.Event(I(9), I(10)),              # 5: inner event
+        isa.Ret(panic=True),                 # 6: panic!
+    ]
+    vm, tracer, tools = make_vm()
+    run_vm(vm, code, 100)
+    assert vm.finished
+    # storage rolled back to the outer value
+    assert tools.storage.read(0, 0xAA, 1) == 111
+    # event cancelled
+    events, msgs = tools.event_sink.events_and_l1_messages()
+    assert events == [] and msgs == []
+    # the forward log queue contains the inner write AND its rollback replay
+    queue = [q for _, q in tracer.final_log_queue()]
+    writes = [q for q in queue if q.rw_flag and q.key == 1]
+    assert len(writes) == 3  # outer, inner, inner-rollback
+    assert writes[2].rollback and writes[2].written_value == 222
+
+
+def test_nested_success_donates_rollbacks():
+    code = [
+        isa.NearCall(target=2, exception_handler=1),  # 0
+        isa.Ret(),                                    # 1 (also the handler)
+        isa.StorageWrite(I(3), I(7)),                 # 2
+        isa.Ret(),                                    # 3 inner success
+    ]
+    vm, tracer, tools = make_vm()
+    run_vm(vm, code, 100)
+    assert tools.storage.read(0, 0xAA, 3) == 7
+    # rollback donated to root, never applied
+    assert len(tracer.callstack_with_aux_data.unapplied_rollbacks()) == 1
+    assert len(tracer.final_log_queue()) == 1
+
+
+def test_precompile_keccak():
+    from zkevm_harness_tpu.utils.keccak import keccak256
+    code = [
+        isa.Precompile(DefaultPrecompilesProcessor.KECCAK_ADDRESS, I(1), 1),
+        isa.Ret(),
+    ]
+    vm, tracer, tools = make_vm()
+    run_vm(vm, code, 100)
+    want = int.from_bytes(keccak256((1).to_bytes(32, "big")), "big")
+    assert vm.reg_read(1).value == want
+    assert len(tracer.precompile_calls) == 1

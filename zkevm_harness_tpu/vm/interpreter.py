@@ -1,0 +1,192 @@
+"""Structured-ISA interpreter for the out-of-circuit zkEVM.
+
+Executes the instruction set in vm/isa.py against VmState, recording every
+memory/log/decommit/precompile query through the witness tracer — the role of
+the reference's cycle loop `vm.cycle(&mut tracer)` (src/external_calls.rs:192-208
+driving zk_evm, SURVEY L0/stack 3.2).
+
+Round-1 scope: a structured instruction object per code slot (the binary
+EraVM ISA decoder is the planned native component). Covered semantics:
+arithmetic + flags, heap read/write, storage read/write with refunds,
+events/L1 messages, near calls with frame rollback on panic, ret/panic
+propagation, precompile calls.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from ..witness.tracer import WitnessTracer
+from ..vm import isa
+from ..vm.environment import (AUX_BYTE_EVENT, AUX_BYTE_L1_MESSAGE,
+                              AUX_BYTE_PRECOMPILE, AUX_BYTE_STORAGE,
+                              LogQuery, MemoryLocation, MemoryQuery)
+from ..vm.state import U256_MASK, CallstackEntry, VmState
+
+
+class VmPanic(Exception):
+    pass
+
+
+def run_vm(vm: VmState, code: List[isa.Instruction], cycle_limit: int) -> int:
+    """Run until root frame returns or the cycle limit hits. Returns cycles."""
+    tracer: WitnessTracer = vm.tools.tracer
+    for _ in range(cycle_limit):
+        if vm.finished:
+            break
+        tracer.start_new_execution_cycle(_snapshot_repr(vm))
+        cycle = vm.monotonic_cycle_counter
+        pc = vm.frame.pc
+        assert 0 <= pc < len(code), f"pc {pc} out of code"
+        instr = code[pc]
+        _execute(vm, instr, cycle)
+        vm.monotonic_cycle_counter += 1
+        vm.timestamp += 2  # each cycle opens a fresh timestamp pair
+    return vm.monotonic_cycle_counter
+
+
+def _snapshot_repr(vm: VmState):
+    return {
+        "registers": [(r.value, r.is_pointer) for r in vm.registers],
+        "pc": vm.frame.pc,
+        "callstack_depth": len(vm.callstack),
+        "timestamp": vm.timestamp,
+    }
+
+
+def _val(vm: VmState, op: isa.Operand) -> int:
+    if op.kind == "imm":
+        return op.value & U256_MASK
+    return vm.reg_read(op.value).value
+
+
+def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
+    tracer: WitnessTracer = vm.tools.tracer
+    mem = vm.tools.memory
+    f = vm.frame
+
+    if isinstance(instr, isa.Nop):
+        f.pc += 1
+
+    elif isinstance(instr, isa.BinOp):
+        a = _val(vm, instr.src0)
+        b = _val(vm, instr.src1)
+        if instr.op == "add":
+            r = a + b
+            vm.flags.lt = r > U256_MASK
+            r &= U256_MASK
+        elif instr.op == "sub":
+            r = (a - b) & U256_MASK
+            vm.flags.lt = a < b
+        elif instr.op == "mul":
+            r = (a * b) & U256_MASK
+        elif instr.op == "and":
+            r = a & b
+        elif instr.op == "or":
+            r = a | b
+        elif instr.op == "xor":
+            r = a ^ b
+        elif instr.op == "shl":
+            r = (a << (b & 0xFF)) & U256_MASK
+        elif instr.op == "shr":
+            r = a >> (b & 0xFF)
+        else:
+            raise NotImplementedError(instr.op)
+        vm.flags.eq = r == 0
+        vm.flags.gt = (not vm.flags.lt) and not vm.flags.eq
+        vm.reg_write(instr.dst, r)
+        f.pc += 1
+
+    elif isinstance(instr, isa.Jump):
+        f.pc = instr.target
+
+    elif isinstance(instr, isa.JumpIfEq):
+        f.pc = instr.target if vm.flags.eq else f.pc + 1
+
+    elif isinstance(instr, isa.HeapWrite):
+        addr = _val(vm, instr.addr)
+        value = _val(vm, instr.src)
+        page = f.base_memory_page
+        mem.write(page, addr, value)
+        tracer.add_memory_query(cycle, MemoryQuery(
+            vm.timestamp, MemoryLocation(page, addr), value, rw_flag=True))
+        f.pc += 1
+
+    elif isinstance(instr, isa.HeapRead):
+        addr = _val(vm, instr.addr)
+        page = f.base_memory_page
+        value, is_ptr = mem.read(page, addr)
+        tracer.add_memory_query(cycle, MemoryQuery(
+            vm.timestamp, MemoryLocation(page, addr), value, rw_flag=False,
+            value_is_pointer=is_ptr))
+        vm.reg_write(instr.dst, value, is_ptr)
+        f.pc += 1
+
+    elif isinstance(instr, isa.StorageWrite):
+        key = _val(vm, instr.key)
+        value = _val(vm, instr.src)
+        old = vm.tools.storage.write(0, f.this_address, key, value)
+        q = LogQuery(vm.timestamp, vm.tx_number_in_block, AUX_BYTE_STORAGE, 0,
+                     f.this_address, key, old, value, rw_flag=True)
+        tracer.add_log_query(cycle, q)
+        tracer.record_refund_for_query(cycle, q, refund=0)
+        f.pc += 1
+
+    elif isinstance(instr, isa.StorageRead):
+        key = _val(vm, instr.key)
+        value = vm.tools.storage.read(0, f.this_address, key)
+        q = LogQuery(vm.timestamp, vm.tx_number_in_block, AUX_BYTE_STORAGE, 0,
+                     f.this_address, key, value, value, rw_flag=False)
+        tracer.add_log_query(cycle, q)
+        vm.reg_write(instr.dst, value)
+        f.pc += 1
+
+    elif isinstance(instr, isa.Event):
+        q = LogQuery(vm.timestamp, vm.tx_number_in_block,
+                     AUX_BYTE_L1_MESSAGE if instr.to_l1 else AUX_BYTE_EVENT,
+                     0, f.this_address, _val(vm, instr.key),
+                     0, _val(vm, instr.value), rw_flag=True)
+        vm.tools.event_sink.add(q)
+        tracer.add_log_query(cycle, q)
+        f.pc += 1
+
+    elif isinstance(instr, isa.NearCall):
+        new_frame = CallstackEntry(
+            this_address=f.this_address, msg_sender=f.msg_sender,
+            code_address=f.code_address, code_page=f.code_page,
+            base_memory_page=f.base_memory_page, pc=instr.target,
+            exception_handler=instr.exception_handler,
+            ergs_remaining=f.ergs_remaining, is_static=f.is_static,
+            is_kernel_mode=f.is_kernel_mode, is_local_call=True,
+            context_u128=f.context_u128)
+        f.pc += 1  # return point
+        vm.callstack.append(new_frame)
+        vm.tools.storage.start_frame()
+        vm.tools.event_sink.start_frame()
+        tracer.start_new_execution_context(cycle)
+
+    elif isinstance(instr, isa.Ret):
+        panicked = instr.panic
+        if len(vm.callstack) == 1:
+            vm.finished = True
+            assert not panicked, "root frame panicked"
+            return
+        popped = vm.callstack.pop()
+        vm.tools.storage.finish_frame(panicked)
+        vm.tools.event_sink.finish_frame(panicked)
+        tracer.finish_execution_context(cycle, panicked)
+        if panicked:
+            # resume the parent at the handler the popped frame recorded
+            vm.frame.pc = popped.exception_handler
+
+    elif isinstance(instr, isa.Precompile):
+        data = bytes(_val(vm, instr.data) .to_bytes(32, "big"))
+        result = vm.tools.precompiles.process(instr.address, data)
+        q = LogQuery(vm.timestamp, vm.tx_number_in_block, AUX_BYTE_PRECOMPILE,
+                     0, instr.address, 0, 0, 0, rw_flag=False)
+        tracer.add_precompile_call_result(cycle, q, data, result)
+        vm.reg_write(instr.dst, int.from_bytes(result, "big"))
+        f.pc += 1
+
+    else:
+        raise NotImplementedError(type(instr).__name__)

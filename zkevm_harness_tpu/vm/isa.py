@@ -1,0 +1,101 @@
+"""Structured instruction set for the out-of-circuit VM (round-1 subset).
+
+Each instruction is a dataclass; `Operand` is a register index or immediate.
+The binary EraVM ISA (64-bit instruction words: opcode/condition/addressing
+modes — decoded by zkevm-assembly in the reference test flow) maps onto these
+via a decoder that is the planned native C++ component.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Operand:
+    kind: str  # "reg" | "imm"
+    value: int
+
+
+def reg(i: int) -> Operand:
+    return Operand("reg", i)
+
+
+def imm(v: int) -> Operand:
+    return Operand("imm", v)
+
+
+class Instruction:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class Nop(Instruction):
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class BinOp(Instruction):
+    op: str  # add/sub/mul/and/or/xor/shl/shr
+    src0: Operand
+    src1: Operand
+    dst: int
+
+
+@dataclasses.dataclass(frozen=True)
+class Jump(Instruction):
+    target: int
+
+
+@dataclasses.dataclass(frozen=True)
+class JumpIfEq(Instruction):
+    target: int
+
+
+@dataclasses.dataclass(frozen=True)
+class HeapWrite(Instruction):
+    addr: Operand
+    src: Operand
+
+
+@dataclasses.dataclass(frozen=True)
+class HeapRead(Instruction):
+    addr: Operand
+    dst: int
+
+
+@dataclasses.dataclass(frozen=True)
+class StorageWrite(Instruction):
+    key: Operand
+    src: Operand
+
+
+@dataclasses.dataclass(frozen=True)
+class StorageRead(Instruction):
+    key: Operand
+    dst: int
+
+
+@dataclasses.dataclass(frozen=True)
+class Event(Instruction):
+    key: Operand
+    value: Operand
+    to_l1: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class NearCall(Instruction):
+    target: int
+    exception_handler: int
+
+
+@dataclasses.dataclass(frozen=True)
+class Ret(Instruction):
+    panic: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Precompile(Instruction):
+    address: int
+    data: Operand
+    dst: int
