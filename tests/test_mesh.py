@@ -40,3 +40,15 @@ def test_sharded_poseidon_matches(mesh, rng):
     want = p2.permute(states)
     got = pm.sharded_poseidon_throughput_step(pm.shard_columns(states, mesh), mesh)
     assert bool(np.all(np.asarray(gl.equal(got, want))))
+
+
+def test_distributed_ntt_matches_single(mesh, rng):
+    from zkevm_harness_tpu.parallel import dist_ntt as dn
+    from zkevm_harness_tpu.ops import ntt as nt2
+    c, n = 3, 1024
+    vals = gl.from_int(rng.integers(0, 2**63, size=(c, n), dtype=np.uint64))
+    want = nt2.ntt(vals)
+    sharded = dn.shard_domain(vals, dn.Mesh(np.array(jax.devices()[:8]), ("x",)))
+    m = dn.Mesh(np.array(jax.devices()[:8]), ("x",))
+    got = dn.distributed_ntt(dn.shard_domain(vals, m), m)
+    assert bool(np.all(np.asarray(gl.equal(got, want))))
