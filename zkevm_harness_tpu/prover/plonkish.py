@@ -441,29 +441,38 @@ def _coset_fn(ir: PlonkishIR):
         alg = DeviceAlgebra()
         w_gen_cached = gl.primitive_root_of_unity(ir.log_n)
 
-        def f(wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs, sigma_coeffs,
-              table_coeffs, s_c, zh_inv, u_pows, ks_vec, apows, beta, gamma,
-              theta, beta_lk, pi_vals):
-            n = wit_coeffs.shape[-1]
+        def f(all_coeffs, bundle_sizes, s_c, zh_inv, u_pows, ks_vec, apows,
+              beta, gamma, theta, beta_lk, pi_vals):
+            # all_coeffs: every column bundle stacked on axis 0 so the whole
+            # coset evaluation is ONE batched NTT (6x smaller XLA graph than
+            # per-bundle transforms; bundle_sizes is a static tuple:
+            # (wit, s2, s3, const, sigma, table))
+            n = all_coeffs.shape[-1]
             pw = nt.powers_device(s_c, n)
+            scaled = gl.mul(all_coeffs, gl.broadcast_to(pw, all_coeffs.shape))
+            all_ev = nt.ntt(scaled)
+            sizes = bundle_sizes
+            offs = [0]
+            for s in sizes:
+                offs.append(offs[-1] + s)
 
-            def ev(coeffs):
-                if coeffs is None:
+            def seg(i):
+                if sizes[i] == 0:
                     return None
-                scaled = gl.mul(coeffs, gl.broadcast_to(pw, coeffs.shape))
-                return nt.ntt(scaled)
+                return all_ev[offs[i]:offs[i + 1]]
 
-            wit_ev = ev(wit_coeffs)
-            s2_ev = ev(s2_coeffs)
-            s3_ev = ev(s3_coeffs)
-            table_ev = ev(table_coeffs)
-            const_ev = ev(const_coeffs)
-            sigma_ev = ev(sigma_coeffs)
+            wit_ev = seg(0)
+            s2_ev = seg(1)
+            s3_ev = seg(2)
+            const_ev = seg(3)
+            sigma_ev = seg(4)
+            table_ev = seg(5)
+            const_coeffs = const_ev  # sentinel for the branch below
             roll = lambda a: GF(jnp.roll(a.lo, -1, -1), jnp.roll(a.hi, -1, -1))
             wit_cols = [wit_ev[j] for j in range(ir.num_witness)]
             wit_next = [roll(wit_ev)[j] for j in range(ir.num_witness)]
             const_cols = ([const_ev[j] for j in range(ir.num_const)]
-                          if const_coeffs is not None else [])
+                          if const_ev is not None else [])
             xs = gl.mul(u_pows, gl.broadcast_to(s_c, (n,)))
 
             gate_vals = ir.eval_gates(alg, wit_cols, wit_next, const_cols)
@@ -564,7 +573,14 @@ def _coset_fn(ir: PlonkishIR):
                     gl.mul(gl.broadcast_to(a.c1, (n,)), term)))
             return comb
 
-        _PHASE_CACHE[key] = _phase_jit(f)
+        jf = jax.jit(f, static_argnums=(1,))
+
+        def call(*args):
+            if jax.default_backend() == "cpu":
+                return f(*args)
+            return jf(*args)
+
+        _PHASE_CACHE[key] = call
     return _PHASE_CACHE[key]
 
 
@@ -707,13 +723,23 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     pi_vals = gl.from_int(np.asarray(public_inputs if public_inputs else
                                      np.zeros(0, dtype=object), dtype=object))
     coset_eval = _coset_fn(ir)
+    bundles = [wit_coeffs, s2_coeffs]
+    sizes = [wit_coeffs.shape[0], s2_coeffs.shape[0]]
+    for b in (s3_coeffs, const_coeffs, sigma_coeffs, table_coeffs):
+        if b is None:
+            sizes.append(0)
+        else:
+            bundles.append(b)
+            sizes.append(b.shape[0])
+    all_coeffs = gl.concatenate(bundles, axis=0)
+    bundle_sizes = tuple(sizes)
     comp_cosets = []
     for c in range(lde_eval):
         s_c = (shift * pow(v, c, P)) % P
         zh_c = (pow(s_c, n, P) - 1) % P
         comp_cosets.append(coset_eval(
-            wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs, sigma_coeffs,
-            table_coeffs, gl.from_int(s_c), gl.from_int(pow(zh_c, P - 2, P)),
+            all_coeffs, bundle_sizes, gl.from_int(s_c),
+            gl.from_int(pow(zh_c, P - 2, P)),
             u_pows, ks_vec, apows, beta_gf, gamma_gf, theta_gf, beta_lk_gf,
             pi_vals))
 
@@ -743,17 +769,24 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     zw = fi.escale(z_pt, w_gen)
     zw_gf = gl.ext_from_ints(*zw)
 
+    # one batched evaluation per OOD point over every column bundle
     from .stark import _ext_evals
-    ood_witness = _ext_evals(wit_coeffs, z_gf)
-    ood_witness_next = _ext_evals(wit_coeffs, zw_gf)
-    ood_stage2 = _ext_evals(s2_coeffs, z_gf)
-    ood_stage2_next = _ext_evals(s2_coeffs, zw_gf)
-    ood_stage3 = _ext_evals(s3_coeffs, z_gf) if has_lk else []
-    ood_stage3_next = _ext_evals(s3_coeffs, zw_gf) if has_lk else []
-    ood_table = _ext_evals(table_coeffs, z_gf) if n_tables else []
-    ood_const = _ext_evals(const_coeffs, z_gf) if ir.num_const else []
-    ood_sigma = _ext_evals(sigma_coeffs, z_gf)
-    ood_quotient = _ext_evals(q_coeffs, z_gf)
+    big_coeffs = gl.concatenate([all_coeffs, q_coeffs], axis=0)
+    evals_z = _ext_evals(big_coeffs, z_gf)
+    evals_zw = _ext_evals(big_coeffs, zw_gf)
+    o = [0]
+    for s in bundle_sizes + (q_coeffs.shape[0],):
+        o.append(o[-1] + s)
+    ood_witness = evals_z[o[0]:o[1]]
+    ood_stage2 = evals_z[o[1]:o[2]]
+    ood_stage3 = evals_z[o[2]:o[3]]
+    ood_const = evals_z[o[3]:o[4]]
+    ood_sigma = evals_z[o[4]:o[5]]
+    ood_table = evals_z[o[5]:o[6]]
+    ood_quotient = evals_z[o[6]:o[7]]
+    ood_witness_next = evals_zw[o[0]:o[1]]
+    ood_stage2_next = evals_zw[o[1]:o[2]]
+    ood_stage3_next = evals_zw[o[2]:o[3]]
     for pair in (ood_witness + ood_witness_next + ood_stage2 + ood_stage2_next
                  + ood_stage3 + ood_stage3_next + ood_table
                  + ood_const + ood_sigma + ood_quotient):
