@@ -1,0 +1,27 @@
+"""Capacity estimator / geometry generator tests."""
+
+from zkevm_harness_tpu.circuits import capacity as cap
+from zkevm_harness_tpu.circuits.types import GeometryConfig
+
+
+def test_binary_search_exact_boundary():
+    # rows = 100 * c: budget 2^19 -> max c = 5242
+    assert cap.binary_search_capacity(lambda c: 100 * c) == (1 << 19) // 100
+    # rows = c: full budget
+    assert cap.binary_search_capacity(lambda c: c) == 1 << 19
+
+
+def test_calibrated_models_reproduce_reference_geometry():
+    got = cap.generate_geometry_config(cap.calibrated_cost_models())
+    want = GeometryConfig()  # committed reference values
+    assert got == want
+
+
+def test_emit_geometry_module_roundtrip(tmp_path):
+    cfg = cap.generate_geometry_config(cap.calibrated_cost_models())
+    src = cap.emit_geometry_module(cfg)
+    mod_path = tmp_path / "geometry_generated.py"
+    mod_path.write_text(src)
+    ns = {}
+    exec(src, ns)
+    assert ns["GEOMETRY"] == cfg
