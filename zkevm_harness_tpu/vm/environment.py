@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Tuple
 
-from ..utils.keccak import keccak256
+from ..utils.native import keccak256
 
 U256_MASK = (1 << 256) - 1
 

@@ -19,7 +19,7 @@ from typing import List, Sequence, Tuple
 from ..utils import bls12_381 as bls
 from ..utils import kzg as kzg_mod
 from ..utils.bls12_381 import R
-from ..utils.keccak import keccak256
+from ..utils.native import keccak256
 
 BYTES_PER_CHUNK = 31
 
