@@ -84,3 +84,23 @@ def test_artifacts_from_program():
     kinds = [t.kind for t in dag]
     assert kinds[-1] == "scheduler"
     assert kinds.count("leaf") >= 13
+
+
+def test_scheduler_witness_assembly():
+    from zkevm_harness_tpu.witness import scheduler_witness as sw
+    from zkevm_harness_tpu.witness import recursion as rec
+    code = [
+        isa.StorageWrite(I(1), I(100)),
+        isa.Event(I(4), I(5), to_l1=True),
+        isa.Ret(),
+    ]
+    vm, tracer, tools = run_program(code)
+    art = orc.create_artifacts_from_tracer(tracer, testing_geometry())
+    wit = sw.assemble_scheduler_witness(7, art, first_last={})
+    assert wit.block_number == 7
+    assert wit.events_queue_state.length == len(art.log_queue)
+    assert len(wit.aux_output.l1_messages_linear_hash) == 32
+    assert not wit.is_complete()
+    wit.patch_recursion((1, 2, 3, 4),
+                        rec.compute_leaf_params({1: [1, 2]}), ["proof"])
+    assert wit.is_complete()
