@@ -29,12 +29,14 @@ HBM_BYTES = 819e9
 COST = {"gl_mul": 45, "gl_add": 12, "poseidon2": 3800 * 45 / 12 / 12}
 
 
-def bench(fn, *args, iters=20):
-    out = fn(*args)
+def bench_chained(fn, x, iters=20):
+    """Feed the output back as input so iterations cannot be elided or
+    overlapped-away; measures steady-state per-call latency."""
+    out = fn(x)
     jax.block_until_ready(out)
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args)
+        out = fn(out)
     jax.block_until_ready(out)
     return (time.time() - t0) / iters
 
@@ -51,18 +53,18 @@ def main():
     n = 1 << 22
     a = gl.from_u64(rng.integers(0, 1 << 63, size=n, dtype=np.uint64))
     b = gl.from_u64(rng.integers(0, 1 << 63, size=n, dtype=np.uint64))
-    dt = bench(gl.mul, a, b)
+    dt = bench_chained(lambda x: gl.mul(x, b), a)
     ops = n / dt
     results.append({"kernel": "goldilocks_mul", "elems_per_s": round(ops),
                     "sol_frac": round(ops / (VPU_U32_OPS / COST["gl_mul"]), 4)})
-    dt = bench(gl.add, a, b)
+    dt = bench_chained(lambda x: gl.add(x, b), a)
     ops = n / dt
     results.append({"kernel": "goldilocks_add", "elems_per_s": round(ops),
                     "sol_frac": round(ops / (VPU_U32_OPS / COST["gl_add"]), 4)})
 
     states = gl.from_u64(rng.integers(0, 1 << 63, size=(1 << 16, 12),
                                       dtype=np.uint64))
-    dt = bench(p2.permute, states)
+    dt = bench_chained(p2.permute, states)
     perms = (1 << 16) / dt
     # poseidon2 ~ 660 gl_mul + ~2500 gl_add per permutation
     sol = VPU_U32_OPS / (660 * COST["gl_mul"] + 2500 * COST["gl_add"])
@@ -71,7 +73,7 @@ def main():
 
     cols = gl.from_u64(rng.integers(0, 1 << 63, size=(16, 1 << 16),
                                     dtype=np.uint64))
-    dt = bench(nt.ntt, cols)
+    dt = bench_chained(nt.ntt, cols)
     butterflies = 16 * (1 << 15) * 16  # cols * n/2 * log_n
     bf_per_s = butterflies / dt
     sol_bf = VPU_U32_OPS / (COST["gl_mul"] + 2 * COST["gl_add"])
@@ -81,7 +83,10 @@ def main():
 
     rows = gl.from_u64(rng.integers(0, 1 << 63, size=(1 << 14, 16),
                                     dtype=np.uint64))
-    dt = bench(lambda r: mk.commit(r, 16), rows)
+    t0 = time.time()
+    for _ in range(5):
+        jax.block_until_ready(mk.commit(rows, 16).cap.lo)
+    dt = (time.time() - t0) / 5
     leaves = (1 << 14) / dt
     results.append({"kernel": "merkle_commit_16col",
                     "leaves_per_s": round(leaves)})
