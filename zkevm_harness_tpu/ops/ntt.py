@@ -78,12 +78,14 @@ def _ntt_jit(values: GF, key):
 def ntt(values: GF) -> GF:
     """Coefficients -> evaluations on the order-n subgroup (natural order)."""
     n = values.shape[-1]
+    assert n & (n - 1) == 0, f"NTT length must be a power of two, got {n}"
     return _ntt_jit(values, (n.bit_length() - 1, False))
 
 
 def intt(values: GF) -> GF:
     """Evaluations on the subgroup -> coefficients."""
     n = values.shape[-1]
+    assert n & (n - 1) == 0, f"NTT length must be a power of two, got {n}"
     out = _ntt_jit(values, (n.bit_length() - 1, True))
     n_inv = pow(n, P - 2, P)
     return gl.mul(out, gl.broadcast_to(gl.from_int(n_inv), out.shape))

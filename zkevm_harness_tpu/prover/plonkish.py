@@ -874,7 +874,7 @@ def _commit_cols_from_coeffs(coeffs: GF, n_comm: int, cap_size: int):
 # Verifier
 # ---------------------------------------------------------------------------
 
-def verify(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
+def _verify_inner(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
            cfg: PlonkishConfig = PlonkishConfig()) -> bool:
     n = 1 << ir.log_n
     rate = cfg.rate
@@ -1078,3 +1078,12 @@ def verify(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
 
     fri_cfg = cfg.fri_config(n_comm)
     return fri_verify(proof.fri, n_comm, shift, tr, fri_cfg, deep_at)
+
+
+def verify(*args, **kwargs) -> bool:
+    """Structural-error-tolerant wrapper: a malformed proof (wrong lengths,
+    bad types, truncated openings) must REJECT, not crash the verifier."""
+    try:
+        return bool(_verify_inner(*args, **kwargs))
+    except (TypeError, ValueError, KeyError, IndexError, AssertionError):
+        return False

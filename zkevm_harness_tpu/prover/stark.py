@@ -336,7 +336,7 @@ def _deep_composition(trace_lde: GF, q_lde: GF, ood_trace, ood_trace_next,
 # Verifier
 # ---------------------------------------------------------------------------
 
-def verify(air: Air, proof: StarkProof, cfg: StarkConfig = StarkConfig()) -> bool:
+def _verify_inner(air: Air, proof: StarkProof, cfg: StarkConfig = StarkConfig()) -> bool:
     n = 1 << air.log_n
     lde = cfg.lde_factor
     n_lde = n * lde
@@ -430,3 +430,12 @@ def verify(air: Air, proof: StarkProof, cfg: StarkConfig = StarkConfig()) -> boo
         return acc
 
     return fri_verify(proof.fri, n_lde, shift, tr, fri_cfg, deep_at)
+
+
+def verify(*args, **kwargs) -> bool:
+    """Structural-error-tolerant wrapper: a malformed proof (wrong lengths,
+    bad types, truncated openings) must REJECT, not crash the verifier."""
+    try:
+        return bool(_verify_inner(*args, **kwargs))
+    except (TypeError, ValueError, KeyError, IndexError, AssertionError):
+        return False
