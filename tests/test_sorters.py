@@ -1,0 +1,37 @@
+"""Events/storage sorter decomposers: permutation invariant + dedup outputs."""
+
+import numpy as np
+
+from zkevm_harness_tpu.vm.environment import LogQuery
+from zkevm_harness_tpu.witness import sorters as so
+
+
+def lq(ts, key, rv, wv, rw, rollback=False, aux=1):
+    return LogQuery(ts, 0, aux, 0, 0xAA, key, rv, wv, rw, rollback)
+
+
+def test_events_sorter(rng):
+    qs = [lq(5, 1, 0, 10, True), lq(3, 2, 0, 20, True),
+          lq(3, 2, 0, 20, True, rollback=True), lq(8, 3, 0, 30, True)]
+    art = so.compute_events_dedup_and_sort(qs, capacity=3)
+    assert art.final_lhs == art.final_rhs  # sorted is a permutation
+    assert [i.index for i in art.instances] == [0, 1]
+    # dedup output: rolled-back ts=3 pair cancelled, two survivors
+    assert len(art.output_queue) == 2
+    for a, b in zip(art.instances, art.instances[1:]):
+        assert a.lhs_accumulator_out == b.lhs_accumulator_in
+
+
+def test_storage_sorter(rng):
+    qs = [lq(1, 5, 0, 10, True, aux=0), lq(2, 5, 10, 20, True, aux=0),
+          lq(3, 7, 42, 42, False, aux=0)]
+    art = so.compute_storage_dedup_and_sort(qs, capacity=8)
+    assert art.final_lhs == art.final_rhs
+    assert len(art.output_queue) == 2  # slot 5 net write + slot 7 read
+    assert len(art.instances) == 1
+    assert art.instances[0].start_flag and art.instances[0].completion_flag
+
+
+def test_empty_sorter():
+    art = so.compute_events_dedup_and_sort([], capacity=4)
+    assert art.instances == [] and len(art.output_queue) == 0

@@ -1,0 +1,124 @@
+"""Sorter-family witness decomposers: events/L1-messages and storage sorters.
+
+Parity with `compute_events_dedup_and_sort` / `compute_storage_dedup_and_sort`
+(src/witness/individual_circuits/events_sort_dedup.rs:16,
+storage_sort_dedup.rs:12, SURVEY component 7): each circuit proves that a
+deduplicated output queue results from sorting + collapsing the demuxed input
+queue, via the same two-queue grand-product permutation machinery as the RAM
+sorter, split into fixed-capacity FSM instances.
+
+Output-queue semantics:
+  - events / L1 messages: rollback-cancelled pairs removed, survivors in
+    chronological order;
+  - storage: slot-history collapse (witness/storage_sort.py —
+    sort_storage_access.rs behavior).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..ops import goldilocks as gl
+from ..prover.transcript import Transcript
+from ..vm.environment import LogQuery
+from .oracle import dedup_events, encode_log_query
+from .queues import QueueSimulator, fs_challenge_terms, grand_product_chain
+from .storage_sort import sort_storage_access_queries
+
+P = gl.P
+
+
+@dataclasses.dataclass
+class SorterInstanceWitness:
+    index: int
+    start_flag: bool
+    completion_flag: bool
+    input_queue_state: Tuple[Tuple[int, ...], Tuple[int, ...], int]
+    sorted_queue_state: Tuple[Tuple[int, ...], Tuple[int, ...], int]
+    lhs_accumulator_in: int
+    lhs_accumulator_out: int
+    rhs_accumulator_in: int
+    rhs_accumulator_out: int
+
+
+@dataclasses.dataclass
+class SorterArtifacts:
+    circuit_type: int
+    instances: List[SorterInstanceWitness]
+    output_queue: QueueSimulator  # the deduplicated result queue
+    final_lhs: int
+    final_rhs: int
+
+
+def _permutation_argument(circuit_type: int, input_enc: np.ndarray,
+                          sorted_enc: np.ndarray, capacity: int
+                          ) -> Tuple[List[SorterInstanceWitness], QueueSimulator,
+                                     QueueSimulator, int, int]:
+    in_q = QueueSimulator()
+    in_q.push_many(input_enc)
+    srt_q = QueueSimulator()
+    srt_q.push_many(sorted_enc)
+
+    tr = Transcript(domain_tag=circuit_type)
+    tr.absorb_ints(list(in_q.tail) + list(srt_q.tail) + [len(input_enc)])
+    challenges = gl.from_int([tr.challenge_base() for _ in range(8)])
+    gamma = gl.from_int(tr.challenge_base())
+
+    n = input_enc.shape[0]
+    if n == 0:
+        return [], in_q, srt_q, 1, 1
+    lhs = [int(v) for v in gl.to_u64(grand_product_chain(
+        fs_challenge_terms(gl.from_int(input_enc), challenges, gamma)))]
+    rhs = [int(v) for v in gl.to_u64(grand_product_chain(
+        fs_challenge_terms(gl.from_int(sorted_enc), challenges, gamma)))]
+
+    in_tails = in_q.tails()
+    srt_tails = srt_q.tails()
+    n_inst = -(-n // capacity)
+    instances = []
+    for i in range(n_inst):
+        lo, hi = i * capacity, min(n, (i + 1) * capacity)
+        instances.append(SorterInstanceWitness(
+            index=i, start_flag=(i == 0), completion_flag=(i == n_inst - 1),
+            input_queue_state=(tuple(int(v) for v in in_tails[lo]),
+                               tuple(int(v) for v in in_tails[hi]), hi - lo),
+            sorted_queue_state=(tuple(int(v) for v in srt_tails[lo]),
+                                tuple(int(v) for v in srt_tails[hi]), hi - lo),
+            lhs_accumulator_in=lhs[lo - 1] if lo else 1,
+            lhs_accumulator_out=lhs[hi - 1],
+            rhs_accumulator_in=rhs[lo - 1] if lo else 1,
+            rhs_accumulator_out=rhs[hi - 1]))
+    return instances, in_q, srt_q, lhs[-1], rhs[-1]
+
+
+def compute_events_dedup_and_sort(queries: Sequence[LogQuery], capacity: int,
+                                  circuit_type: int = 11) -> SorterArtifacts:
+    """Events (or L1 messages with circuit_type=12) sorter circuit witness."""
+    input_enc = np.array([encode_log_query(q) for q in queries],
+                         dtype=object).reshape(-1, 8)
+    sorted_qs = sorted(queries, key=lambda q: (q.timestamp, q.rollback))
+    sorted_enc = np.array([encode_log_query(q) for q in sorted_qs],
+                          dtype=object).reshape(-1, 8)
+    instances, in_q, srt_q, lhs, rhs = _permutation_argument(
+        circuit_type, input_enc, sorted_enc, capacity)
+    out_q = QueueSimulator()
+    out_q.push_many([encode_log_query(q) for q in dedup_events(list(queries))])
+    return SorterArtifacts(circuit_type, instances, out_q, lhs, rhs)
+
+
+def compute_storage_dedup_and_sort(queries: Sequence[LogQuery], capacity: int
+                                   ) -> SorterArtifacts:
+    """Storage sorter circuit witness (circuit type 9)."""
+    input_enc = np.array([encode_log_query(q) for q in queries],
+                         dtype=object).reshape(-1, 8)
+    with_ts, dedup = sort_storage_access_queries(list(queries))
+    sorted_enc = np.array([encode_log_query(e.raw_query) for e in with_ts],
+                          dtype=object).reshape(-1, 8)
+    instances, in_q, srt_q, lhs, rhs = _permutation_argument(
+        9, input_enc, sorted_enc, capacity)
+    out_q = QueueSimulator()
+    out_q.push_many([encode_log_query(q) for q in dedup])
+    return SorterArtifacts(9, instances, out_q, lhs, rhs)
