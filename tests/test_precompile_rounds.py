@@ -26,5 +26,5 @@ def test_sha256_rounds_digest_matches(rng):
     calls = [b"abc", bytes(rng.integers(0, 256, size=120, dtype=np.uint8))]
     art = pr.sha256_decompose(calls, capacity=10)
     assert art.digests == [hashlib.sha256(c).digest() for c in calls]
-    # 120 bytes pads to 128 -> 2 compressions; "abc" -> 1
-    assert len(art.invocations) == 3
+    # 120 bytes + padding(9) = 129 -> 3 compressions; "abc" -> 1
+    assert len(art.invocations) == 4
