@@ -194,6 +194,16 @@ class DefaultPrecompilesProcessor:
             out = keccak256(data)
         elif address == self.SHA256_ADDRESS:
             out = hashlib.sha256(data).digest()
+        elif address == self.ECRECOVER_ADDRESS:
+            # data = msg_hash(32) || v(32) || r(32) || s(32)
+            from ..utils.secp256k1 import ecrecover_address
+            assert len(data) == 128, "ecrecover input must be 128 bytes"
+            addr = ecrecover_address(
+                data[:32], int.from_bytes(data[32:64], "big"),
+                int.from_bytes(data[64:96], "big"),
+                int.from_bytes(data[96:128], "big"))
+            out = (b"\x00" * 32 if addr is None
+                   else b"\x00" * 12 + addr)
         else:
             raise NotImplementedError(f"precompile {address:#x}")
         self.calls.append((address, data, out))
