@@ -35,3 +35,14 @@ def test_storage_sorter(rng):
 def test_empty_sorter():
     art = so.compute_events_dedup_and_sort([], capacity=4)
     assert art.instances == [] and len(art.output_queue) == 0
+
+
+def test_decommit_sorter():
+    from zkevm_harness_tpu.vm.environment import DecommittmentQuery
+    qs = [DecommittmentQuery(0xAAA, 10, 8, 4, True),
+          DecommittmentQuery(0xBBB, 12, 9, 2, True),
+          DecommittmentQuery(0xAAA, 14, 8, 4, False)]
+    art = so.compute_decommitts_sorter(qs, capacity=2)
+    assert art.final_lhs == art.final_rhs
+    assert len(art.output_queue) == 2  # unique hashes only
+    assert [i.index for i in art.instances] == [0, 1]

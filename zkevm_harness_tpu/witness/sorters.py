@@ -122,3 +122,38 @@ def compute_storage_dedup_and_sort(queries: Sequence[LogQuery], capacity: int
     out_q = QueueSimulator()
     out_q.push_many([encode_log_query(q) for q in dedup])
     return SorterArtifacts(9, instances, out_q, lhs, rhs)
+
+
+# --------------------------------------------------------------------------
+# Decommittment requests sorter (circuit type 2) + decommitter feed (type 3)
+# --------------------------------------------------------------------------
+
+def encode_decommit_query(q) -> List[int]:
+    """8-element packing of a DecommittmentQuery."""
+    return [q.timestamp & 0xFFFFFFFF, q.memory_page & 0xFFFFFFFF,
+            q.decommitted_length & 0xFFFFFFFF, 1 if q.is_fresh else 0,
+            q.hash & ((1 << 63) - 1), (q.hash >> 63) & ((1 << 63) - 1),
+            (q.hash >> 126) & ((1 << 63) - 1), q.hash >> 189]
+
+
+def compute_decommitts_sorter(queries, capacity: int) -> SorterArtifacts:
+    """Sort decommit requests by (hash, timestamp); the deduplicated output
+    queue keeps only the first (fresh) request per code hash — the feed for
+    the code-decommitter circuit (sort_decommit_requests.rs:20,
+    decommit_code.rs:20)."""
+    input_enc = np.array([encode_decommit_query(q) for q in queries],
+                         dtype=object).reshape(-1, 8)
+    sorted_qs = sorted(queries, key=lambda q: (q.hash, q.timestamp))
+    sorted_enc = np.array([encode_decommit_query(q) for q in sorted_qs],
+                          dtype=object).reshape(-1, 8)
+    instances, in_q, srt_q, lhs, rhs = _permutation_argument(
+        2, input_enc, sorted_enc, capacity)
+    seen = set()
+    unique = []
+    for q in sorted_qs:
+        if q.hash not in seen:
+            seen.add(q.hash)
+            unique.append(q)
+    out_q = QueueSimulator()
+    out_q.push_many([encode_decommit_query(q) for q in unique])
+    return SorterArtifacts(2, instances, out_q, lhs, rhs)
