@@ -46,3 +46,19 @@ def test_decommit_sorter():
     assert art.final_lhs == art.final_rhs
     assert len(art.output_queue) == 2  # unique hashes only
     assert [i.index for i in art.instances] == [0, 1]
+
+
+def test_linear_hasher():
+    from zkevm_harness_tpu.witness import linear_hasher as lh
+    from zkevm_harness_tpu.utils.native import keccak256
+    msgs = [lq(i, i + 1, 0, 10 * i, True, aux=2) for i in range(5)]
+    insts, final = lh.compute_linear_keccak256(msgs, capacity=2)
+    assert len(insts) == 3
+    assert insts[-1].completion_flag and insts[-1].output_hash == final
+    assert final == keccak256(b"".join(lh.serialize_l1_message(q) for q in msgs))
+    # queue continuity across instances
+    for a, b in zip(insts, insts[1:]):
+        assert a.input_queue_state[1] == b.input_queue_state[0]
+    # empty queue: single instance hashing empty data
+    insts0, final0 = lh.compute_linear_keccak256([], capacity=2)
+    assert len(insts0) == 1 and final0 == keccak256(b"")

@@ -1,0 +1,60 @@
+"""L1-messages linear hasher witness (circuit type 13).
+
+Parity with `compute_linear_keccak256`
+(src/witness/individual_circuits/data_hasher_and_merklizer.rs:8, SURVEY
+component 7): consume the deduplicated L1-message queue, hash the serialized
+messages with keccak256 (one linear pass), and emit the instance witness
+binding the input queue state to the output hash. Capacity
+limit_for_l1_messages_pudata_hasher = 774 messages per 2^20-row instance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+from ..utils.native import keccak256
+from ..vm.environment import LogQuery
+from .oracle import encode_log_query
+from .queues import QueueSimulator
+
+L1_MESSAGE_SERIALIZED_LEN = 88  # shard(1)|tx(3)|aux... address(20)|key(32)|value(32)
+
+
+def serialize_l1_message(q: LogQuery) -> bytes:
+    """Stable byte serialization of one L1 message (address/key/value core)."""
+    return (bytes([q.shard_id & 0xFF]) +
+            q.tx_number_in_block.to_bytes(3, "big") +
+            q.address.to_bytes(20, "big") +
+            q.key.to_bytes(32, "big") +
+            q.written_value.to_bytes(32, "big"))
+
+
+@dataclasses.dataclass
+class LinearHasherInstanceWitness:
+    index: int
+    start_flag: bool
+    completion_flag: bool
+    input_queue_state: Tuple[Tuple[int, ...], Tuple[int, ...], int]
+    output_hash: bytes  # only meaningful on the completion instance
+
+
+def compute_linear_keccak256(messages: Sequence[LogQuery], capacity: int
+                             ) -> Tuple[List[LinearHasherInstanceWitness], bytes]:
+    data = b"".join(serialize_l1_message(q) for q in messages)
+    final_hash = keccak256(data)
+    queue = QueueSimulator()
+    queue.push_many([encode_log_query(q) for q in messages])
+    tails = queue.tails()
+    n = len(messages)
+    n_inst = max(1, -(-n // capacity)) if n else 1
+    instances = []
+    for i in range(n_inst):
+        lo, hi = i * capacity, min(n, (i + 1) * capacity)
+        instances.append(LinearHasherInstanceWitness(
+            index=i, start_flag=(i == 0), completion_flag=(i == n_inst - 1),
+            input_queue_state=(tuple(int(v) for v in tails[lo]),
+                               tuple(int(v) for v in tails[min(hi, n)]),
+                               max(0, hi - lo)),
+            output_hash=final_hash if i == n_inst - 1 else b""))
+    return instances, final_hash
