@@ -104,3 +104,22 @@ def test_scheduler_witness_assembly():
     wit.patch_recursion((1, 2, 3, 4),
                         rec.compute_leaf_params({1: [1, 2]}), ["proof"])
     assert wit.is_complete()
+
+
+def test_vm_instance_splitting():
+    from zkevm_harness_tpu.witness.vm_instance import split_into_vm_instances
+    code = [isa.HeapWrite(I(i), I(i * 7)) for i in range(12)] + [isa.Ret()]
+    vm, tracer, tools = run_program(code, snapshot_every=5)
+    insts = split_into_vm_instances(tracer)
+    assert len(insts) == 3  # 13 cycles, snapshots at 0,5,10
+    assert insts[0].start_flag and insts[-1].completion_flag
+    assert insts[0].cycle_range == (0, 5)
+    assert insts[-1].cycle_range == (10, 13)
+    # FSM continuity: final state of k == initial state of k+1
+    for a, b in zip(insts, insts[1:]):
+        assert a.final_state == b.initial_state
+    # memory query slices partition the 12 writes
+    spans = [i.queue_slices.memory for i in insts]
+    assert spans[0][0] == 0 and spans[-1][1] == len(tracer.memory_queries)
+    for a, b in zip(spans, spans[1:]):
+        assert a[1] == b[0]
