@@ -32,3 +32,17 @@ def test_precompile_dispatch():
     out = pp.process(DefaultPrecompilesProcessor.ECRECOVER_ADDRESS, data)
     want = keccak256(pub[0].to_bytes(32, "big") + pub[1].to_bytes(32, "big"))[12:]
     assert out[12:] == want and out[:12] == b"\x00" * 12
+
+
+def test_ecrecover_decomposer():
+    from zkevm_harness_tpu.witness.ecrecover_witness import ecrecover_decompose
+    priv = 0x1234567
+    h = keccak256(b"x")
+    v, r, s = ec.sign(h, priv, k=777)
+    good = h + v.to_bytes(32, "big") + r.to_bytes(32, "big") + s.to_bytes(32, "big")
+    bad = h + (9).to_bytes(32, "big") + r.to_bytes(32, "big") + s.to_bytes(32, "big")
+    insts = ecrecover_decompose([good] * 8 + [bad], capacity=7)
+    assert [len(i.invocations) for i in insts] == [7, 2]
+    assert insts[0].invocations[0].success
+    assert not insts[1].invocations[-1].success
+    assert insts[1].invocations[-1].address is None
