@@ -1,0 +1,138 @@
+"""Typed per-layer prover surface: setup/prove/verify per circuit type.
+
+Parity with the 17 functions of src/prover_utils.rs (SURVEY L4):
+`create_{base,recursive,compression,eip4844,compression_for_wrapper}
+_layer_setup_data`, `prove_*_circuit`, `verify_*_proof` — realized over the
+PLONKish engine with a circuit REGISTRY mapping circuit-type ids to their IR
++ setup builders (the reference's 13-variant enum dispatch,
+prover_utils.rs:231-336, becomes a table).
+
+Layer proof configs come from circuits/types.py (base/recursion lde 2 cap 16;
+compression modes up to lde 4096 — the engine's `rate` is the lde factor).
+Setup data is cached through the data source exactly like the reference
+reuses setup per circuit type across instances (complex_tests/mod.rs:316-407).
+
+Registered circuits (round 1): the flagship MainVM-shaped circuit as the
+stand-in for the 13 base geometries until the zkEVM gate library lands, the
+Poseidon2 permutation circuit, and the queue-commitment circuit. New gate
+sets plug in by registering a factory — nothing else changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+from ..circuits import flagship as fl
+from ..circuits import poseidon2_circuit as p2c
+from ..circuits import queue_circuit as qc
+from ..circuits.types import (BASE_LAYER_PROOF_CONFIG,
+                              RECURSION_LAYER_PROOF_CONFIG, BaseLayerCircuitType,
+                              ProofSystemConfig)
+from . import plonkish as pk
+
+
+@dataclasses.dataclass(frozen=True)
+class CircuitFactory:
+    make_ir: Callable[[], pk.PlonkishIR]
+    make_setup: Callable[[pk.PlonkishIR, pk.PlonkishConfig], pk.PlonkishSetup]
+
+
+def _flagship_factory(log_n: int, width: int) -> CircuitFactory:
+    return CircuitFactory(
+        make_ir=lambda: fl.flagship_ir(log_n=log_n, width=width),
+        make_setup=lambda ir, cfg: fl.flagship_setup(ir, cfg))
+
+
+def _poseidon_factory(log_n: int) -> CircuitFactory:
+    return CircuitFactory(
+        make_ir=lambda: p2c.poseidon2_ir(log_n),
+        make_setup=lambda ir, cfg: p2c.poseidon2_setup(ir, cfg))
+
+
+def _queue_factory(log_n: int) -> CircuitFactory:
+    return CircuitFactory(
+        make_ir=lambda: qc.queue_ir(log_n),
+        make_setup=lambda ir, cfg: qc.queue_setup(ir, cfg))
+
+
+# base-layer registry: every type currently routes to the MainVM-shaped
+# geometry (stand-in documented above); per-type gate sets replace these rows.
+_TEST_LOG_N = 8
+BASE_REGISTRY: Dict[int, CircuitFactory] = {
+    int(t): _flagship_factory(_TEST_LOG_N, 16) for t in BaseLayerCircuitType
+}
+RECURSION_REGISTRY: Dict[int, CircuitFactory] = {
+    1: _queue_factory(_TEST_LOG_N),     # scheduler stand-in
+    2: _poseidon_factory(_TEST_LOG_N),  # node stand-in
+}
+for _leaf in range(3, 16):
+    RECURSION_REGISTRY[_leaf] = _poseidon_factory(_TEST_LOG_N)
+
+
+def _engine_config(psc: ProofSystemConfig) -> pk.PlonkishConfig:
+    return pk.PlonkishConfig(rate=psc.lde_factor, cap_size=psc.merkle_cap_size,
+                             num_queries=max(8, psc.security_bits // 2),
+                             final_fri_size=32)
+
+
+@dataclasses.dataclass
+class SetupData:
+    ir: pk.PlonkishIR
+    setup: pk.PlonkishSetup
+    vk: list
+    config: pk.PlonkishConfig
+
+
+_SETUP_CACHE: Dict[Tuple[str, int], SetupData] = {}
+
+
+def _create_setup(layer: str, registry, circuit_type: int,
+                  psc: ProofSystemConfig, source=None) -> SetupData:
+    key = (layer, circuit_type)
+    if key in _SETUP_CACHE:
+        return _SETUP_CACHE[key]
+    factory = registry[circuit_type]
+    ir = factory.make_ir()
+    cfg = _engine_config(psc)
+    setup = factory.make_setup(ir, cfg)
+    sd = SetupData(ir=ir, setup=setup, vk=setup.vk(), config=cfg)
+    _SETUP_CACHE[key] = sd
+    if source is not None:
+        if layer == "base":
+            source.set_base_layer_vk(sd.vk, circuit_type)
+        elif layer == "recursion":
+            source.set_recursion_layer_vk(sd.vk, circuit_type)
+    return sd
+
+
+# -- the typed surface (reference prover_utils.rs function set) -------------
+
+def create_base_layer_setup_data(circuit_type: int, source=None) -> SetupData:
+    return _create_setup("base", BASE_REGISTRY, circuit_type,
+                         BASE_LAYER_PROOF_CONFIG, source)
+
+
+def prove_base_layer_circuit(circuit_type: int, witness, source=None):
+    sd = create_base_layer_setup_data(circuit_type, source)
+    return pk.prove(sd.ir, sd.setup, witness, sd.config)
+
+
+def verify_base_layer_proof(circuit_type: int, proof, vk=None) -> bool:
+    sd = create_base_layer_setup_data(circuit_type)
+    return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
+
+
+def create_recursive_layer_setup_data(circuit_type: int, source=None) -> SetupData:
+    return _create_setup("recursion", RECURSION_REGISTRY, circuit_type,
+                         RECURSION_LAYER_PROOF_CONFIG, source)
+
+
+def prove_recursion_layer_circuit(circuit_type: int, witness, source=None):
+    sd = create_recursive_layer_setup_data(circuit_type, source)
+    return pk.prove(sd.ir, sd.setup, witness, sd.config)
+
+
+def verify_recursion_layer_proof(circuit_type: int, proof, vk=None) -> bool:
+    sd = create_recursive_layer_setup_data(circuit_type)
+    return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
