@@ -1,0 +1,45 @@
+"""Block-level end-to-end: VM -> witness -> DAG -> proofs -> scheduler witness
+(the basic_test analogue, complex_tests/mod.rs:60-67 at test scale)."""
+
+from zkevm_harness_tpu import harness
+from zkevm_harness_tpu.vm import isa
+
+I = isa.imm
+R = isa.reg
+
+BLOCK = [
+    isa.StorageWrite(I(1), I(100)),
+    isa.StorageRead(I(1), 1),
+    isa.Event(I(2), I(3)),
+    isa.Event(I(4), I(5), to_l1=True),
+    isa.HeapWrite(I(0), I(55)),
+    isa.HeapRead(I(0), 2),
+    isa.NearCall(target=8, exception_handler=7),
+    isa.Ret(),
+    isa.StorageWrite(I(9), I(200)),
+    isa.Ret(),
+]
+
+
+def test_dry_block_flow():
+    res = harness.run_block(BLOCK, prove_mode="dry")
+    assert res.cycles == len(BLOCK)
+    # all 13 types present, scheduler proof recorded
+    assert res.source.get_scheduler_proof() is not None
+    assert res.scheduler_witness.events_queue_state.length > 0
+    # every circuit maker produced PI commitments feeding the DAG
+    for t, cm in res.circuit_makers.items():
+        assert len(cm.queue) == res.artifacts.per_circuit[t].num_instances
+        assert cm.first.public_input != (0, 0, 0, 0)
+    # resume: second run with the same source skips everything
+    res2 = harness.run_block(BLOCK, prove_mode="dry", source=res.source)
+    assert res2.dag_results.keys() == res.dag_results.keys()
+
+
+def test_spot_proving_block_flow():
+    # real PLONKish proof for the RAM-permutation slot, metadata elsewhere
+    res = harness.run_block(BLOCK, prove_mode="spot", spot_types=(8,))
+    base8 = res.source.get_base_layer_proof(8, 0)
+    assert base8["real"] and "public_inputs" in base8
+    base1 = res.source.get_base_layer_proof(1, 0)
+    assert not base1["real"]

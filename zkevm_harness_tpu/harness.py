@@ -1,0 +1,116 @@
+"""Block-level proving flow: the `external_calls::run` + basic_test analogue.
+
+Ties the full pipeline together (SURVEY stacks 3.1/3.2):
+  run VM -> tracer -> oracle artifacts -> per-circuit CircuitMakers (closed
+  form inputs + PI commitments) -> recursion queues -> proof DAG ->
+  base/leaf/node/scheduler proving via the typed layer surface -> scheduler
+  witness assembly.
+
+`prove_mode` controls the per-task work, mirroring the reference's tiers:
+  - "full": real PLONKish proofs via prover/layers registry;
+  - "spot": real proofs for `spot_types` only, satisfiability-style metadata
+    for the rest (the reference's basic_test proves everything but only
+    spot-checks ECRecover satisfiability up front —
+    complex_tests/mod.rs:283-301);
+  - "dry": metadata everywhere (DAG/pipeline validation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from .circuits import flagship as fl
+from .circuits.types import GeometryConfig, testing_geometry
+from .prover import layers as ly
+from .prover import scheduler as sch
+from .utils.data_source import InMemoryDataSource
+from .vm import isa
+from .vm.environment import (DefaultPrecompilesProcessor, InMemoryEventSink,
+                             InMemoryStorage, SimpleDecommitter, SimpleMemory)
+from .vm.interpreter import run_vm
+from .vm.state import BlockProperties, ProvingToolset, create_vm
+from .witness import oracle as orc
+from .witness import postprocessing as pp
+from .witness import scheduler_witness as sw
+from .witness.tracer import WitnessTracer
+
+
+@dataclasses.dataclass
+class BlockProvingResult:
+    cycles: int
+    artifacts: orc.BlockArtifacts
+    circuit_makers: Dict[int, pp.CircuitMaker]
+    dag_results: Dict
+    scheduler_witness: sw.SchedulerCircuitInstanceWitness
+    source: InMemoryDataSource
+
+
+def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
+              geometry: Optional[GeometryConfig] = None,
+              cycle_limit: int = 10_000,
+              prove_mode: str = "dry",
+              spot_types: Sequence[int] = (),
+              source: Optional[InMemoryDataSource] = None
+              ) -> BlockProvingResult:
+    geometry = geometry or testing_geometry()
+    source = source or InMemoryDataSource()
+
+    # -- L0/L1: execute and trace -----------------------------------------
+    tracer = WitnessTracer(geometry.cycles_per_vm_snapshot)
+    tools = ProvingToolset(
+        storage=InMemoryStorage(), memory=SimpleMemory(),
+        decommitter=SimpleDecommitter(), event_sink=InMemoryEventSink(),
+        precompiles=DefaultPrecompilesProcessor(), tracer=tracer,
+        geometry=geometry)
+    vm = create_vm(tools, BlockProperties(block_number=1), entry_address,
+                   code_page=0)
+    cycles = run_vm(vm, list(code), cycle_limit)
+    assert vm.finished, "block did not finish within the cycle limit"
+
+    # -- L2: witness artifacts --------------------------------------------
+    artifacts = orc.create_artifacts_from_tracer(tracer, geometry)
+
+    # -- CircuitMaker pass: PI commitments + recursion queues -------------
+    makers: Dict[int, pp.CircuitMaker] = {}
+    for ctype, pca in artifacts.per_circuit.items():
+        cm = pp.CircuitMaker(ctype)
+        fsm = (0,)
+        for idx in range(pca.num_instances):
+            nxt_fsm = (idx + 1,)
+            cm.process(observable_input=(ctype,), observable_output=(idx,),
+                       fsm_input=fsm, fsm_output=nxt_fsm,
+                       is_last=(idx == pca.num_instances - 1))
+            fsm = nxt_fsm
+        makers[ctype] = cm
+
+    # -- L5: proof DAG -----------------------------------------------------
+    dag = sch.build_block_dag(
+        {t: m.queue for t, m in makers.items()},
+        {t: a.num_instances for t, a in artifacts.per_circuit.items()})
+
+    def prove_fn(task: sch.ProofTask, deps):
+        real = (prove_mode == "full" or
+                (prove_mode == "spot" and task.kind == "base"
+                 and task.circuit_type in spot_types))
+        if real and task.kind == "base":
+            sd = ly.create_base_layer_setup_data(task.circuit_type, source)
+            witness = fl.flagship_witness(sd.ir, seed=task.index)
+            proof = ly.prove_base_layer_circuit(task.circuit_type, witness,
+                                                source)
+            assert ly.verify_base_layer_proof(task.circuit_type, proof), \
+                "verify-after-prove failed"
+            return {"kind": task.kind, "real": True,
+                    "public_inputs": proof.public_inputs}
+        return {"kind": task.kind, "circuit_type": task.circuit_type,
+                "index": task.index, "ndeps": len(deps), "real": False}
+
+    dag_results = sch.run_dag(dag, prove_fn, source)
+
+    # -- scheduler witness -------------------------------------------------
+    first_last = {t: (m.first, m.last) for t, m in makers.items()}
+    sched_wit = sw.assemble_scheduler_witness(1, artifacts, first_last)
+
+    return BlockProvingResult(cycles=cycles, artifacts=artifacts,
+                              circuit_makers=makers, dag_results=dag_results,
+                              scheduler_witness=sched_wit, source=source)
