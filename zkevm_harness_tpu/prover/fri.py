@@ -130,9 +130,7 @@ def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig) -> FriP
             else:
                 tree = mk.commit(rows, cap_sz)
             trees.append(tree)
-            cap_np = gl.to_ints(tree.cap)
-            caps_np.append(cap_np)
-            tr.absorb_ints([int(v) for v in cap_np.ravel()])
+            tr.absorb_gf_device(tree.cap)  # no host fetch in the fold loop
 
     # final polynomial from the last codeword (coset intt + unscale)
     final_cw = codewords[-1]
@@ -147,6 +145,10 @@ def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig) -> FriP
                     for a, b in zip(gl.to_ints(c0), gl.to_ints(c1))]
     for a, b in final_coeffs:
         tr.absorb_ints([a, b])
+
+    # caps fetched once, after the transcript no longer needs the device
+    for tree in trees:
+        caps_np.append(gl.to_ints(tree.cap))
 
     # queries
     positions = tr.query_indices(cfg.num_queries, n0)

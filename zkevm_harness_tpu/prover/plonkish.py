@@ -656,8 +656,7 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     # -- stage 1: witness commitment --------------------------------------
     wit_coeffs = nt.intt(witness)
     wit_lde, wit_rows, wit_tree = _commit_cols_jit(witness, rate, cfg.cap_size)
-    wit_cap = gl.to_ints(wit_tree.cap)
-    tr.absorb_ints([int(v) for v in wit_cap.ravel()])
+    tr.absorb_gf_device(wit_tree.cap)
 
     # -- stage 2: copy-permutation columns --------------------------------
     beta = tr.challenge_ext_ints()
@@ -678,8 +677,7 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         stage2 = gl.concatenate([stage2, m_cols], axis=0)
     s2_coeffs = nt.intt(stage2)
     s2_lde, s2_rows, s2_tree = _commit_cols_jit(stage2, rate, cfg.cap_size)
-    s2_cap = gl.to_ints(s2_tree.cap)
-    tr.absorb_ints([int(v) for v in s2_cap.ravel()])
+    tr.absorb_gf_device(s2_tree.cap)
 
     # -- stage 2b: lookup helper columns (logup with inverses) ------------
     if has_lk:
@@ -691,13 +689,11 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
                                 theta_gf, beta_lk_gf)
         s3_coeffs = nt.intt(stage3)
         s3_lde, s3_rows, s3_tree = _commit_cols_jit(stage3, rate, cfg.cap_size)
-        s3_cap = gl.to_ints(s3_tree.cap)
-        tr.absorb_ints([int(v) for v in s3_cap.ravel()])
+        tr.absorb_gf_device(s3_tree.cap)
     else:
         theta = beta_lk = None
         theta_gf = beta_lk_gf = gl.ext_zeros(())
         s3_coeffs = s3_lde = s3_rows = s3_tree = None
-        s3_cap = np.zeros((0, 4), dtype=object)
 
     # -- stage 3: quotient (coset-streamed over the eval domain) ----------
     alpha = tr.challenge_ext_ints()
@@ -760,8 +756,7 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     q_coeffs = gl.stack(q_cols, axis=0)
     q_lde, q_rows, q_tree = _commit_cols_from_coeffs(q_coeffs, n_comm,
                                                      cfg.cap_size)
-    q_cap = gl.to_ints(q_tree.cap)
-    tr.absorb_ints([int(v) for v in q_cap.ravel()])
+    tr.absorb_gf_device(q_tree.cap)
 
     # -- stage 4: OOD evaluations -----------------------------------------
     z_pt = tr.challenge_ext_ints()
@@ -840,6 +835,11 @@ def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
                           for k, i in enumerate(idx_set)}
         paths[name] = {int(i): pth[k] for k, i in enumerate(idx_set)}
 
+    wit_cap = gl.to_ints(wit_tree.cap)
+    s2_cap = gl.to_ints(s2_tree.cap)
+    q_cap = gl.to_ints(q_tree.cap)
+    s3_cap = (gl.to_ints(s3_tree.cap) if has_lk
+              else np.zeros((0, 4), dtype=object))
     return PlonkishProof(
         public_inputs=public_inputs,
         witness_cap=wit_cap, stage2_cap=s2_cap, quotient_cap=q_cap,

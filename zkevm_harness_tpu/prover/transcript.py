@@ -14,6 +14,12 @@ from typing import List, Sequence
 import numpy as np
 
 import jax
+import jax.numpy as jnp
+
+
+def _jnp_concat(a, b):
+    return jnp.concatenate([a, b])
+
 
 from ..ops import goldilocks as gl
 from ..ops import poseidon2 as p2
@@ -60,6 +66,32 @@ class Transcript:
 
     def absorb_gf(self, values: gl.GF):
         self.absorb_ints([int(v) for v in gl.to_ints(values).ravel()])
+
+    def absorb_gf_device(self, values: gl.GF):
+        """Absorb device-resident field elements WITHOUT a host fetch.
+
+        Produces the exact same transcript state as absorb_ints of the same
+        values: pending buffered ints are prepended, full rate-chunks are
+        permuted in one scanned dispatch, and the sub-chunk remainder is
+        fetched (tiny) into the int buffer."""
+        self._squeezed = []
+        flat = gl.GF(values.lo.reshape(-1), values.hi.reshape(-1))
+        if self._buffer:
+            pre = gl.from_int(list(self._buffer))
+            self._buffer = []
+            flat = gl.GF(
+                _jnp_concat(pre.lo, flat.lo), _jnp_concat(pre.hi, flat.hi))
+        k = flat.lo.shape[0]
+        n_full = k // RATE
+        if n_full:
+            chunks = gl.GF(flat.lo[:n_full * RATE].reshape(n_full, RATE),
+                           flat.hi[:n_full * RATE].reshape(n_full, RATE))
+            self._state = _absorb_chunks_kernel(self._state, chunks)
+        rem = k - n_full * RATE
+        if rem:
+            tail = gl.to_u64(gl.GF(flat.lo[n_full * RATE:],
+                                   flat.hi[n_full * RATE:]))
+            self._buffer.extend(int(v) for v in tail)
 
     def absorb_ext(self, value: gl.GF2):
         self.absorb_ints([int(gl.to_ints(value.c0)), int(gl.to_ints(value.c1))])
