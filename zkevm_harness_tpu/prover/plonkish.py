@@ -39,6 +39,7 @@ from ..ops import merkle as mk
 from ..ops import ntt as nt
 from ..ops.goldilocks import GF, GF2, P
 from ..utils import field_int as fi
+from ..utils import tracing
 from .fri import FriConfig, fri_prove, fri_verify
 from .stark import DeviceAlgebra, HostExtAlgebra, StarkProof
 from .transcript import Transcript
@@ -632,6 +633,14 @@ def _oods_to_gf2(oods: List[Tuple[int, int]]) -> GF2:
 
 def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
           cfg: PlonkishConfig = PlonkishConfig()) -> PlonkishProof:
+    with tracing.span("plonkish.prove", log_n=ir.log_n,
+                      num_witness=ir.num_witness):
+        tracing.count("proofs")
+        return _prove_impl(ir, setup, witness, cfg)
+
+
+def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
+                cfg: PlonkishConfig = PlonkishConfig()) -> PlonkishProof:
     n = 1 << ir.log_n
     rate = cfg.rate
     n_comm = n * rate
