@@ -136,3 +136,48 @@ def prove_recursion_layer_circuit(circuit_type: int, witness, source=None):
 def verify_recursion_layer_proof(circuit_type: int, proof, vk=None) -> bool:
     sd = create_recursive_layer_setup_data(circuit_type)
     return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
+
+
+# -- real leaf queue-segment proofs ----------------------------------------
+
+def prove_leaf_queue_segment(task, cfg: Optional[pk.PlonkishConfig] = None):
+    """Prove a leaf task's queue-segment statement with the queue-commitment
+    circuit: PIs bind the chunk's head tail and resulting tail, so the node
+    layer can check queue continuity against proven values.
+
+    Requires a power-of-two item count (full ARITY chunks in production; the
+    remainder chunk keeps metadata-only until selector-gated absorption
+    lands). The in-circuit verification of the 32 child proofs is the next
+    recursion increment (verifier gadget).
+    """
+    k = len(task.encodings)
+    assert k >= 1 and k & (k - 1) == 0, "segment length must be a power of two"
+    log_n = (k * qc.ROWS_PER_PERMUTATION).bit_length() - 1
+    ir = qc.queue_ir(log_n)
+    cfg = cfg or _engine_config(RECURSION_LAYER_PROOF_CONFIG)
+    key = ("leaf_queue", log_n, cfg.rate, cfg.cap_size)
+    if key not in _SETUP_CACHE:
+        setup = qc.queue_setup(ir, cfg)
+        _SETUP_CACHE[key] = SetupData(ir=ir, setup=setup, vk=setup.vk(),
+                                      config=cfg)
+    sd = _SETUP_CACHE[key]
+    encs = [[int(v) for v in row] for row in task.encodings]
+    witness = qc.queue_witness(sd.ir, encs, initial_tail=task.queue_head)
+    proof = pk.prove(sd.ir, sd.setup, witness, sd.config)
+    # the proven PIs must equal the witness-side queue states
+    assert tuple(proof.public_inputs[:4]) == tuple(task.queue_head)
+    assert tuple(proof.public_inputs[4:8]) == tuple(task.queue_tail)
+    return proof, sd.vk
+
+
+def verify_leaf_queue_segment(task, proof, vk,
+                              cfg: Optional[pk.PlonkishConfig] = None) -> bool:
+    k = len(task.encodings)
+    log_n = (k * qc.ROWS_PER_PERMUTATION).bit_length() - 1
+    ir = qc.queue_ir(log_n)
+    cfg = cfg or _engine_config(RECURSION_LAYER_PROOF_CONFIG)
+    if tuple(proof.public_inputs[:4]) != tuple(task.queue_head):
+        return False
+    if tuple(proof.public_inputs[4:8]) != tuple(task.queue_tail):
+        return False
+    return pk.verify(ir, vk, proof, cfg)

@@ -73,10 +73,11 @@ class NodeAggregationTask:
     num_items: int
 
 
-def create_leaf_witnesses(base_type: int, queue: QueueSimulator
+def create_leaf_witnesses(base_type: int, queue: QueueSimulator,
+                          arity: int = RECURSION_ARITY
                           ) -> List[LeafAggregationTask]:
     """Split one base type's recursion queue into leaf tasks of ARITY items."""
-    chunks = queue.split_by(RECURSION_ARITY)
+    chunks = queue.split_by(arity)
     tasks = []
     proof_cursor = 0
     for i, chunk in enumerate(chunks):
