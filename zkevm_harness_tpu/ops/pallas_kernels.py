@@ -95,22 +95,32 @@ def _mul_kernel(alo_ref, ahi_ref, blo_ref, bhi_ref, olo_ref, ohi_ref):
     ohi_ref[:] = jnp.where(ge, r3hi, rhi)
 
 
+_TILE_ROWS = 512  # 512x128 u32 x 6 buffers ≈ 1.5 MB of VMEM per grid step
+
+
 @functools.partial(jax.jit, static_argnums=())
 def pallas_mul(a: GF, b: GF) -> GF:
-    """Goldilocks mul as a Pallas kernel over (8k, 128m)-shaped inputs."""
+    """Goldilocks mul as a tiled Pallas kernel (grid over 512x128 blocks)."""
     assert HAVE_PALLAS
     shape = a.lo.shape
     flat = int(np.prod(shape))
     assert flat % (8 * 128) == 0, "pallas_mul needs (8,128)-aligned sizes"
     rows = flat // 128
+    tile = min(_TILE_ROWS, rows)
+    assert rows % tile == 0
+
     def rs(x):
         return x.reshape(rows, 128)
+
+    spec = pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
     out_shape = (jax.ShapeDtypeStruct((rows, 128), jnp.uint32),) * 2
     olo, ohi = pl.pallas_call(
         _mul_kernel,
+        grid=(rows // tile,),
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec),
         interpret=(jax.default_backend() == "cpu"),
     )(rs(a.lo), rs(a.hi), rs(b.lo), rs(b.hi))
     return GF(olo.reshape(shape), ohi.reshape(shape))
