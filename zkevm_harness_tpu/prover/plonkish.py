@@ -154,7 +154,9 @@ def build_setup(ir: PlonkishIR, const_cols_int: np.ndarray,
     for tbl in ir.lookup_tables:
         tbl = np.asarray(tbl, dtype=object)
         assert tbl.shape[0] <= n, "table larger than trace domain"
-        padded = np.vstack([tbl] + [tbl[:1]] * (n - tbl.shape[0]))
+        pad_rows = n - tbl.shape[0]
+        padded = (np.vstack([tbl, np.repeat(tbl[:1], pad_rows, axis=0)])
+                  if pad_rows else tbl)
         table_np.append(padded)
         for j in range(padded.shape[1]):
             tcol_list.append(padded[:, j])
