@@ -114,3 +114,43 @@ def test_precompile_keccak():
     want = int.from_bytes(keccak256((1).to_bytes(32, "big")), "big")
     assert vm.reg_read(1).value == want
     assert len(tracer.precompile_calls) == 1
+
+
+def test_far_call_decommits_and_returns():
+    from zkevm_harness_tpu.vm.interpreter import deploy_contract
+    callee_code = [
+        isa.StorageWrite(I(7), I(777)),
+        isa.Ret(),
+    ]
+    code = [
+        isa.FarCall(I(0xBB), exception_handler=2),
+        isa.Ret(),
+        isa.Ret(),  # handler
+    ]
+    vm, tracer, tools = make_vm()
+    deploy_contract(tools, 0xBB, callee_code)
+    from zkevm_harness_tpu.vm.interpreter import run_vm
+    run_vm(vm, code, 100)
+    assert vm.finished
+    # callee wrote under ITS address, not the caller's
+    assert tools.storage.read(0, 0xBB, 7) == 777
+    assert tools.storage.read(0, 0xAA, 7) == 0
+    # decommit query recorded, fresh
+    assert len(tracer.decommittment_queries) == 1
+    assert tracer.decommittment_queries[0][1].is_fresh
+    # second far call to the same contract: decommit is NOT fresh
+    vm2, tracer2, tools2 = make_vm()
+    deploy_contract(tools2, 0xBB, callee_code)
+    code2 = [isa.FarCall(I(0xBB), 3), isa.FarCall(I(0xBB), 3), isa.Ret(),
+             isa.Ret()]
+    run_vm(vm2, code2, 100)
+    assert [q.is_fresh for _, q in tracer2.decommittment_queries] == [True, False]
+
+
+def test_far_call_to_undeployed_fails():
+    import pytest
+    code = [isa.FarCall(I(0xCC), 1), isa.Ret()]
+    vm, tracer, tools = make_vm()
+    from zkevm_harness_tpu.vm.interpreter import run_vm
+    with pytest.raises(AssertionError):
+        run_vm(vm, code, 100)

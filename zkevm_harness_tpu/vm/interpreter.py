@@ -28,17 +28,42 @@ class VmPanic(Exception):
     pass
 
 
+DEPLOYER_ADDRESS = 0x8002_0000  # address -> code-hash mapping lives here
+CODE_STORE: dict = {}  # code page id -> instruction list (structured ISA)
+_CONTRACT_CODE: dict = {}  # code hash -> instruction list
+
+
+def deploy_contract(tools, address: int, instructions) -> int:
+    """Predeploy a contract (save_predeployed_contracts parity,
+    src/tests/mod.rs:38-96): register its bytecode with the decommitter,
+    record the versioned hash in the deployer mapping, and stash the
+    structured instructions for execution after decommit. Returns the hash."""
+    from ..witness.decommitter import bytecode_hash
+    words = [i for i in range(len(instructions))]  # placeholder encoding
+    code_hash = bytecode_hash(words)
+    tools.decommitter.populate([(code_hash, words)])
+    tools.storage.write(0, DEPLOYER_ADDRESS, address, code_hash)
+    _CONTRACT_CODE[code_hash] = list(instructions)
+    return code_hash
+
+
 def run_vm(vm: VmState, code: List[isa.Instruction], cycle_limit: int) -> int:
-    """Run until root frame returns or the cycle limit hits. Returns cycles."""
+    """Run until root frame returns or the cycle limit hits. Returns cycles.
+
+    `code` is the entry contract's instruction list (page 0); far-called
+    contracts' instructions come from CODE_STORE via their decommitted page.
+    """
     tracer: WitnessTracer = vm.tools.tracer
+    CODE_STORE[vm.frame.code_page] = list(code)
     for _ in range(cycle_limit):
         if vm.finished:
             break
         tracer.start_new_execution_cycle(_snapshot_repr(vm))
         cycle = vm.monotonic_cycle_counter
         pc = vm.frame.pc
-        assert 0 <= pc < len(code), f"pc {pc} out of code"
-        instr = code[pc]
+        page_code = CODE_STORE[vm.frame.code_page]
+        assert 0 <= pc < len(page_code), f"pc {pc} out of code"
+        instr = page_code[pc]
         _execute(vm, instr, cycle)
         vm.monotonic_cycle_counter += 1
         vm.timestamp += 2  # each cycle opens a fresh timestamp pair
@@ -178,6 +203,33 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
         if panicked:
             # resume the parent at the handler the popped frame recorded
             vm.frame.pc = popped.exception_handler
+
+    elif isinstance(instr, isa.FarCall):
+        callee = _val(vm, instr.address)
+        # deployer lookup: code hash for the callee address
+        code_hash = vm.tools.storage.read(0, DEPLOYER_ADDRESS, callee)
+        q = LogQuery(vm.timestamp, vm.tx_number_in_block, AUX_BYTE_STORAGE, 0,
+                     DEPLOYER_ADDRESS, callee, code_hash, code_hash,
+                     rw_flag=False)
+        tracer.add_log_query(cycle, q)
+        assert code_hash != 0, f"far call to undeployed address {callee:#x}"
+        dq, _words = vm.tools.decommitter.decommit(code_hash, mem, vm.timestamp)
+        tracer.add_decommittment(cycle, dq)
+        CODE_STORE[dq.memory_page] = _CONTRACT_CODE[code_hash]
+        heap_page = mem.new_page()
+        new_frame = CallstackEntry(
+            this_address=callee, msg_sender=f.this_address,
+            code_address=callee, code_page=dq.memory_page,
+            base_memory_page=heap_page, pc=0,
+            exception_handler=instr.exception_handler,
+            ergs_remaining=f.ergs_remaining, is_static=f.is_static,
+            is_kernel_mode=False, is_local_call=False,
+            context_u128=f.context_u128)
+        f.pc += 1
+        vm.callstack.append(new_frame)
+        vm.tools.storage.start_frame()
+        vm.tools.event_sink.start_frame()
+        tracer.start_new_execution_context(cycle)
 
     elif isinstance(instr, isa.Precompile):
         data = bytes(_val(vm, instr.data) .to_bytes(32, "big"))

@@ -99,3 +99,16 @@ class Precompile(Instruction):
     address: int
     data: Operand
     dst: int
+
+
+@dataclasses.dataclass(frozen=True)
+class FarCall(Instruction):
+    """Call into another contract: decommit its code, switch frames.
+
+    The callee address is read from `address` (reg/imm); its versioned code
+    hash comes from the deployer mapping (storage of the deployer system
+    contract). Execution continues at callee pc 0; Ret returns here.
+    """
+
+    address: Operand
+    exception_handler: int
