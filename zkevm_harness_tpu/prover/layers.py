@@ -90,15 +90,15 @@ _SETUP_CACHE: Dict[Tuple[str, int], SetupData] = {}
 def _create_setup(layer: str, registry, circuit_type: int,
                   psc: ProofSystemConfig, source=None) -> SetupData:
     key = (layer, circuit_type)
-    if key in _SETUP_CACHE:
-        return _SETUP_CACHE[key]
-    factory = registry[circuit_type]
-    ir = factory.make_ir()
-    cfg = _engine_config(psc)
-    setup = factory.make_setup(ir, cfg)
-    sd = SetupData(ir=ir, setup=setup, vk=setup.vk(), config=cfg)
-    _SETUP_CACHE[key] = sd
-    if source is not None:
+    if key not in _SETUP_CACHE:
+        factory = registry[circuit_type]
+        ir = factory.make_ir()
+        cfg = _engine_config(psc)
+        setup = factory.make_setup(ir, cfg)
+        _SETUP_CACHE[key] = SetupData(ir=ir, setup=setup, vk=setup.vk(),
+                                      config=cfg)
+    sd = _SETUP_CACHE[key]
+    if source is not None:  # record the VK even when the setup was cached
         if layer == "base":
             source.set_base_layer_vk(sd.vk, circuit_type)
         elif layer == "recursion":
