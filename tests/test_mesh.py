@@ -52,3 +52,19 @@ def test_distributed_ntt_matches_single(mesh, rng):
     m = dn.Mesh(np.array(jax.devices()[:8]), ("x",))
     got = dn.distributed_ntt(dn.shard_domain(vals, m), m)
     assert bool(np.all(np.asarray(gl.equal(got, want))))
+
+
+def test_sharded_commit_matches_single(mesh, rng):
+    import jax.numpy as jnp
+    from zkevm_harness_tpu.ops import merkle as mk2
+    w, n, rate, cap = 16, 64, 2, 8
+    cols = gl.from_int(rng.integers(0, 2**63, size=(w, n), dtype=np.uint64))
+    # single-chip reference
+    lde = nt.coset_lde(cols, rate)
+    rows = gl.GF(jnp.moveaxis(lde.lo, 0, 1), jnp.moveaxis(lde.hi, 0, 1))
+    want_tree = mk2.build_tree(mk2.hash_leaves(rows), cap)
+    got_lde, got_digests, got_cap = pm.sharded_commit(
+        pm.shard_columns(cols, mesh), rate, cap, mesh)
+    assert bool(np.all(np.asarray(gl.equal(got_lde, lde))))
+    assert bool(np.all(np.asarray(gl.equal(got_digests, want_tree.levels[0]))))
+    assert bool(np.all(np.asarray(gl.equal(got_cap, want_tree.cap))))

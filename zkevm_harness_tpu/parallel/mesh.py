@@ -104,3 +104,46 @@ def sharded_poseidon_throughput_step(states: GF, mesh: Mesh,
 
     lo, hi = _local(states.lo, states.hi)
     return GF(lo, hi)
+
+
+def sharded_commit(cols: GF, rate: int, cap_size: int, mesh: Mesh,
+                   axis: str = "col"):
+    """Multi-chip commitment phase: (W, n) column-sharded trace -> coset LDE
+    (per-chip, no collectives) -> leaf rows via all_gather over ICI ->
+    row-range leaf hashing + per-chip subtree build -> cap assembled with a
+    final all_gather.
+
+    Works because the Merkle tree over contiguously row-sharded leaves
+    decomposes into independent per-chip subtrees down to cap_size/D nodes
+    each. Returns (lde column-sharded, leaf digests row-sharded, cap
+    replicated on every chip).
+    """
+    d = mesh.shape[axis]
+    assert cap_size % d == 0, "cap must split across chips"
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P_(axis, None),) * 2,
+        out_specs=((P_(axis, None),) * 2, (P_(axis, None),) * 2,
+                   (P_(None, None),) * 2),
+        check_vma=False)  # the cap is replicated by construction (all_gather)
+    def _local(lo, hi):
+        lde = nt.coset_lde(GF(lo, hi), rate)
+        full_lo = jax.lax.all_gather(lde.lo, axis, tiled=True)
+        full_hi = jax.lax.all_gather(lde.hi, axis, tiled=True)
+        n_lde = full_lo.shape[1]
+        i = jax.lax.axis_index(axis)
+        rows_per = n_lde // d
+        rows_lo = jax.lax.dynamic_slice_in_dim(
+            jnp.moveaxis(full_lo, 0, 1), i * rows_per, rows_per, 0)
+        rows_hi = jax.lax.dynamic_slice_in_dim(
+            jnp.moveaxis(full_hi, 0, 1), i * rows_per, rows_per, 0)
+        digests = mk.hash_leaves(GF(rows_lo, rows_hi))
+        subtree = mk.build_tree(digests, cap_size // d)
+        local_cap = subtree.cap
+        cap_lo = jax.lax.all_gather(local_cap.lo, axis, tiled=True)
+        cap_hi = jax.lax.all_gather(local_cap.hi, axis, tiled=True)
+        return ((lde.lo, lde.hi), (digests.lo, digests.hi), (cap_lo, cap_hi))
+
+    (llo, lhi), (dlo, dhi), (clo, chi) = _local(cols.lo, cols.hi)
+    return GF(llo, lhi), GF(dlo, dhi), GF(clo, chi)
