@@ -139,15 +139,15 @@ def build_setup(ir: PlonkishIR, const_cols_int: np.ndarray,
     cycle-successor (col, row); identity where unconstrained."""
     n = 1 << ir.log_n
     w = gl.primitive_root_of_unity(ir.log_n)
-    w_pows = gl.powers_host(w, n).astype(object)
-    ks = gl.powers_host(K_COSET_GEN, max(ir.num_witness, 1)).astype(object)
-    sigma = np.empty((ir.num_witness, n), dtype=object)
-    pc = permutation[:, :, 0]
-    pr = permutation[:, :, 1]
-    for j in range(ir.num_witness):
-        sigma[j] = (ks[pc[j]] * w_pows[pr[j]]) % P
+    # sigma[j, i] = k[perm_col] * w^perm_row — computed on device (two
+    # gathers + one field mul) instead of O(W*n) host bigint ops
+    w_pows = gl.from_u64(gl.powers_host(w, n))
+    ks_vec = gl.from_u64(gl.powers_host(K_COSET_GEN, max(ir.num_witness, 1)))
+    pc = jnp.asarray(permutation[:, :, 0].astype(np.int32))
+    pr = jnp.asarray(permutation[:, :, 1].astype(np.int32))
+    sigma_cols = gl.mul(gl.take(ks_vec, pc, axis=0),
+                        gl.take(w_pows, pr, axis=0))
     const_cols = gl.from_int(const_cols_int) if ir.num_const else gl.zeros((0, n))
-    sigma_cols = gl.from_int(sigma)
     # pad lookup tables to n rows (repeat entry 0) and lay out as columns
     table_np = []
     tcol_list = []
