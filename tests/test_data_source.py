@@ -38,3 +38,17 @@ def test_local_file_resume(tmp_path):
     assert (tmp_path / "setup" / "base_layer" / "vk_1.json").exists()
     ds2.set_scheduler_proof({"s": 1})
     assert ds2.get_scheduler_proof() == {"s": 1}
+
+
+def test_sequencer_api_commitments():
+    from zkevm_harness_tpu.utils import sequencer_api as sq
+    from zkevm_harness_tpu.vm.environment import LogQuery
+    ev = [LogQuery(5, 0, 1, 0, 0xAA, 1, 0, 2, True)]
+    c1 = sq.events_queue_commitment(ev)
+    assert c1 != (0, 0, 0, 0)
+    assert sq.events_queue_commitment([]) == (0, 0, 0, 0)
+    h1 = sq.initial_heap_content_commitment([1, 2, 3])
+    h2 = sq.initial_heap_content_commitment([1, 2, 4])
+    assert h1 != h2 and len(h1) == 4
+    # re-exports present
+    assert sq.GeometryConfig and sq.sort_storage_access_queries
