@@ -154,3 +154,19 @@ def test_far_call_to_undeployed_fails():
     from zkevm_harness_tpu.vm.interpreter import run_vm
     with pytest.raises(AssertionError):
         run_vm(vm, code, 100)
+
+
+def test_limited_ergs_near_call_panics_and_rolls_back():
+    code = [
+        isa.StorageWrite(I(1), I(5)),                       # 0
+        isa.NearCall(target=4, exception_handler=3, ergs=3),  # 1: tiny budget
+        isa.Ret(),                                          # 2
+        isa.Ret(),                                          # 3: handler
+        isa.StorageWrite(I(1), I(99)),                      # 4 (costs ergs)
+        isa.Jump(4),                                        # 5: burn forever
+    ]
+    vm, tracer, tools = make_vm()
+    run_vm(vm, code, 200)
+    assert vm.finished
+    # the ergs-limited frame panicked: its write rolled back
+    assert tools.storage.read(0, 0xAA, 1) == 5

@@ -28,6 +28,8 @@ class VmPanic(Exception):
     pass
 
 
+ERGS_PER_CYCLE = 1  # flat per-cycle cost (per-opcode table comes with the
+# binary ISA decoder)
 DEPLOYER_ADDRESS = 0x8002_0000  # address -> code-hash mapping lives here
 CODE_STORE: dict = {}  # code page id -> instruction list (structured ISA)
 _CONTRACT_CODE: dict = {}  # code hash -> instruction list
@@ -64,7 +66,19 @@ def run_vm(vm: VmState, code: List[isa.Instruction], cycle_limit: int) -> int:
         page_code = CODE_STORE[vm.frame.code_page]
         assert 0 <= pc < len(page_code), f"pc {pc} out of code"
         instr = page_code[pc]
-        _execute(vm, instr, cycle)
+        # ergs metering: every cycle costs ERGS_PER_CYCLE; running dry inside
+        # a call frame panics to the handler (limited_ergs.rs semantics)
+        if vm.frame.ergs_remaining < ERGS_PER_CYCLE:
+            if len(vm.callstack) == 1:
+                raise VmPanic("root frame out of ergs")
+            popped = vm.callstack.pop()
+            vm.tools.storage.finish_frame(True)
+            vm.tools.event_sink.finish_frame(True)
+            tracer.finish_execution_context(cycle, True)
+            vm.frame.pc = popped.exception_handler
+        else:
+            vm.frame.ergs_remaining -= ERGS_PER_CYCLE
+            _execute(vm, instr, cycle)
         vm.monotonic_cycle_counter += 1
         vm.timestamp += 2  # each cycle opens a fresh timestamp pair
     return vm.monotonic_cycle_counter
@@ -181,7 +195,8 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
             code_address=f.code_address, code_page=f.code_page,
             base_memory_page=f.base_memory_page, pc=instr.target,
             exception_handler=instr.exception_handler,
-            ergs_remaining=f.ergs_remaining, is_static=f.is_static,
+            ergs_remaining=(instr.ergs if instr.ergs
+                            else f.ergs_remaining), is_static=f.is_static,
             is_kernel_mode=f.is_kernel_mode, is_local_call=True,
             context_u128=f.context_u128)
         f.pc += 1  # return point

@@ -87,6 +87,7 @@ class Event(Instruction):
 class NearCall(Instruction):
     target: int
     exception_handler: int
+    ergs: int = 0  # 0 = pass all remaining ergs
 
 
 @dataclasses.dataclass(frozen=True)
