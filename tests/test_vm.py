@@ -170,3 +170,41 @@ def test_limited_ergs_near_call_panics_and_rolls_back():
     assert vm.finished
     # the ergs-limited frame panicked: its write rolled back
     assert tools.storage.read(0, 0xAA, 1) == 5
+
+
+def test_fat_pointer_calldata_and_returndata():
+    from zkevm_harness_tpu.vm.interpreter import deploy_contract, run_vm
+    # callee: read calldata word 0 via the r1 fat pointer, add 1, store the
+    # result in its heap, return a returndata pointer to it
+    callee = [
+        isa.PtrRead(ptr=1, offset=I(0), dst=2),
+        isa.BinOp("add", R(2), I(1), 3),
+        isa.HeapWrite(I(0), R(3)),
+        isa.RetData(data_start=I(0), data_len=I(1)),
+    ]
+    # caller: put 41 in heap[5], far-call with calldata ptr to it, then read
+    # the returndata through the returned fat pointer
+    code = [
+        isa.HeapWrite(I(5), I(41)),
+        isa.FarCallData(I(0xBB), exception_handler=4,
+                        calldata_start=I(5), calldata_len=I(1)),
+        isa.PtrRead(ptr=1, offset=I(0), dst=4),
+        isa.Ret(),
+        isa.Ret(),  # handler
+    ]
+    vm, tracer, tools = make_vm()
+    deploy_contract(tools, 0xBB, callee)
+    run_vm(vm, code, 100)
+    assert vm.finished
+    assert vm.reg_read(4).value == 42  # 41 + 1 round-tripped through pointers
+    # out-of-bounds fat-pointer read yields zero
+    vm2, _, tools2 = make_vm()
+    deploy_contract(tools2, 0xBB, callee)
+    code2 = [
+        isa.HeapWrite(I(5), I(41)),
+        isa.FarCallData(I(0xBB), 4, calldata_start=I(5), calldata_len=I(1)),
+        isa.PtrRead(ptr=1, offset=I(9), dst=4),  # beyond returndata length
+        isa.Ret(), isa.Ret(),
+    ]
+    run_vm(vm2, code2, 100)
+    assert vm2.reg_read(4).value == 0

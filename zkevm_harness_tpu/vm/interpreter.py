@@ -28,6 +28,16 @@ class VmPanic(Exception):
     pass
 
 
+def pack_fat_pointer(page: int, start: int, length: int) -> int:
+    """Fat pointer register encoding: page(32) | start(32) | length(32)."""
+    return (page << 64) | (start << 32) | length
+
+
+def unpack_fat_pointer(value: int):
+    return (value >> 64) & 0xFFFFFFFF, (value >> 32) & 0xFFFFFFFF, \
+        value & 0xFFFFFFFF
+
+
 ERGS_PER_CYCLE = 1  # flat per-cycle cost (per-opcode table comes with the
 # binary ISA decoder)
 DEPLOYER_ADDRESS = 0x8002_0000  # address -> code-hash mapping lives here
@@ -218,6 +228,26 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
         if panicked:
             # resume the parent at the handler the popped frame recorded
             vm.frame.pc = popped.exception_handler
+        elif isinstance(instr, isa.RetData) and not popped.is_local_call:
+            # publish returndata: fat pointer into the callee's heap page
+            vm.reg_write(1, pack_fat_pointer(
+                popped.base_memory_page, _val(vm, instr.data_start),
+                _val(vm, instr.data_len)), is_pointer=True)
+
+    elif isinstance(instr, isa.PtrRead):
+        reg = vm.reg_read(instr.ptr)
+        assert reg.is_pointer, "PtrRead through a non-pointer register"
+        page, start, length = unpack_fat_pointer(reg.value)
+        off = _val(vm, instr.offset)
+        if off < length:
+            value, _ = mem.read(page, start + off)
+            tracer.add_memory_query(cycle, MemoryQuery(
+                vm.timestamp, MemoryLocation(page, start + off), value,
+                rw_flag=False))
+        else:
+            value = 0  # out-of-bounds fat-pointer reads yield zero
+        vm.reg_write(instr.dst, value)
+        f.pc += 1
 
     elif isinstance(instr, isa.FarCall):
         callee = _val(vm, instr.address)
@@ -242,6 +272,10 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
             context_u128=f.context_u128)
         f.pc += 1
         vm.callstack.append(new_frame)
+        if isinstance(instr, isa.FarCallData):
+            vm.reg_write(1, pack_fat_pointer(
+                f.base_memory_page, _val(vm, instr.calldata_start),
+                _val(vm, instr.calldata_len)), is_pointer=True)
         vm.tools.storage.start_frame()
         vm.tools.event_sink.start_frame()
         tracer.start_new_execution_context(cycle)

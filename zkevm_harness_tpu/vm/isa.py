@@ -113,3 +113,30 @@ class FarCall(Instruction):
 
     address: Operand
     exception_handler: int
+
+
+@dataclasses.dataclass(frozen=True)
+class FarCallData(FarCall):
+    """FarCall passing a calldata fat pointer (caller-heap region) in r1."""
+
+    calldata_start: Operand = Operand("imm", 0)
+    calldata_len: Operand = Operand("imm", 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class RetData(Ret):
+    """Ret publishing a returndata fat pointer (callee-heap region) to the
+    caller's r1."""
+
+    data_start: Operand = Operand("imm", 0)
+    data_len: Operand = Operand("imm", 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class PtrRead(Instruction):
+    """Read word `offset` through the fat pointer in register `ptr`;
+    out-of-bounds reads 0 (EraVM fat-pointer semantics)."""
+
+    ptr: int  # register holding the fat pointer
+    offset: Operand
+    dst: int
