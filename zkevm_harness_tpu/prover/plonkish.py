@@ -417,10 +417,13 @@ def _stage3_fn(ir: PlonkishIR):
 
 
 def _commit_cols_body(cols: GF, rate: int, cap_size: int):
+    # leaf rows are a transient inside this jit (freed after) — keeping a
+    # persistent row-major duplicate of every stage's LDE doubles HBM and was
+    # the 2^20 OOM; query openings gather rows from the column form instead.
     lde = nt.coset_lde(cols, rate)
     rows = GF(jnp.moveaxis(lde.lo, 0, 1), jnp.moveaxis(lde.hi, 0, 1))
     tree = mk.build_tree(mk.hash_leaves(rows), cap_size)
-    return lde, rows, tree
+    return lde, tree
 
 
 _commit_cols_jitted = jax.jit(_commit_cols_body, static_argnums=(1, 2))
@@ -666,7 +669,7 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
 
     # -- stage 1: witness commitment --------------------------------------
     wit_coeffs = nt.intt(witness)
-    wit_lde, wit_rows, wit_tree = _commit_cols_jit(witness, rate, cfg.cap_size)
+    wit_lde, wit_tree = _commit_cols_jit(witness, rate, cfg.cap_size)
     tr.absorb_gf_device(wit_tree.cap)
 
     # -- stage 2: copy-permutation columns --------------------------------
@@ -687,7 +690,8 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         m_cols = gl.from_int(np.stack(m_cols_np))
         stage2 = gl.concatenate([stage2, m_cols], axis=0)
     s2_coeffs = nt.intt(stage2)
-    s2_lde, s2_rows, s2_tree = _commit_cols_jit(stage2, rate, cfg.cap_size)
+    s2_lde, s2_tree = _commit_cols_jit(stage2, rate, cfg.cap_size)
+    del stage2  # evals recomputed from coeffs per coset
     tr.absorb_gf_device(s2_tree.cap)
 
     # -- stage 2b: lookup helper columns (logup with inverses) ------------
@@ -699,12 +703,13 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         stage3 = _stage3_fn(ir)(witness, setup.table_cols, m_cols,
                                 theta_gf, beta_lk_gf)
         s3_coeffs = nt.intt(stage3)
-        s3_lde, s3_rows, s3_tree = _commit_cols_jit(stage3, rate, cfg.cap_size)
+        s3_lde, s3_tree = _commit_cols_jit(stage3, rate, cfg.cap_size)
+        del stage3
         tr.absorb_gf_device(s3_tree.cap)
     else:
         theta = beta_lk = None
         theta_gf = beta_lk_gf = gl.ext_zeros(())
-        s3_coeffs = s3_lde = s3_rows = s3_tree = None
+        s3_coeffs = s3_lde = s3_tree = None
 
     # -- stage 3: quotient (coset-streamed over the eval domain) ----------
     alpha = tr.challenge_ext_ints()
@@ -756,17 +761,19 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     comp2 = jnp.stack([c.c1.lo for c in comp_cosets], axis=1).reshape(n_eval)
     comp3 = jnp.stack([c.c1.hi for c in comp_cosets], axis=1).reshape(n_eval)
     full = GF2(GF(comp0, comp1), GF(comp2, comp3))
+    del comp_cosets, comp0, comp1, comp2, comp3
     unscale = gl.from_int(gl.powers_host(pow(shift, P - 2, P), n_eval).astype(object))
     q_coeff_c0 = gl.mul(nt.intt(full.c0), unscale)
     q_coeff_c1 = gl.mul(nt.intt(full.c1), unscale)
+    del full
 
     q_cols = []
     for j in range(num_q_chunks):
         q_cols.append(q_coeff_c0[j * n:(j + 1) * n])
         q_cols.append(q_coeff_c1[j * n:(j + 1) * n])
     q_coeffs = gl.stack(q_cols, axis=0)
-    q_lde, q_rows, q_tree = _commit_cols_from_coeffs(q_coeffs, n_comm,
-                                                     cfg.cap_size)
+    q_lde, q_tree = _commit_cols_from_coeffs(q_coeffs, n_comm,
+                                            cfg.cap_size)
     tr.absorb_gf_device(q_tree.cap)
 
     # -- stage 4: OOD evaluations -----------------------------------------
@@ -830,17 +837,19 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     idx_set = sorted({int(p) % h0 for p in fri_proof.query_positions} |
                      {int(p) % h0 + h0 for p in fri_proof.query_positions})
     idx_arr = np.array(idx_set, dtype=np.uint32)
-    setup_rows = GF(jnp.moveaxis(setup_lde.lo, 0, 1), jnp.moveaxis(setup_lde.hi, 0, 1))
     openings: Dict[str, Dict[int, List[int]]] = {}
     paths: Dict[str, Dict[int, np.ndarray]] = {}
-    all_trees = [("witness", wit_rows, wit_tree),
-                 ("stage2", s2_rows, s2_tree),
-                 ("quotient", q_rows, q_tree),
-                 ("setup", setup_rows, setup.tree)]
+    all_trees = [("witness", wit_lde, wit_tree),
+                 ("stage2", s2_lde, s2_tree),
+                 ("quotient", q_lde, q_tree),
+                 ("setup", setup_lde, setup.tree)]
     if has_lk:
-        all_trees.insert(2, ("stage3", s3_rows, s3_tree))
-    for name, rows, tree in all_trees:
-        vals = gl.to_ints(gl.take(rows, jnp.asarray(idx_arr), axis=0))
+        all_trees.insert(2, ("stage3", s3_lde, s3_tree))
+    for name, lde_cols, tree in all_trees:
+        # gather opened rows from the column-major LDE: (cols, q) -> (q, cols)
+        g = gl.take(lde_cols, jnp.asarray(idx_arr), axis=1)
+        vals = gl.to_ints(GF(jnp.moveaxis(g.lo, 0, 1),
+                             jnp.moveaxis(g.hi, 0, 1)))
         pth = gl.to_ints(mk.open_indices(tree, idx_arr))
         openings[name] = {int(i): [int(v) for v in vals[k]]
                           for k, i in enumerate(idx_set)}
@@ -869,7 +878,7 @@ def _commit_coeffs_body(coeffs: GF, n_comm: int, cap_size: int):
                                     gl.MULTIPLICATIVE_GENERATOR))
     rows = GF(jnp.moveaxis(lde.lo, 0, 1), jnp.moveaxis(lde.hi, 0, 1))
     tree = mk.build_tree(mk.hash_leaves(rows), cap_size)
-    return lde, rows, tree
+    return lde, tree
 
 
 _commit_coeffs_jitted = jax.jit(_commit_coeffs_body, static_argnums=(1, 2))
