@@ -255,22 +255,40 @@ def _ext_prefix_sum_exclusive(deltas: GF2) -> GF2:
 
 
 def _multiplicities(ir, setup, wit_np, n):
-    """Per-table multiplicity columns (host; witness-gen side)."""
+    """Per-table multiplicity columns (host; witness-gen side).
+
+    Width-1 tables (range checks — the common case) use a vectorized
+    unique/count path; wider tables fall back to the dict walk."""
     ms = []
     for t_idx, padded in enumerate(setup.table_np):
-        index = {}
-        for row in range(padded.shape[0]):
-            key = tuple(int(v) for v in padded[row])
-            index.setdefault(key, row)
+        width = padded.shape[1]
         m = np.zeros(n, dtype=object)
-        for (tbl, cols) in ir.lookup_sets:
-            if tbl != t_idx:
-                continue
-            for i in range(n):
-                key = tuple(int(wit_np[c][i]) for c in cols)
-                r = index.get(key)
-                assert r is not None, f"lookup miss: set cols {cols} row {i}"
-                m[r] += 1
+        if width == 1:
+            index = {}
+            for row in range(padded.shape[0]):
+                index.setdefault(int(padded[row, 0]), row)
+            for (tbl, cols) in ir.lookup_sets:
+                if tbl != t_idx:
+                    continue
+                col = np.asarray(wit_np[cols[0]], dtype=np.uint64)
+                vals, counts = np.unique(col, return_counts=True)
+                for v, cnt in zip(vals, counts):
+                    r = index.get(int(v))
+                    assert r is not None, f"lookup miss: value {int(v)}"
+                    m[r] += int(cnt)
+        else:
+            index = {}
+            for row in range(padded.shape[0]):
+                key = tuple(int(v) for v in padded[row])
+                index.setdefault(key, row)
+            for (tbl, cols) in ir.lookup_sets:
+                if tbl != t_idx:
+                    continue
+                for i in range(n):
+                    key = tuple(int(wit_np[c][i]) for c in cols)
+                    r = index.get(key)
+                    assert r is not None, f"lookup miss: set {cols} row {i}"
+                    m[r] += 1
         ms.append(m)
     return ms
 
