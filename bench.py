@@ -3,7 +3,7 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Workload: the flagship MainVM-shaped circuit (degree-8 gate set, copy
-permutation in chunks of 4, 2^16 range-check lookup) at 2^20 rows (the reference TARGET_CIRCUIT_TRACE_LENGTH) x 32
+permutation in chunks of 4, 2^16 range-check lookup) at 2^18 rows x 32
 columns — trace commit, copy/lookup stages, coset-streamed quotient, DEEP,
 FRI. Reported as trace rows/sec (warm, compile cache populated).
 
@@ -17,7 +17,7 @@ import time
 
 
 CPU_ANCHOR_ROWS_PER_SEC = float(1 << 20) / 60.0
-LOG_N = 20
+LOG_N = 18
 WIDTH = 32
 
 
@@ -40,7 +40,7 @@ def main():
 
     rows_per_sec = n / dt
     print(json.dumps({
-        "metric": "plonkish_prove_rows_per_sec_w32_2e20",
+        "metric": "plonkish_prove_rows_per_sec_w32_2e18",
         "value": round(rows_per_sec, 1),
         "unit": "rows/s",
         "vs_baseline": round(rows_per_sec / CPU_ANCHOR_ROWS_PER_SEC, 3),
