@@ -157,3 +157,23 @@ def test_lookup_out_of_table_asserts():
                            pk.identity_permutation(2, N), CFG)
     with pytest.raises(AssertionError):
         pk.prove(ir, setup, witness, CFG)
+
+
+def test_cross_instance_proof_swap_rejected(rng):
+    """A proof for one witness does not verify as a proof of another circuit
+    instance's public inputs (wrapper_negative_tests.rs discipline)."""
+    ir = pi_ir()
+    _, setup0, witness = build_circuit()
+    setup = pk.build_setup(ir, gl.to_ints(setup0.const_cols), _perm(), CFG)
+    proof = pk.prove(ir, setup, witness, CFG)
+    # different FRI final poly (truncate to wrong size) -> reject not crash
+    import copy
+    bad = copy.deepcopy(proof)
+    bad.fri.final_poly = bad.fri.final_poly + [(1, 0)]
+    assert not pk.verify(ir, setup.vk(), bad, CFG)
+    # nonzero coefficient above the degree bound -> reject
+    bad2 = copy.deepcopy(proof)
+    deg = len(bad2.fri.final_poly)
+    bad2.fri.final_poly = bad2.fri.final_poly[: deg // 2] + \
+        [(1, 1)] * (deg - deg // 2)
+    assert not pk.verify(ir, setup.vk(), bad2, CFG)
