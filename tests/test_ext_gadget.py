@@ -48,3 +48,18 @@ def test_broken_chain_rejected(rng):
         cur = sq
     proof = pk.prove(ir, setup, gl.from_int(w), CFG)
     assert not pk.verify(ir, setup.vk(), proof, CFG)
+
+
+def test_inverse_cells(rng):
+    ir = eg.inverse_ir(log_n=5)
+    setup = eg.inverse_setup(ir, CFG, active_rows=8)
+    xs = [int(v) for v in rng.integers(1, 2**62, size=8, dtype=np.uint64)]
+    witness = eg.inverse_witness(ir, xs)
+    proof = pk.prove(ir, setup, witness, CFG)
+    assert pk.verify(ir, setup.vk(), proof, CFG)
+    assert (proof.public_inputs[0] * proof.public_inputs[1]) % gl.P == 1
+    # a wrong inverse on an active row is rejected
+    w = gl.to_u64(witness).astype(object)
+    w[1, 3] = (int(w[1, 3]) + 1) % gl.P
+    bad = pk.prove(ir, setup, gl.from_int(w), CFG)
+    assert not pk.verify(ir, setup.vk(), bad, CFG)

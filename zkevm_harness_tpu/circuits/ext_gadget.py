@@ -70,3 +70,42 @@ def ext_chain_witness(ir: pk.PlonkishIR, a: Tuple[int, int]) -> gl.GF:
 def expected_power(a: Tuple[int, int], log_n: int) -> Tuple[int, int]:
     """a^(2^(n-2+1))? — the chain result at row n-2: a^(2^(n-1))."""
     return fi.epow((int(a[0]) % P, int(a[1]) % P), 1 << ((1 << log_n) - 1))
+
+
+# --------------------------------------------------------------------------
+# Inverse cells (verifier-plan step 2): x * x_inv == 1 constraints
+# --------------------------------------------------------------------------
+
+def inverse_ir(log_n: int) -> pk.PlonkishIR:
+    """Rows of (x, x_inv) with q * (x * x_inv - 1) = 0 — the pattern backing
+    Z_H division, DEEP denominators and FRI fold d-inverses in the recursive
+    verifier (provided-inverse technique: the witness supplies the inverse,
+    the gate enforces it, and x = 0 is unsatisfiable on active rows)."""
+
+    def eval_gates(alg, w, w_next, c):
+        one = alg.add_int(alg.mul_int(w[0], 0), 1)
+        return [alg.mul(c[0], alg.sub(alg.mul(w[0], w[1]), one))]
+
+    n = 1 << log_n
+    return pk.PlonkishIR(log_n=log_n, num_witness=2, num_const=1,
+                         gate_degree=3, num_gate_constraints=1,
+                         eval_gates=eval_gates, copy_chunk=2,
+                         public_input_cells=((0, 0), (1, 0)))
+
+
+def inverse_setup(ir: pk.PlonkishIR, cfg: pk.PlonkishConfig,
+                  active_rows: int) -> pk.PlonkishSetup:
+    n = 1 << ir.log_n
+    q = np.zeros((1, n), dtype=object)
+    q[0, :active_rows] = 1
+    return pk.build_setup(ir, q, pk.identity_permutation(2, n), cfg)
+
+
+def inverse_witness(ir: pk.PlonkishIR, xs: Sequence[int]) -> gl.GF:
+    n = 1 << ir.log_n
+    rows = np.zeros((n, 2), dtype=object)
+    for i, x in enumerate(xs):
+        x = int(x) % P
+        assert x != 0, "cannot build an inverse witness for zero"
+        rows[i] = [x, pow(x, P - 2, P)]
+    return gl.from_int(rows.T)
