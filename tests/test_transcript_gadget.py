@@ -23,6 +23,16 @@ def test_challenges_match_host_transcript(rng):
     got = [(proof.public_inputs[4], proof.public_inputs[5]),
            (proof.public_inputs[6], proof.public_inputs[7])]
     assert got == want
+    # the load-bearing property for the verifier circuit: ONE continuous
+    # host transcript with interleaved absorb/draw yields the same chain
+    # (duplex semantics — drawing does not advance the sponge state)
+    from zkevm_harness_tpu.prover.transcript import Transcript
+    tr = Transcript()
+    tr.absorb_ints(chunks[0])
+    c0 = tr.challenge_ext_ints()
+    tr.absorb_ints(chunks[1])
+    c1 = tr.challenge_ext_ints()
+    assert [c0, c1] == want
     # forged challenge rejected
     forged = list(proof.public_inputs)
     forged[4] = (forged[4] + 1) % gl.P

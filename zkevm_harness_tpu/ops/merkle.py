@@ -80,12 +80,26 @@ def open_indices(tree: MerkleTree, indices: np.ndarray) -> GF:
     return gl.stack(sibs, axis=1) if sibs else gl.zeros((len(indices), 0, DIGEST_WIDTH))
 
 
-def verify_paths(leaf_digests: GF, indices, paths: GF, cap: GF) -> jax.Array:
+def verify_paths(leaf_digests: GF, indices, paths: GF, cap: GF,
+                 n_leaves: int = None, cap_size: int = None) -> jax.Array:
     """Recompute roots from (q,4) leaves + (q,depth,4) sibling paths vs cap.
 
-    Returns a (q,) bool array.
+    Returns a (q,) bool array. When `n_leaves`/`cap_size` are given (every
+    verifier MUST pass them), the proof-supplied geometry is validated
+    against them: path depth must be exactly log2(n_leaves/cap_size), the
+    cap must have exactly cap_size entries, and indices must be in range —
+    otherwise an attacker chooses the tree depth/cap size via the proof and
+    the clamped gathers below silently accept out-of-range cap indices.
     """
-    idx = jnp.asarray(np.asarray(indices, dtype=np.uint32))
+    idx_np = np.asarray(indices, dtype=np.uint64)
+    if n_leaves is not None:
+        assert cap_size is not None
+        expected_depth = (n_leaves // cap_size).bit_length() - 1
+        if (paths.shape[1] != expected_depth or cap.shape[0] != cap_size
+                or leaf_digests.shape[0] != len(idx_np)
+                or (len(idx_np) and int(idx_np.max()) >= n_leaves)):
+            return jnp.zeros((len(idx_np),), dtype=bool)
+    idx = jnp.asarray(idx_np.astype(np.uint32))
     cur = leaf_digests
     depth = paths.shape[1]
     for d in range(depth):

@@ -210,7 +210,9 @@ def fri_verify(proof: FriProof, n0: int, shift: int, tr: Transcript,
         paths_gf = gl.from_int(np.asarray(op.paths, dtype=object))
         cap_gf = gl.from_int(np.asarray(proof.caps[r - 1], dtype=object))
         digests = mk.hash_leaves(leaves_gf)
-        ok = mk.verify_paths(digests, leaf_idx, paths_gf, cap_gf)
+        ok = mk.verify_paths(digests, leaf_idx, paths_gf, cap_gf,
+                             n_leaves=n_r // 2,
+                             cap_size=min(cfg.cap_size, n_r // 2))
         if not bool(np.all(np.asarray(ok))):
             return False
 

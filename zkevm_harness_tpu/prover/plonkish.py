@@ -927,6 +927,44 @@ def _verify_inner(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
     tr.absorb_ints(vk)
     if len(proof.public_inputs) != len(ir.public_input_cells):
         return False
+    # Geometry binding: every absorbed OOD list and every opened row must
+    # have exactly the width implied by the circuit IR (see stark.py — a
+    # prover-chosen width would leave absorbed values unbound by DEEP).
+    n_tables_chk = len(ir.lookup_tables)
+    s2_width = 2 + 2 * (len(chunks) - 1) + n_tables_chk
+    s3_width = (2 + 2 * n_tables_chk + 2 * len(ir.lookup_sets)
+                if ir.lookup_sets else 0)
+    table_width = sum(np.asarray(t).shape[1] for t in ir.lookup_tables)
+    widths_ok = (
+        len(proof.ood_witness) == ir.num_witness
+        and len(proof.ood_witness_next) == ir.num_witness
+        and len(proof.ood_stage2) == s2_width
+        and len(proof.ood_stage2_next) == s2_width
+        and len(proof.ood_stage3) == s3_width
+        and len(proof.ood_stage3_next) == s3_width
+        and len(proof.ood_table) == table_width
+        and len(proof.ood_const) == ir.num_const
+        and len(proof.ood_sigma) == ir.num_witness
+        and len(proof.ood_quotient) == 2 * num_q_chunks)
+    if not widths_ok:
+        return False
+    row_widths = {"witness": ir.num_witness, "stage2": s2_width,
+                  "quotient": 2 * num_q_chunks,
+                  "setup": ir.num_const + ir.num_witness + table_width}
+    if ir.lookup_sets:
+        row_widths["stage3"] = s3_width
+    if set(proof.openings.keys()) != set(row_widths.keys()):
+        return False
+    open_keys = None
+    for name, width in row_widths.items():
+        keys = set(proof.openings[name].keys())
+        if open_keys is None:
+            open_keys = keys
+        if keys != open_keys or set(proof.paths[name].keys()) != open_keys:
+            return False
+        for i in keys:
+            if len(proof.openings[name][i]) != width:
+                return False
     tr.absorb_ints([int(v) for v in proof.public_inputs])
     tr.absorb_ints([int(v) for v in np.asarray(proof.witness_cap, dtype=object).ravel()])
     beta = tr.challenge_ext_ints()
@@ -1077,7 +1115,8 @@ def _verify_inner(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
         pth = gl.from_int(np.stack([np.asarray(proof.paths[name][i], dtype=object)
                                     for i in idx_list]))
         cap_gf = gl.from_int(np.asarray(caps[name], dtype=object))
-        ok = mk.verify_paths(mk.hash_leaves(rows), idx_arr, pth, cap_gf)
+        ok = mk.verify_paths(mk.hash_leaves(rows), idx_arr, pth, cap_gf,
+                             n_leaves=n_comm, cap_size=cfg.cap_size)
         if not bool(np.all(np.asarray(ok))):
             return False
 

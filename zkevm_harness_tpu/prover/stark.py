@@ -344,6 +344,21 @@ def _verify_inner(air: Air, proof: StarkProof, cfg: StarkConfig = StarkConfig())
     num_chunks = max(1, air.constraint_degree)
     tr = Transcript()
 
+    # Geometry binding: every absorbed OOD value must later receive a DEEP
+    # term, and every opened row must have exactly the committed width —
+    # otherwise a prover can commit a narrower quotient and solve the unbound
+    # tail chunk to satisfy the OOD identity for any trace.
+    if (len(proof.ood_trace) != air.width
+            or len(proof.ood_trace_next) != air.width
+            or len(proof.ood_quotient) != 2 * num_chunks):
+        return False
+    for i in proof.trace_openings:
+        if (len(proof.trace_openings[i]) != air.width
+                or len(proof.quotient_openings.get(i, ())) != 2 * num_chunks):
+            return False
+    if set(proof.trace_openings.keys()) != set(proof.quotient_openings.keys()):
+        return False
+
     tr.absorb_ints([int(x) for x in np.asarray(proof.trace_cap, dtype=object).ravel()])
     alpha = tr.challenge_ext_ints()
     tr.absorb_ints([int(x) for x in np.asarray(proof.quotient_cap, dtype=object).ravel()])
@@ -399,7 +414,8 @@ def _verify_inner(air: Air, proof: StarkProof, cfg: StarkConfig = StarkConfig())
         paths_gf = gl.from_int(np.stack([np.asarray(paths[i], dtype=object)
                                          for i in idx_list]))
         cap_gf = gl.from_int(np.asarray(cap_np, dtype=object))
-        ok = mk.verify_paths(mk.hash_leaves(rows), idx_arr, paths_gf, cap_gf)
+        ok = mk.verify_paths(mk.hash_leaves(rows), idx_arr, paths_gf, cap_gf,
+                             n_leaves=n_lde, cap_size=cfg.cap_size)
         if not bool(np.all(np.asarray(ok))):
             return False
 
@@ -423,7 +439,7 @@ def _verify_inner(air: Air, proof: StarkProof, cfg: StarkConfig = StarkConfig())
             gpow = fi.emul(gpow, gamma)
             num = fi.esub((t_row[j], 0), proof.ood_trace_next[j])
             acc = fi.eadd(acc, fi.emul(gpow, fi.emul(num, inv_xzw)))
-        for j in range(len(q_row)):
+        for j in range(2 * num_chunks):
             gpow = fi.emul(gpow, gamma)
             num = fi.esub((q_row[j], 0), proof.ood_quotient[j])
             acc = fi.eadd(acc, fi.emul(gpow, fi.emul(num, inv_xz)))

@@ -45,11 +45,19 @@ class Transcript:
         self._state = gl.from_int(state)
         self._buffer: List[int] = []
         self._squeezed: List[int] = []
+        # duplex semantics: reading challenges does NOT advance the state; a
+        # permutation happens lazily only when more than RATE challenges are
+        # drawn from one state. This keeps the in-circuit transcript replay
+        # (circuits/transcript_gadget.py) a single chained sponge: each
+        # absorb block's output lanes ARE the challenges drawn at that point,
+        # and the next absorption overwrites the rate lanes.
+        self._read_since_permute = False
 
     # -- absorbing ---------------------------------------------------------
 
     def absorb_ints(self, values: Sequence[int]):
         self._squeezed = []  # any new absorption invalidates pending squeeze
+        self._read_since_permute = False
         self._buffer.extend(int(v) % gl.P for v in values)
         n_chunks = len(self._buffer) // RATE
         if n_chunks == 0:
@@ -75,6 +83,7 @@ class Transcript:
         permuted in one scanned dispatch, and the sub-chunk remainder is
         fetched (tiny) into the int buffer."""
         self._squeezed = []
+        self._read_since_permute = False
         flat = gl.GF(values.lo.reshape(-1), values.hi.reshape(-1))
         if self._buffer:
             pre = gl.from_int(list(self._buffer))
@@ -112,9 +121,12 @@ class Transcript:
     def _squeeze_one(self) -> int:
         if not self._squeezed:
             self._flush()
+            if self._read_since_permute:
+                # drawing more than RATE challenges from one state: advance
+                self._state = p2.permute(self._state)
             out = gl.to_ints(self._state)[:RATE]
             self._squeezed = [int(v) for v in out]
-            self._state = p2.permute(self._state)
+            self._read_since_permute = True
         return self._squeezed.pop(0)
 
     def challenge_base(self) -> int:
