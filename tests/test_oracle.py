@@ -66,7 +66,7 @@ def test_artifacts_from_program():
     # memory queue: one write + one read, sorted queue same length
     assert len(art.memory_queue) == 2
     assert len(art.sorted_memory_queue) == 2
-    assert art.memory_queue.tail != (0, 0, 0, 0)
+    assert art.memory_queue.tail != (0,) * 12
     # net storage: slot 1 ends at 100 (write from 0), single write dedup
     assert len(art.deduplicated_storage) == 1
     d = art.deduplicated_storage[0]

@@ -74,10 +74,13 @@ def test_hash_two_to_one_and_elements(rng):
     assert np.all(np.asarray(gl.equal(he, want)))
 
 
-def test_absorb_with_tail_chains(rng):
+def test_full_width_absorb_chains(rng):
     enc = gl.from_int(rng.integers(0, 2**63, size=(2, 8), dtype=np.uint64))
-    tail0 = gl.zeros((2, 4))
-    t1 = p2.absorb_with_tail(enc, tail0)
-    t2 = p2.absorb_with_tail(enc, t1)
-    assert not np.all(np.asarray(gl.equal(t1, t2)))
-    assert t1.shape == (2, 4)
+    s0 = gl.zeros((2, 12))
+    s1 = p2.full_width_absorb(s0, enc)
+    s2 = p2.full_width_absorb(s1, enc)
+    assert not np.all(np.asarray(gl.equal(s1, s2)))
+    assert s1.shape == (2, 12)
+    # manual: overwrite rate lanes then permute
+    manual = p2.permute(gl.concatenate([enc, s0[..., 8:]], axis=-1))
+    assert np.all(np.asarray(gl.equal(s1, manual)))

@@ -20,7 +20,7 @@ def test_leaf_split_shapes():
     q = make_queue(70)  # 70 = 32 + 32 + 6
     tasks = rec.create_leaf_witnesses(1, q)
     assert [t.num_items for t in tasks] == [32, 32, 6]
-    assert tasks[0].queue_head == (0, 0, 0, 0)
+    assert tasks[0].queue_head == (0,) * 12
     assert tasks[0].queue_tail == tuple(tasks[1].queue_head)
     assert tasks[-1].queue_tail == q.tail
     assert tasks[1].proof_indices[0] == 32

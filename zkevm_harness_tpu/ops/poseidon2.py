@@ -125,12 +125,11 @@ def _overwrite(state: GF, values: GF, offset: int) -> GF:
     return GF(lo, hi)
 
 
-def absorb_with_tail(encoding: GF, tail: GF) -> GF:
-    """Queue-simulator step: new_tail = P2([encoding(8) || tail(4)])[:4].
+def full_width_absorb(state: GF, encoding: GF) -> GF:
+    """Full-width queue step: overwrite the rate lanes with the encoding and
+    permute (boojum AbsorptionModeOverwrite as used by
+    FullWidthQueueSimulator, circuit_encodings/src/lib.rs:391-429).
 
-    Mirrors circuit_encodings' width-12 sponge with 4-field tail
-    (circuit_encodings/src/lib.rs:23-120 QueueSimulator).
-    encoding: (..., 8); tail: (..., 4) -> (..., 4).
+    state: (..., 12); encoding: (..., 8) -> new state (..., 12).
     """
-    state = gl.concatenate([encoding, tail], axis=-1)
-    return permute(state)[..., :CAPACITY]
+    return permute(_overwrite(state, encoding, 0))

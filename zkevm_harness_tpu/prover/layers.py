@@ -162,11 +162,12 @@ def prove_leaf_queue_segment(task, cfg: Optional[pk.PlonkishConfig] = None):
                                       config=cfg)
     sd = _SETUP_CACHE[key]
     encs = [[int(v) for v in row] for row in task.encodings]
-    witness = qc.queue_witness(sd.ir, encs, initial_tail=task.queue_head)
+    witness = qc.queue_witness(sd.ir, encs, head=task.queue_head)
     proof = pk.prove(sd.ir, sd.setup, witness, sd.config)
-    # the proven PIs must equal the witness-side queue states
-    assert tuple(proof.public_inputs[:4]) == tuple(task.queue_head)
-    assert tuple(proof.public_inputs[4:8]) == tuple(task.queue_tail)
+    # the proven PIs must equal the witness-side queue states: head capacity
+    # lanes (the only head lanes the chain consumes) + the full 12-lane tail
+    assert tuple(proof.public_inputs[:4]) == tuple(task.queue_head[8:12])
+    assert tuple(proof.public_inputs[4:16]) == tuple(task.queue_tail)
     return proof, sd.vk
 
 
@@ -176,8 +177,8 @@ def verify_leaf_queue_segment(task, proof, vk,
     log_n = (k * qc.ROWS_PER_PERMUTATION).bit_length() - 1
     ir = qc.queue_ir(log_n)
     cfg = cfg or _engine_config(RECURSION_LAYER_PROOF_CONFIG)
-    if tuple(proof.public_inputs[:4]) != tuple(task.queue_head):
+    if tuple(proof.public_inputs[:4]) != tuple(task.queue_head[8:12]):
         return False
-    if tuple(proof.public_inputs[4:8]) != tuple(task.queue_tail):
+    if tuple(proof.public_inputs[4:16]) != tuple(task.queue_tail):
         return False
     return pk.verify(ir, vk, proof, cfg)

@@ -13,8 +13,8 @@ from typing import List, Sequence, Tuple
 
 from ..circuits.types import GeometryConfig  # re-export (sequencer surface)
 from ..vm.environment import LogQuery
-from ..witness.oracle import encode_log_query
-from ..witness.queues import QueueSimulator
+from ..witness.encodings import encode_log_query, encode_memory_query
+from ..witness.queues import FullWidthQueueSimulator, QueueSimulator
 from ..witness.storage_sort import sort_storage_access_queries  # re-export
 
 
@@ -29,10 +29,10 @@ def events_queue_commitment(events: Sequence[LogQuery]) -> Tuple[int, ...]:
 def initial_heap_content_commitment(heap_words: Sequence[int]) -> Tuple[int, ...]:
     """Commitment to the bootloader heap's initial content: the memory-write
     queue tail for the nondeterministic heap preload
-    (commitments.rs initial_heap_content_commitment_fixed)."""
+    (commitments.rs initial_heap_content_commitment_fixed; memory queues are
+    full-width — memory_query.rs:120-128)."""
     from ..vm.environment import MemoryLocation, MemoryQuery
-    from ..witness.oracle import encode_memory_query
-    q = QueueSimulator()
+    q = FullWidthQueueSimulator()
     q.push_many([
         encode_memory_query(MemoryQuery(
             timestamp=0, location=MemoryLocation(2, i), value=int(w) & ((1 << 256) - 1),

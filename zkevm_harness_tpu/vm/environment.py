@@ -47,6 +47,7 @@ class LogQuery:
     written_value: int
     rw_flag: bool
     rollback: bool = False
+    is_service: bool = False
 
 
 AUX_BYTE_STORAGE = 0

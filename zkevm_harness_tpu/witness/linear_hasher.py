@@ -15,19 +15,17 @@ from typing import List, Sequence, Tuple
 
 from ..utils.native import keccak256
 from ..vm.environment import LogQuery
-from .oracle import encode_log_query
+from .encodings import (L2_TO_L1_MESSAGE_BYTE_LENGTH, encode_log_query,
+                        serialize_l2_to_l1_message)
 from .queues import QueueSimulator
 
-L1_MESSAGE_SERIALIZED_LEN = 88  # shard(1)|tx(3)|aux... address(20)|key(32)|value(32)
+L1_MESSAGE_SERIALIZED_LEN = L2_TO_L1_MESSAGE_BYTE_LENGTH  # 88
 
 
 def serialize_l1_message(q: LogQuery) -> bytes:
-    """Stable byte serialization of one L1 message (address/key/value core)."""
-    return (bytes([q.shard_id & 0xFF]) +
-            q.tx_number_in_block.to_bytes(3, "big") +
-            q.address.to_bytes(20, "big") +
-            q.key.to_bytes(32, "big") +
-            q.written_value.to_bytes(32, "big"))
+    """Reference byte serialization (log_query.rs:503-534): shard |
+    is_service | tx(2,BE) | address(20) | key(32) | written_value(32)."""
+    return serialize_l2_to_l1_message(q)
 
 
 @dataclasses.dataclass

@@ -14,9 +14,9 @@ SURVEY component 6 + stack 3.3):
     geometry (FSM continuation splitting, SURVEY §5 long-context) and build
     the per-type recursion queues consumed by the aggregation DAG.
 
-Query -> 8-element encodings are this framework's own stable packing
-(documented per function); the reference's bit-exact packings slot in with
-the gate library.
+Query encodings are the reference's bit-exact packings
+(witness/encodings.py, mirroring circuit_encodings/src/{memory_query,
+log_query,decommittment_request}.rs): injective, every limb < 2^56.
 """
 
 from __future__ import annotations
@@ -29,45 +29,15 @@ from ..vm.environment import (AUX_BYTE_EVENT, AUX_BYTE_L1_MESSAGE,
                               AUX_BYTE_PRECOMPILE, AUX_BYTE_STORAGE,
                               DefaultPrecompilesProcessor, LogQuery,
                               MemoryQuery)
-from ..witness.queues import QueueSimulator
+from ..witness.encodings import (encode_log_query, encode_memory_query,
+                                 memory_sorting_key)
+from ..witness.queues import FullWidthQueueSimulator, QueueSimulator
 from ..witness.recursion import RecursionQueueSimulator, RecursionRequest
 from ..witness.storage_sort import sort_storage_access_queries
 from ..witness.tracer import WitnessTracer
 
 P = 0xFFFFFFFF_00000001
 _M32 = (1 << 32) - 1
-
-
-def encode_log_query(q: LogQuery) -> List[int]:
-    """8-element packing: [ts, aux|flags, addr_lo96.., key.., values folded]."""
-    addr = q.address
-    key = q.key
-    rv = q.read_value
-    wv = q.written_value
-    flags = (q.aux_byte | (0x100 if q.rw_flag else 0)
-             | (0x200 if q.rollback else 0))
-    return [
-        q.timestamp & _M32,
-        flags | ((q.shard_id & 0xFF) << 16) | ((q.tx_number_in_block & 0xFFFF) << 24),
-        addr & ((1 << 63) - 1), (addr >> 63) & ((1 << 63) - 1),
-        key & ((1 << 63) - 1),
-        (key >> 63) ^ ((rv & ((1 << 62) - 1)) << 2) % P,
-        (rv >> 62) % P,
-        (wv % P),
-    ]
-
-
-def encode_memory_query(q: MemoryQuery) -> List[int]:
-    return [
-        q.timestamp & _M32,
-        q.location.page & _M32,
-        q.location.index & _M32,
-        (1 if q.rw_flag else 0) | (2 if q.value_is_pointer else 0),
-        q.value & ((1 << 63) - 1),
-        (q.value >> 63) & ((1 << 63) - 1),
-        (q.value >> 126) & ((1 << 63) - 1),
-        (q.value >> 189),
-    ]
 
 
 @dataclasses.dataclass
@@ -79,10 +49,10 @@ class PerCircuitArtifacts:
 
 @dataclasses.dataclass
 class BlockArtifacts:
-    log_queue: QueueSimulator  # full rollback-resolved log queue
+    log_queue: QueueSimulator  # full rollback-resolved log queue (narrow, 20)
     demuxed: Dict[int, List[Tuple[int, LogQuery]]]
-    memory_queue: QueueSimulator
-    sorted_memory_queue: QueueSimulator
+    memory_queue: FullWidthQueueSimulator
+    sorted_memory_queue: FullWidthQueueSimulator
     deduplicated_storage: List[LogQuery]
     deduplicated_events: List[LogQuery]
     deduplicated_l1_messages: List[LogQuery]
@@ -137,14 +107,14 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
     # 2. demux
     demuxed = demux_log_queue(log_entries)
 
-    # 3. memory queues (unsorted + sorted by (page, index, timestamp))
-    memory_queue = QueueSimulator()
+    # 3. memory queues (unsorted + sorted by (page, index, timestamp) — the
+    # reference's memory sorting key, memory_query.rs:6-14)
+    memory_queue = FullWidthQueueSimulator()
     memory_queue.push_many([encode_memory_query(q)
                             for _, q in tracer.memory_queries])
     sorted_mem = sorted((q for _, q in tracer.memory_queries),
-                        key=lambda q: (q.location.page, q.location.index,
-                                       q.timestamp))
-    sorted_memory_queue = QueueSimulator()
+                        key=memory_sorting_key)
+    sorted_memory_queue = FullWidthQueueSimulator()
     sorted_memory_queue.push_many([encode_memory_query(q) for q in sorted_mem])
 
     # 4. dedups

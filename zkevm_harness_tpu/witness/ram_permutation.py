@@ -25,8 +25,9 @@ import numpy as np
 from ..ops import goldilocks as gl
 from ..prover.transcript import Transcript
 from ..vm.environment import MemoryQuery
-from .oracle import encode_memory_query
-from .queues import QueueSimulator, fs_challenge_terms, grand_product_chain
+from .encodings import encode_memory_query, memory_sorting_key
+from .queues import (FullWidthQueueSimulator, fs_challenge_terms,
+                     grand_product_chain)
 
 P = gl.P
 NUM_CHALLENGES = 9  # 8 encoding elements + gamma offset (reference uses
@@ -61,14 +62,12 @@ def compute_ram_circuit_snapshots(memory_queries: Sequence[MemoryQuery],
     unsorted_enc = np.array([encode_memory_query(q) for q in memory_queries],
                             dtype=object).reshape(-1, 8)
     order = sorted(range(len(memory_queries)),
-                   key=lambda i: (memory_queries[i].location.page,
-                                  memory_queries[i].location.index,
-                                  memory_queries[i].timestamp))
+                   key=lambda i: memory_sorting_key(memory_queries[i]))
     sorted_enc = unsorted_enc[order] if len(order) else unsorted_enc
 
-    unsorted_q = QueueSimulator()
+    unsorted_q = FullWidthQueueSimulator()
     unsorted_q.push_many(unsorted_enc)
-    sorted_q = QueueSimulator()
+    sorted_q = FullWidthQueueSimulator()
     sorted_q.push_many(sorted_enc)
 
     # FS challenges bound to both queue commitments (produce_fs_challenges,

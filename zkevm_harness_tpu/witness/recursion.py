@@ -27,14 +27,14 @@ from ..circuits.types import (BaseLayerCircuitType, RECURSION_ARITY,
                               RecursionLayerCircuitType, leaf_for)
 from ..ops import goldilocks as gl
 from ..ops import poseidon2 as p2
-from .queues import ENCODING_WIDTH, QueueSimulator
+from .queues import FullWidthQueueSimulator, QueueSimulator
 
 P = gl.P
 
 
 @dataclasses.dataclass(frozen=True)
 class RecursionRequest:
-    """One aggregation request (circuit_encodings recursion_request.rs:40)."""
+    """One aggregation request (circuit_encodings recursion_request.rs:5-28)."""
 
     circuit_type: int
     public_input: Tuple[int, int, int, int]
@@ -43,7 +43,10 @@ class RecursionRequest:
         return [self.circuit_type, *self.public_input, 0, 0, 0]
 
 
-class RecursionQueueSimulator(QueueSimulator):
+class RecursionQueueSimulator(FullWidthQueueSimulator):
+    """Full-width (12-element state) queue of recursion requests
+    (recursion_request.rs:40-46)."""
+
     def push_request(self, req: RecursionRequest):
         self.push(req.encode())
 

@@ -61,7 +61,7 @@ def _hash_log_queries(queries) -> bytes:
 def assemble_scheduler_witness(
         block_number: int, artifacts: BlockArtifacts,
         first_last: Dict[int, Tuple[CircuitInstance, CircuitInstance]],
-        bootloader_heap_tail: Tuple[int, ...] = (0, 0, 0, 0),
+        bootloader_heap_tail: Tuple[int, ...] = (0,) * 12,
 ) -> SchedulerCircuitInstanceWitness:
     aux = BlockAuxilaryOutput(
         rollup_state_diff_for_compression=_hash_log_queries(

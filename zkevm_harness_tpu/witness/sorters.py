@@ -24,8 +24,11 @@ import numpy as np
 from ..ops import goldilocks as gl
 from ..prover.transcript import Transcript
 from ..vm.environment import LogQuery
-from .oracle import dedup_events, encode_log_query
-from .queues import QueueSimulator, fs_challenge_terms, grand_product_chain
+from .encodings import (encode_decommittment_request, encode_log_query,
+                        encode_timestamped_log_query, event_comparison_key)
+from .oracle import dedup_events
+from .queues import (FullWidthQueueSimulator, QueueSimulator,
+                     fs_challenge_terms, grand_product_chain)
 from .storage_sort import sort_storage_access_queries
 
 P = gl.P
@@ -54,17 +57,20 @@ class SorterArtifacts:
 
 
 def _permutation_argument(circuit_type: int, input_enc: np.ndarray,
-                          sorted_enc: np.ndarray, capacity: int
+                          sorted_enc: np.ndarray, capacity: int,
+                          queue_cls=QueueSimulator
                           ) -> Tuple[List[SorterInstanceWitness], QueueSimulator,
                                      QueueSimulator, int, int]:
-    in_q = QueueSimulator()
+    width = input_enc.shape[1]
+    in_q = queue_cls(width=width)
     in_q.push_many(input_enc)
-    srt_q = QueueSimulator()
+    srt_q = queue_cls(width=sorted_enc.shape[1])
     srt_q.push_many(sorted_enc)
 
     tr = Transcript(domain_tag=circuit_type)
     tr.absorb_ints(list(in_q.tail) + list(srt_q.tail) + [len(input_enc)])
-    challenges = gl.from_int([tr.challenge_base() for _ in range(8)])
+    challenges = gl.from_int([tr.challenge_base()
+                              for _ in range(max(width, sorted_enc.shape[1]))])
     gamma = gl.from_int(tr.challenge_base())
 
     n = input_enc.shape[0]
@@ -96,12 +102,16 @@ def _permutation_argument(circuit_type: int, input_enc: np.ndarray,
 
 def compute_events_dedup_and_sort(queries: Sequence[LogQuery], capacity: int,
                                   circuit_type: int = 11) -> SorterArtifacts:
-    """Events (or L1 messages with circuit_type=12) sorter circuit witness."""
+    """Events (or L1 messages with circuit_type=12) sorter circuit witness.
+    Sorted by the event comparison key (timestamp — log_query.rs:94-98),
+    rollbacks ordered after their forwards."""
+    W = 20
     input_enc = np.array([encode_log_query(q) for q in queries],
-                         dtype=object).reshape(-1, 8)
-    sorted_qs = sorted(queries, key=lambda q: (q.timestamp, q.rollback))
+                         dtype=object).reshape(-1, W)
+    sorted_qs = sorted(queries, key=lambda q: (event_comparison_key(q),
+                                               q.rollback))
     sorted_enc = np.array([encode_log_query(q) for q in sorted_qs],
-                          dtype=object).reshape(-1, 8)
+                          dtype=object).reshape(-1, W)
     instances, in_q, srt_q, lhs, rhs = _permutation_argument(
         circuit_type, input_enc, sorted_enc, capacity)
     out_q = QueueSimulator()
@@ -111,12 +121,18 @@ def compute_events_dedup_and_sort(queries: Sequence[LogQuery], capacity: int,
 
 def compute_storage_dedup_and_sort(queries: Sequence[LogQuery], capacity: int
                                    ) -> SorterArtifacts:
-    """Storage sorter circuit witness (circuit type 9)."""
-    input_enc = np.array([encode_log_query(q) for q in queries],
-                         dtype=object).reshape(-1, 8)
+    """Storage sorter circuit witness (circuit type 9). Both sides of the
+    permutation argument carry the extended enumeration timestamp
+    (TimestampedStorageLogRecord — log_query.rs:400-427), so the sorted
+    queue's encodings are a true permutation of the input queue's."""
+    W = 20
+    input_enc = np.array(
+        [encode_timestamped_log_query(q, i) for i, q in enumerate(queries)],
+        dtype=object).reshape(-1, W)
     with_ts, dedup = sort_storage_access_queries(list(queries))
-    sorted_enc = np.array([encode_log_query(e.raw_query) for e in with_ts],
-                          dtype=object).reshape(-1, 8)
+    sorted_enc = np.array(
+        [encode_timestamped_log_query(e.raw_query, e.extended_timestamp)
+         for e in with_ts], dtype=object).reshape(-1, W)
     instances, in_q, srt_q, lhs, rhs = _permutation_argument(
         9, input_enc, sorted_enc, capacity)
     out_q = QueueSimulator()
@@ -128,32 +144,25 @@ def compute_storage_dedup_and_sort(queries: Sequence[LogQuery], capacity: int
 # Decommittment requests sorter (circuit type 2) + decommitter feed (type 3)
 # --------------------------------------------------------------------------
 
-def encode_decommit_query(q) -> List[int]:
-    """8-element packing of a DecommittmentQuery."""
-    return [q.timestamp & 0xFFFFFFFF, q.memory_page & 0xFFFFFFFF,
-            q.decommitted_length & 0xFFFFFFFF, 1 if q.is_fresh else 0,
-            q.hash & ((1 << 63) - 1), (q.hash >> 63) & ((1 << 63) - 1),
-            (q.hash >> 126) & ((1 << 63) - 1), q.hash >> 189]
-
-
 def compute_decommitts_sorter(queries, capacity: int) -> SorterArtifacts:
     """Sort decommit requests by (hash, timestamp); the deduplicated output
     queue keeps only the first (fresh) request per code hash — the feed for
     the code-decommitter circuit (sort_decommit_requests.rs:20,
-    decommit_code.rs:20)."""
-    input_enc = np.array([encode_decommit_query(q) for q in queries],
+    decommit_code.rs:20). Decommit queues are full-width (12-element states,
+    decommittment_request.rs:76-84)."""
+    input_enc = np.array([encode_decommittment_request(q) for q in queries],
                          dtype=object).reshape(-1, 8)
     sorted_qs = sorted(queries, key=lambda q: (q.hash, q.timestamp))
-    sorted_enc = np.array([encode_decommit_query(q) for q in sorted_qs],
+    sorted_enc = np.array([encode_decommittment_request(q) for q in sorted_qs],
                           dtype=object).reshape(-1, 8)
     instances, in_q, srt_q, lhs, rhs = _permutation_argument(
-        2, input_enc, sorted_enc, capacity)
+        2, input_enc, sorted_enc, capacity, queue_cls=FullWidthQueueSimulator)
     seen = set()
     unique = []
     for q in sorted_qs:
         if q.hash not in seen:
             seen.add(q.hash)
             unique.append(q)
-    out_q = QueueSimulator()
-    out_q.push_many([encode_decommit_query(q) for q in unique])
+    out_q = FullWidthQueueSimulator()
+    out_q.push_many([encode_decommittment_request(q) for q in unique])
     return SorterArtifacts(2, instances, out_q, lhs, rhs)
