@@ -3,9 +3,10 @@
 Parity with `compute_ram_circuit_snapshots`
 (src/witness/individual_circuits/ram_permutation.rs:26-120, SURVEY component
 7): sort all memory queries by (location, timestamp), re-simulate the sorted
-queue's Poseidon2 chain, derive Fiat-Shamir challenges from both queue tails,
-and build the two grand-product chains whose equality proves the sorted queue
-is a permutation of the execution-order queue. Long arguments split into
+queue's Poseidon2 chain, derive Fiat-Shamir challenges from both queue tails
+(two independent repetitions, utils.rs:498 produce_fs_challenges), and build
+the grand-product chains whose equality proves the sorted queue is a
+permutation of the execution-order queue. Long arguments split into
 fixed-capacity instances carrying the partial products as hidden FSM state
 (the closed-form-input continuation of SURVEY §5).
 
@@ -18,7 +19,7 @@ pass (PARALLELIZATION_CHUNK_SIZE = 1<<16, utils.rs:552).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -30,8 +31,8 @@ from .queues import (FullWidthQueueSimulator, fs_challenge_terms,
                      grand_product_chain)
 
 P = gl.P
-NUM_CHALLENGES = 9  # 8 encoding elements + gamma offset (reference uses
-# enc_width + 1 challenge tuples per repetition)
+NUM_REPETITIONS = 2  # DEFAULT_NUM_PERMUTATION_ARGUMENT_REPETITIONS
+NUM_CHALLENGES = NUM_REPETITIONS * 9  # per rep: 8 encoding lanes + gamma
 
 
 @dataclasses.dataclass
@@ -41,20 +42,21 @@ class RamPermutationInstanceWitness:
     completion_flag: bool
     unsorted_queue_state: Tuple[Tuple[int, ...], Tuple[int, ...], int]
     sorted_queue_state: Tuple[Tuple[int, ...], Tuple[int, ...], int]
-    lhs_accumulator_in: int
-    lhs_accumulator_out: int
-    rhs_accumulator_in: int
-    rhs_accumulator_out: int
+    # accumulators: (lhs_rep0, rhs_rep0, lhs_rep1, rhs_rep1)
+    accumulators_in: Tuple[int, int, int, int]
+    accumulators_out: Tuple[int, int, int, int]
+    num_items_in: int
     num_items: int
+    unsorted_encodings: np.ndarray  # (num_items, 8)
+    sorted_encodings: np.ndarray    # (num_items, 8)
+    prev_sorted_entry: Optional[Tuple[int, ...]]  # last sorted enc of prev
 
 
 @dataclasses.dataclass
 class RamPermutationArtifacts:
     instances: List[RamPermutationInstanceWitness]
-    challenges: List[int]
-    gamma: int
-    final_lhs: int
-    final_rhs: int
+    challenges: List[int]  # 18 values: [rep0 x8, gamma0, rep1 x8, gamma1]
+    final_accumulators: Tuple[int, int, int, int]
 
 
 def compute_ram_circuit_snapshots(memory_queries: Sequence[MemoryQuery],
@@ -71,26 +73,33 @@ def compute_ram_circuit_snapshots(memory_queries: Sequence[MemoryQuery],
     sorted_q.push_many(sorted_enc)
 
     # FS challenges bound to both queue commitments (produce_fs_challenges,
-    # utils.rs:498-550 — the reference derives them from the queue tails)
+    # utils.rs:498-550 — derived from the queue tails), 2 repetitions
     tr = Transcript(domain_tag=8)  # RAM_PERMUTATION circuit type
     tr.absorb_ints(list(unsorted_q.tail) + list(sorted_q.tail)
                    + [len(memory_queries)])
-    challenges = [tr.challenge_base() for _ in range(8)]
-    gamma = tr.challenge_base()
+    challenges: List[int] = [tr.challenge_base() for _ in range(NUM_CHALLENGES)]
 
     n = len(memory_queries)
     if n == 0:
-        return RamPermutationArtifacts([], challenges, gamma, 1, 1)
+        return RamPermutationArtifacts([], challenges, (1, 1, 1, 1))
 
-    ch_gf = gl.from_int(challenges)
-    gamma_gf = gl.from_int(gamma)
-    lhs_terms = fs_challenge_terms(gl.from_int(unsorted_enc), ch_gf, gamma_gf)
-    rhs_terms = fs_challenge_terms(gl.from_int(sorted_enc), ch_gf, gamma_gf)
-    lhs_chain = [int(v) for v in gl.to_u64(grand_product_chain(lhs_terms))]
-    rhs_chain = [int(v) for v in gl.to_u64(grand_product_chain(rhs_terms))]
+    chains = []  # lhs0, rhs0, lhs1, rhs1
+    for rep in range(NUM_REPETITIONS):
+        ch_gf = gl.from_int(challenges[rep * 9:rep * 9 + 8])
+        gamma_gf = gl.from_int(challenges[rep * 9 + 8])
+        for enc in (unsorted_enc, sorted_enc):
+            terms = fs_challenge_terms(gl.from_int(enc), ch_gf, gamma_gf)
+            chains.append([int(v) for v in
+                           gl.to_u64(grand_product_chain(terms))])
+    lhs0, rhs0, lhs1, rhs1 = chains[0], chains[1], chains[2], chains[3]
 
     u_tails = unsorted_q.tails()
     s_tails = sorted_q.tails()
+
+    def accs(idx: int) -> Tuple[int, int, int, int]:
+        if idx < 0:
+            return (1, 1, 1, 1)
+        return (lhs0[idx], rhs0[idx], lhs1[idx], rhs1[idx])
 
     instances = []
     n_inst = -(-n // capacity)
@@ -105,11 +114,14 @@ def compute_ram_circuit_snapshots(memory_queries: Sequence[MemoryQuery],
                                   tuple(int(v) for v in u_tails[hi]), hi - lo),
             sorted_queue_state=(tuple(int(v) for v in s_tails[lo]),
                                 tuple(int(v) for v in s_tails[hi]), hi - lo),
-            lhs_accumulator_in=lhs_chain[lo - 1] if lo else 1,
-            lhs_accumulator_out=lhs_chain[hi - 1],
-            rhs_accumulator_in=rhs_chain[lo - 1] if lo else 1,
-            rhs_accumulator_out=rhs_chain[hi - 1],
-            num_items=hi - lo))
+            accumulators_in=accs(lo - 1),
+            accumulators_out=accs(hi - 1),
+            num_items_in=lo,
+            num_items=hi - lo,
+            unsorted_encodings=unsorted_enc[lo:hi],
+            sorted_encodings=sorted_enc[lo:hi],
+            prev_sorted_entry=(tuple(int(v) for v in sorted_enc[lo - 1])
+                               if lo else None)))
     return RamPermutationArtifacts(
-        instances=instances, challenges=challenges, gamma=gamma,
-        final_lhs=lhs_chain[-1], final_rhs=rhs_chain[-1])
+        instances=instances, challenges=challenges,
+        final_accumulators=accs(n - 1))
