@@ -7,15 +7,49 @@ from zkevm_harness_tpu.utils.data_source import InMemoryDataSource
 
 def test_base_layer_roundtrip():
     src = InMemoryDataSource()
-    sd = ly.create_base_layer_setup_data(8, src)  # RAM permutation slot
-    assert src.get_base_layer_vk(8) == sd.vk
+    sd = ly.create_base_layer_setup_data(1, src)  # MainVM stand-in slot
+    assert src.get_base_layer_vk(1) == sd.vk
     # setup reused across instances (cache identity)
-    assert ly.create_base_layer_setup_data(8) is sd
+    assert ly.create_base_layer_setup_data(1) is sd
     witness = fl.flagship_witness(sd.ir)
-    proof = ly.prove_base_layer_circuit(8, witness)
-    assert ly.verify_base_layer_proof(8, proof)
+    proof = ly.prove_base_layer_circuit(1, witness)
+    assert ly.verify_base_layer_proof(1, proof)
     # wrong-type verify fails (different setup/vk)
-    assert not ly.verify_base_layer_proof(8, proof, vk=[0] * len(sd.vk))
+    assert not ly.verify_base_layer_proof(1, proof, vk=[0] * len(sd.vk))
+    # type 8 is REAL now: no flagship stand-in row may exist for it
+    assert 8 not in ly.BASE_REGISTRY
+
+
+def test_ram_instance_surface(rng):
+    """prove_ram_instance/verify_ram_instance over decomposer payloads."""
+    import numpy as np
+
+    from zkevm_harness_tpu.vm.environment import MemoryLocation, MemoryQuery
+    from zkevm_harness_tpu.witness import ram_permutation as rp
+
+    qs = []
+    mem = {}
+    for i in range(6):
+        page, index = int(rng.integers(1, 3)), int(rng.integers(0, 4))
+        write = bool(rng.integers(0, 2))
+        value = (int.from_bytes(rng.bytes(8), "little") if write
+                 else mem.get((page, index), 0))
+        if write:
+            mem[(page, index)] = value
+        qs.append(MemoryQuery(timestamp=8 + 2 * i,
+                              location=MemoryLocation(page, index),
+                              value=value, rw_flag=write))
+    cap = 4
+    art = rp.compute_ram_circuit_snapshots(qs, capacity=cap)
+    assert len(art.instances) == 2
+    src = InMemoryDataSource()
+    for inst_w in art.instances:
+        proof = ly.prove_ram_instance(inst_w, art.challenges, cap, src)
+        assert ly.verify_ram_instance(inst_w, art.challenges, cap, proof)
+    assert src.get_base_layer_vk(8) is not None
+    # a proof does not verify against the OTHER instance's payload
+    assert not ly.verify_ram_instance(art.instances[0], art.challenges, cap,
+                                      proof)
 
 
 def test_leaf_queue_segment_proof():

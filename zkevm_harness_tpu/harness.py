@@ -94,11 +94,30 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
                 (prove_mode == "spot" and task.kind == "base"
                  and task.circuit_type in spot_types))
         if real and task.kind == "base":
-            sd = ly.create_base_layer_setup_data(task.circuit_type, source)
+            ctype = task.circuit_type
+            if ctype in ly.REAL_BASE_CIRCUITS:
+                # witness->column synthesis from the decomposer's instance
+                # payload: the proven columns ARE the block's trace
+                ram = artifacts.ram_permutation
+                if task.index < len(ram.instances):
+                    inst_w = ram.instances[task.index]
+                    cap = geometry.cycles_per_ram_permutation
+                    proof = ly.prove_ram_instance(inst_w, ram.challenges,
+                                                  cap, source)
+                    assert ly.verify_ram_instance(inst_w, ram.challenges,
+                                                  cap, proof), \
+                        "verify-after-prove failed"
+                    return {"kind": task.kind, "real": True,
+                            "circuit_type": ctype,
+                            "public_inputs": proof.public_inputs}
+                # empty argument: no decomposer instance to prove
+                return {"kind": task.kind, "circuit_type": ctype,
+                        "index": task.index, "ndeps": len(deps),
+                        "real": False, "empty": True}
+            sd = ly.create_base_layer_setup_data(ctype, source)
             witness = fl.flagship_witness(sd.ir, seed=task.index)
-            proof = ly.prove_base_layer_circuit(task.circuit_type, witness,
-                                                source)
-            assert ly.verify_base_layer_proof(task.circuit_type, proof), \
+            proof = ly.prove_base_layer_circuit(ctype, witness, source)
+            assert ly.verify_base_layer_proof(ctype, proof), \
                 "verify-after-prove failed"
             return {"kind": task.kind, "real": True,
                     "public_inputs": proof.public_inputs}

@@ -26,6 +26,7 @@ from typing import Callable, Dict, Optional, Tuple
 from ..circuits import flagship as fl
 from ..circuits import poseidon2_circuit as p2c
 from ..circuits import queue_circuit as qc
+from ..circuits import ram_permutation_circuit as rcirc
 from ..circuits.types import (BASE_LAYER_PROOF_CONFIG,
                               RECURSION_LAYER_PROOF_CONFIG, BaseLayerCircuitType,
                               ProofSystemConfig)
@@ -56,11 +57,13 @@ def _queue_factory(log_n: int) -> CircuitFactory:
         make_setup=lambda ir, cfg: qc.queue_setup(ir, cfg))
 
 
-# base-layer registry: every type currently routes to the MainVM-shaped
-# geometry (stand-in documented above); per-type gate sets replace these rows.
+# base-layer registry: types WITHOUT a real gate set route to the
+# MainVM-shaped flagship stand-in; real circuits (REAL_BASE_CIRCUITS below)
+# are served by their own setup/prove/verify adapters instead.
 _TEST_LOG_N = 8
 BASE_REGISTRY: Dict[int, CircuitFactory] = {
     int(t): _flagship_factory(_TEST_LOG_N, 16) for t in BaseLayerCircuitType
+    if t != BaseLayerCircuitType.RAM_PERMUTATION
 }
 RECURSION_REGISTRY: Dict[int, CircuitFactory] = {
     1: _queue_factory(_TEST_LOG_N),     # scheduler stand-in
@@ -136,6 +139,72 @@ def prove_recursion_layer_circuit(circuit_type: int, witness, source=None):
 def verify_recursion_layer_proof(circuit_type: int, proof, vk=None) -> bool:
     sd = create_recursive_layer_setup_data(circuit_type)
     return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
+
+
+# -- real base circuits: decomposer witness -> columns -> proof -------------
+#
+# Each entry maps a base circuit type to an adapter that turns the witness
+# decomposer's per-instance payload into proven columns (the
+# witness->synthesis path of prover_utils.rs:231-336). Types without an
+# adapter still go through the flagship stand-in.
+
+def ram_geometry_for_capacity(capacity: int) -> rcirc.RamGeometry:
+    """Smallest trace covering `capacity` queries per instance: n >= 256 for
+    the byte lookup table; sponge tiles sized so tiles*n/32 >= capacity and
+    the dense region (capacity + 1 rows) still fits."""
+    log_n = 8
+    while True:
+        n = 1 << log_n
+        tiles = max(1, -(-capacity * rcirc.ROWS_PER_PERMUTATION // n))
+        geo = rcirc.RamGeometry(log_n, tiles)
+        if geo.capacity >= capacity and geo.capacity + 1 <= n:
+            return geo
+        log_n += 1
+
+
+def ram_setup_data(capacity: int,
+                   psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
+                   source=None) -> Tuple[SetupData, rcirc.RamGeometry]:
+    geo = ram_geometry_for_capacity(capacity)
+    key = ("base_ram", geo.log_n, geo.tiles_per_queue)
+    if key not in _SETUP_CACHE:
+        ir = rcirc.ram_ir(geo.log_n, geo.tiles_per_queue)
+        cfg = _engine_config(psc)
+        setup = rcirc.ram_setup(ir, geo, cfg)
+        _SETUP_CACHE[key] = SetupData(ir=ir, setup=setup, vk=setup.vk(),
+                                      config=cfg)
+    sd = _SETUP_CACHE[key]
+    if source is not None:
+        source.set_base_layer_vk(sd.vk, int(BaseLayerCircuitType.RAM_PERMUTATION))
+    return sd, geo
+
+
+def prove_ram_instance(inst_w, challenges, capacity: int, source=None):
+    """Prove ONE RamPermutationInstanceWitness from the decomposer; the
+    proof's public inputs are checked against the instance payload before
+    returning (expected-public-input assert,
+    circuit_definitions/src/circuit_definitions/mod.rs:139-147)."""
+    sd, geo = ram_setup_data(capacity, source=source)
+    inst = rcirc.instance_inputs(inst_w, challenges)
+    witness = rcirc.ram_witness(sd.ir, geo, inst)
+    proof = pk.prove(sd.ir, sd.setup, witness, sd.config)
+    expected = rcirc.instance_public_inputs(geo, inst_w, challenges)
+    assert [int(v) for v in proof.public_inputs] == \
+        [int(v) % pk.gl.P for v in expected], "instance PI mismatch"
+    return proof
+
+
+def verify_ram_instance(inst_w, challenges, capacity: int, proof,
+                        vk=None) -> bool:
+    sd, geo = ram_setup_data(capacity)
+    expected = rcirc.instance_public_inputs(geo, inst_w, challenges)
+    if [int(v) for v in proof.public_inputs] != \
+            [int(v) % pk.gl.P for v in expected]:
+        return False
+    return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
+
+
+REAL_BASE_CIRCUITS = {int(BaseLayerCircuitType.RAM_PERMUTATION)}
 
 
 # -- real leaf queue-segment proofs ----------------------------------------

@@ -32,6 +32,8 @@ from ..vm.environment import (AUX_BYTE_EVENT, AUX_BYTE_L1_MESSAGE,
 from ..witness.encodings import (encode_log_query, encode_memory_query,
                                  memory_sorting_key)
 from ..witness.queues import FullWidthQueueSimulator, QueueSimulator
+from ..witness.ram_permutation import (RamPermutationArtifacts,
+                                       compute_ram_circuit_snapshots)
 from ..witness.recursion import RecursionQueueSimulator, RecursionRequest
 from ..witness.storage_sort import sort_storage_access_queries
 from ..witness.tracer import WitnessTracer
@@ -58,6 +60,9 @@ class BlockArtifacts:
     deduplicated_l1_messages: List[LogQuery]
     per_circuit: Dict[int, PerCircuitArtifacts]
     recursion_queues: Dict[int, RecursionQueueSimulator]
+    # per-type decomposer outputs consumed by the REAL base circuits
+    # (witness->column synthesis; ram_permutation.rs:26-120)
+    ram_permutation: RamPermutationArtifacts = None
 
 
 def _instances_for(count: int, capacity: int) -> int:
@@ -167,9 +172,12 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
             rq.push_request(RecursionRequest(int(ctype), (idx, 0, 0, 0)))
         recursion_queues[int(ctype)] = rq
 
+    ram_art = compute_ram_circuit_snapshots(
+        [q for _, q in tracer.memory_queries], g.cycles_per_ram_permutation)
+
     return BlockArtifacts(
         log_queue=log_queue, demuxed=demuxed, memory_queue=memory_queue,
         sorted_memory_queue=sorted_memory_queue,
         deduplicated_storage=dedup_storage, deduplicated_events=dedup_ev,
         deduplicated_l1_messages=dedup_l1, per_circuit=per_circuit,
-        recursion_queues=recursion_queues)
+        recursion_queues=recursion_queues, ram_permutation=ram_art)
