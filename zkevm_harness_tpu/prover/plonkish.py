@@ -180,10 +180,33 @@ def identity_permutation(num_witness: int, n: int) -> np.ndarray:
 
 
 def apply_copy_cycles(perm: np.ndarray, cycles: Sequence[Sequence[Tuple[int, int]]]):
-    """Wire cells into cycles: each cycle is [(col,row), ...]; successor links."""
+    """Wire cells into copy cycles: each cycle is [(col,row), ...].
+
+    Uses swap-based merging (sigma(a), sigma(b) = sigma(b), sigma(a)) with a
+    union-find guard so a cell shared by several declared cycles merges them
+    into ONE orbit instead of overwriting its successor link (which would
+    silently break the bijection and unsound the copy argument). For disjoint
+    well-formed cycles this produces exactly the naive successor links."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
     for cycle in cycles:
-        for (c0, r0), (c1, r1) in zip(cycle, cycle[1:] + [cycle[0]]):
-            perm[c0, r0] = (c1, r1)
+        for a, b in zip(cycle, cycle[1:]):
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            parent[ra] = rb
+            sa = (int(perm[a[0], a[1], 0]), int(perm[a[0], a[1], 1]))
+            sb = (int(perm[b[0], b[1], 0]), int(perm[b[0], b[1], 1]))
+            perm[a[0], a[1]] = sb
+            perm[b[0], b[1]] = sa
     return perm
 
 

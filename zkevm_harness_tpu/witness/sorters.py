@@ -141,6 +141,143 @@ def compute_storage_dedup_and_sort(queries: Sequence[LogQuery], capacity: int
 
 
 # --------------------------------------------------------------------------
+# Full per-instance circuit witness for the events/L1-messages sorter
+# (the decomposer->columns payload consumed by
+# circuits/events_sorter_circuit.py; events_sort_dedup.rs:16 behavior)
+# --------------------------------------------------------------------------
+
+EVENTS_NUM_REPETITIONS = 2
+EVENTS_ENC_W = 20
+EVENTS_NUM_CHALLENGES = EVENTS_NUM_REPETITIONS * (EVENTS_ENC_W + 1)  # 42
+
+
+@dataclasses.dataclass
+class EventsCircuitInstance:
+    index: int
+    start_flag: bool
+    completion_flag: bool
+    input_queue_state: Tuple[Tuple[int, ...], Tuple[int, ...], int]
+    sorted_queue_state: Tuple[Tuple[int, ...], Tuple[int, ...], int]
+    output_queue_state: Tuple[Tuple[int, ...], Tuple[int, ...], int]
+    accumulators_in: Tuple[int, int, int, int]
+    accumulators_out: Tuple[int, int, int, int]
+    num_items_in: int
+    num_items: int
+    out_items_in: int
+    out_items: int
+    input_encodings: np.ndarray   # (num_items, 20)
+    sorted_encodings: np.ndarray  # (num_items, 20)
+    prev_ts: int
+
+
+@dataclasses.dataclass
+class EventsCircuitArtifacts:
+    circuit_type: int
+    instances: List[EventsCircuitInstance]
+    challenges: List[int]          # 42
+    output_queue: QueueSimulator   # deduplicated result queue
+    final_accumulators: Tuple[int, int, int, int]
+
+
+def _event_ts(enc: Sequence[int]) -> int:
+    return int(enc[16]) & 0xFFFFFFFF
+
+
+def compute_events_circuit_artifacts(queries: Sequence[LogQuery],
+                                     capacity: int,
+                                     circuit_type: int = 11
+                                     ) -> EventsCircuitArtifacts:
+    """Full circuit-instance payloads for the events (11) / L1-messages (12)
+    sorter: 2-repetition permutation argument, per-instance queue segments
+    for all three queues, and SAFE-SPLIT boundaries (an instance never starts
+    with the rollback half of a cancellation pair — the circuit enforces this
+    via its first-row constraint)."""
+    n = len(queries)
+    input_enc = np.array([encode_log_query(q) for q in queries],
+                         dtype=object).reshape(-1, EVENTS_ENC_W)
+    sorted_qs = sorted(queries, key=lambda q: (event_comparison_key(q),
+                                               q.rollback))
+    sorted_enc = np.array([encode_log_query(q) for q in sorted_qs],
+                          dtype=object).reshape(-1, EVENTS_ENC_W)
+
+    in_q = QueueSimulator()
+    in_q.push_many(input_enc)
+    srt_q = QueueSimulator()
+    srt_q.push_many(sorted_enc)
+
+    tr = Transcript(domain_tag=circuit_type)
+    tr.absorb_ints(list(in_q.tail) + list(srt_q.tail) + [n])
+    challenges = [tr.challenge_base() for _ in range(EVENTS_NUM_CHALLENGES)]
+
+    # emission flags over the sorted stream (dedup_events semantics)
+    ts_seq = [_event_ts(e) for e in sorted_enc]
+    rb_seq = [int(e[19]) & 1 for e in sorted_enc]
+    emit = [0] * n
+    for j in range(n):
+        cancelled = (j + 1 < n and ts_seq[j + 1] == ts_seq[j])
+        emit[j] = 1 if (rb_seq[j] == 0 and not cancelled) else 0
+    out_q = QueueSimulator()
+    out_q.push_many([sorted_enc[j] for j in range(n) if emit[j]])
+
+    # grand-product chains (2 repetitions)
+    chains = []
+    if n:
+        for rep in range(EVENTS_NUM_REPETITIONS):
+            base = rep * (EVENTS_ENC_W + 1)
+            ch_gf = gl.from_int(challenges[base:base + EVENTS_ENC_W])
+            gm = gl.from_int(challenges[base + EVENTS_ENC_W])
+            for enc in (input_enc, sorted_enc):
+                terms = fs_challenge_terms(gl.from_int(enc), ch_gf, gm)
+                chains.append([int(v) for v in
+                               gl.to_u64(grand_product_chain(terms))])
+
+    def accs(idx: int) -> Tuple[int, int, int, int]:
+        if idx < 0 or not chains:
+            return (1, 1, 1, 1)
+        return (chains[0][idx], chains[1][idx], chains[2][idx], chains[3][idx])
+
+    # safe-split boundaries
+    bounds = [0]
+    while bounds[-1] < n:
+        b = min(bounds[-1] + capacity, n)
+        if b < n and ts_seq[b] == ts_seq[b - 1]:
+            b -= 1
+        assert b > bounds[-1], "capacity too small to safe-split"
+        bounds.append(b)
+    if n == 0:
+        bounds = [0, 0]
+
+    in_tails = in_q.tails()
+    srt_tails = srt_q.tails()
+    out_tails = out_q.tails()
+    emit_prefix = np.concatenate([[0], np.cumsum(emit)]) if n else [0, 0]
+
+    instances = []
+    n_inst = len(bounds) - 1
+    for i in range(n_inst):
+        lo, hi = bounds[i], bounds[i + 1]
+        olo, ohi = int(emit_prefix[lo]), int(emit_prefix[hi])
+        instances.append(EventsCircuitInstance(
+            index=i, start_flag=(i == 0), completion_flag=(i == n_inst - 1),
+            input_queue_state=(tuple(int(v) for v in in_tails[lo]),
+                               tuple(int(v) for v in in_tails[hi]), hi - lo),
+            sorted_queue_state=(tuple(int(v) for v in srt_tails[lo]),
+                                tuple(int(v) for v in srt_tails[hi]), hi - lo),
+            output_queue_state=(tuple(int(v) for v in out_tails[olo]),
+                                tuple(int(v) for v in out_tails[ohi]),
+                                ohi - olo),
+            accumulators_in=accs(lo - 1), accumulators_out=accs(hi - 1),
+            num_items_in=lo, num_items=hi - lo,
+            out_items_in=olo, out_items=ohi - olo,
+            input_encodings=input_enc[lo:hi],
+            sorted_encodings=sorted_enc[lo:hi],
+            prev_ts=ts_seq[lo - 1] if lo else 0))
+    return EventsCircuitArtifacts(
+        circuit_type=circuit_type, instances=instances, challenges=challenges,
+        output_queue=out_q, final_accumulators=accs(n - 1))
+
+
+# --------------------------------------------------------------------------
 # Decommittment requests sorter (circuit type 2) + decommitter feed (type 3)
 # --------------------------------------------------------------------------
 
