@@ -43,3 +43,22 @@ def test_spot_proving_block_flow():
     assert base8["real"] and "public_inputs" in base8
     base1 = res.source.get_base_layer_proof(1, 0)
     assert not base1["real"]
+
+
+def test_spot_proving_events_sorters():
+    # real proofs for the events (11) and L1-messages (12) sorter slots,
+    # driven by the block's actual event log through the decomposer
+    res = harness.run_block(BLOCK, prove_mode="spot", spot_types=(11, 12))
+    for ctype in (11, 12):
+        base = res.source.get_base_layer_proof(ctype, 0)
+        assert base["real"] and "public_inputs" in base
+        # the proven PIs carry the decomposer's real queue tails
+        art = (res.artifacts.events_sorter if ctype == 11
+               else res.artifacts.l1_messages_sorter)
+        pis = base["public_inputs"]
+        from zkevm_harness_tpu.circuits import events_sorter_circuit as ec
+        k = ec.NUM_CHALLENGES
+        inst = art.instances[0]
+        assert tuple(int(v) for v in pis[k:k + 4]) == \
+            tuple(int(v) % (2**64 - 2**32 + 1)
+                  for v in inst.input_queue_state[0])

@@ -98,18 +98,34 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
             if ctype in ly.REAL_BASE_CIRCUITS:
                 # witness->column synthesis from the decomposer's instance
                 # payload: the proven columns ARE the block's trace
-                ram = artifacts.ram_permutation
-                if task.index < len(ram.instances):
-                    inst_w = ram.instances[task.index]
-                    cap = geometry.cycles_per_ram_permutation
-                    proof = ly.prove_ram_instance(inst_w, ram.challenges,
-                                                  cap, source)
-                    assert ly.verify_ram_instance(inst_w, ram.challenges,
-                                                  cap, proof), \
-                        "verify-after-prove failed"
-                    return {"kind": task.kind, "real": True,
-                            "circuit_type": ctype,
-                            "public_inputs": proof.public_inputs}
+                if ctype == 8:
+                    ram = artifacts.ram_permutation
+                    if task.index < len(ram.instances):
+                        inst_w = ram.instances[task.index]
+                        cap = geometry.cycles_per_ram_permutation
+                        proof = ly.prove_ram_instance(inst_w, ram.challenges,
+                                                      cap, source)
+                        assert ly.verify_ram_instance(inst_w, ram.challenges,
+                                                      cap, proof), \
+                            "verify-after-prove failed"
+                        return {"kind": task.kind, "real": True,
+                                "circuit_type": ctype,
+                                "public_inputs": proof.public_inputs}
+                elif ctype in (11, 12):
+                    art = (artifacts.events_sorter if ctype == 11
+                           else artifacts.l1_messages_sorter)
+                    if task.index < len(art.instances):
+                        inst_w = art.instances[task.index]
+                        cap = geometry.cycles_per_events_or_l1_messages_sorter
+                        proof = ly.prove_events_instance(
+                            inst_w, art.challenges, cap, source,
+                            circuit_type=ctype)
+                        assert ly.verify_events_instance(
+                            inst_w, art.challenges, cap, proof,
+                            circuit_type=ctype), "verify-after-prove failed"
+                        return {"kind": task.kind, "real": True,
+                                "circuit_type": ctype,
+                                "public_inputs": proof.public_inputs}
                 # empty argument: no decomposer instance to prove
                 return {"kind": task.kind, "circuit_type": ctype,
                         "index": task.index, "ndeps": len(deps),

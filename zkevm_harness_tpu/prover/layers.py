@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Dict, Optional, Tuple
 
+from ..circuits import events_sorter_circuit as ecirc
 from ..circuits import flagship as fl
 from ..circuits import poseidon2_circuit as p2c
 from ..circuits import queue_circuit as qc
@@ -63,7 +64,9 @@ def _queue_factory(log_n: int) -> CircuitFactory:
 _TEST_LOG_N = 8
 BASE_REGISTRY: Dict[int, CircuitFactory] = {
     int(t): _flagship_factory(_TEST_LOG_N, 16) for t in BaseLayerCircuitType
-    if t != BaseLayerCircuitType.RAM_PERMUTATION
+    if t not in (BaseLayerCircuitType.RAM_PERMUTATION,
+                 BaseLayerCircuitType.EVENTS_SORTER,
+                 BaseLayerCircuitType.L1_MESSAGES_SORTER)
 }
 RECURSION_REGISTRY: Dict[int, CircuitFactory] = {
     1: _queue_factory(_TEST_LOG_N),     # scheduler stand-in
@@ -204,7 +207,69 @@ def verify_ram_instance(inst_w, challenges, capacity: int, proof,
     return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
 
 
-REAL_BASE_CIRCUITS = {int(BaseLayerCircuitType.RAM_PERMUTATION)}
+def events_geometry_for_capacity(capacity: int) -> ecirc.EventsGeometry:
+    """Smallest events-sorter trace covering `capacity` elements per
+    instance: n >= 256 for the byte table; 3 sponge regions of `tiles` tiles
+    each (96 rows per element), one extra slot for the emission lag, and the
+    dense region (capacity + 2 rows incl. the PI row) must fit."""
+    log_n = 8
+    while True:
+        n = 1 << log_n
+        slots_needed = capacity + 1
+        ept = (n // ecirc.nrr.ROWS_PER_PERMUTATION) // ecirc.nrr.CHUNKS
+        tiles = max(1, -(-slots_needed // ept))
+        geo = ecirc.EventsGeometry(log_n, tiles)
+        if geo.capacity >= capacity and geo.capacity + 2 <= n:
+            return geo
+        log_n += 1
+
+
+def events_setup_data(capacity: int,
+                      psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
+                      source=None, circuit_type: int = 11
+                      ) -> Tuple[SetupData, ecirc.EventsGeometry]:
+    geo = events_geometry_for_capacity(capacity)
+    key = ("base_events", geo.log_n, geo.tiles)
+    if key not in _SETUP_CACHE:
+        ir = ecirc.events_ir(geo.log_n, geo.tiles)
+        cfg = _engine_config(psc)
+        setup = ecirc.events_setup(ir, geo, cfg)
+        _SETUP_CACHE[key] = SetupData(ir=ir, setup=setup, vk=setup.vk(),
+                                      config=cfg)
+    sd = _SETUP_CACHE[key]
+    if source is not None:
+        source.set_base_layer_vk(sd.vk, int(circuit_type))
+    return sd, geo
+
+
+def prove_events_instance(inst_w, challenges, capacity: int, source=None,
+                          circuit_type: int = 11):
+    """Prove ONE EventsCircuitInstance from the decomposer (types 11/12 share
+    the gate set; only the FS domain tag in the challenges differs)."""
+    sd, geo = events_setup_data(capacity, source=source,
+                                circuit_type=circuit_type)
+    inst = ecirc.instance_inputs(inst_w, challenges)
+    witness = ecirc.events_witness(sd.ir, geo, inst)
+    proof = pk.prove(sd.ir, sd.setup, witness, sd.config)
+    expected = ecirc.instance_public_inputs(geo, inst_w, challenges)
+    assert [int(v) for v in proof.public_inputs] == \
+        [int(v) % pk.gl.P for v in expected], "instance PI mismatch"
+    return proof
+
+
+def verify_events_instance(inst_w, challenges, capacity: int, proof,
+                           vk=None, circuit_type: int = 11) -> bool:
+    sd, geo = events_setup_data(capacity, circuit_type=circuit_type)
+    expected = ecirc.instance_public_inputs(geo, inst_w, challenges)
+    if [int(v) for v in proof.public_inputs] != \
+            [int(v) % pk.gl.P for v in expected]:
+        return False
+    return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
+
+
+REAL_BASE_CIRCUITS = {int(BaseLayerCircuitType.RAM_PERMUTATION),
+                      int(BaseLayerCircuitType.EVENTS_SORTER),
+                      int(BaseLayerCircuitType.L1_MESSAGES_SORTER)}
 
 
 # -- real leaf queue-segment proofs ----------------------------------------

@@ -61,8 +61,11 @@ class BlockArtifacts:
     per_circuit: Dict[int, PerCircuitArtifacts]
     recursion_queues: Dict[int, RecursionQueueSimulator]
     # per-type decomposer outputs consumed by the REAL base circuits
-    # (witness->column synthesis; ram_permutation.rs:26-120)
+    # (witness->column synthesis; ram_permutation.rs:26-120,
+    # events_sort_dedup.rs:16)
     ram_permutation: RamPermutationArtifacts = None
+    events_sorter: "EventsCircuitArtifacts" = None
+    l1_messages_sorter: "EventsCircuitArtifacts" = None
 
 
 def _instances_for(count: int, capacity: int) -> int:
@@ -130,6 +133,13 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
 
     # 5. per-circuit instance counts at geometry capacities
     g = geometry
+    from ..witness.sorters import compute_events_circuit_artifacts
+    ev_art = compute_events_circuit_artifacts(
+        [q for _, q in demuxed["events"]],
+        g.cycles_per_events_or_l1_messages_sorter, circuit_type=11)
+    l1_art = compute_events_circuit_artifacts(
+        [q for _, q in demuxed["l1"]],
+        g.cycles_per_events_or_l1_messages_sorter, circuit_type=12)
     counts = {
         BaseLayerCircuitType.MAIN_VM:
             (tracer.cycle_counter, g.cycles_per_vm_snapshot),
@@ -151,10 +161,16 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
             (len(storage_qs), g.cycles_per_storage_sorter),
         BaseLayerCircuitType.STORAGE_APPLICATION:
             (len(dedup_storage), g.cycles_per_storage_application),
+        # events/L1 sorters: instance counts come from the decomposer's
+        # SAFE-SPLIT boundaries (may exceed ceil(count/capacity))
         BaseLayerCircuitType.EVENTS_SORTER:
-            (len(demuxed["events"]), g.cycles_per_events_or_l1_messages_sorter),
+            (len(ev_art.instances) *
+             g.cycles_per_events_or_l1_messages_sorter,
+             g.cycles_per_events_or_l1_messages_sorter),
         BaseLayerCircuitType.L1_MESSAGES_SORTER:
-            (len(demuxed["l1"]), g.cycles_per_events_or_l1_messages_sorter),
+            (len(l1_art.instances) *
+             g.cycles_per_events_or_l1_messages_sorter,
+             g.cycles_per_events_or_l1_messages_sorter),
         BaseLayerCircuitType.L1_MESSAGES_HASHER:
             (len(dedup_l1), g.limit_for_l1_messages_pudata_hasher),
     }
@@ -180,4 +196,5 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
         sorted_memory_queue=sorted_memory_queue,
         deduplicated_storage=dedup_storage, deduplicated_events=dedup_ev,
         deduplicated_l1_messages=dedup_l1, per_circuit=per_circuit,
-        recursion_queues=recursion_queues, ram_permutation=ram_art)
+        recursion_queues=recursion_queues, ram_permutation=ram_art,
+        events_sorter=ev_art, l1_messages_sorter=l1_art)
