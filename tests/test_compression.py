@@ -58,3 +58,45 @@ def test_failed_verification_aborts():
     with pytest.raises(AssertionError):
         cp.wrap_proof({"m": 0}, [0, 0, 0, 0], cp.WrapperConfig(2),
                       prove_fn, verify_fn)
+
+
+def test_real_compression_mode1_of_scheduler_proof():
+    """VERDICT item: scheduler-proof -> mode-1 proof chain with REAL proofs.
+
+    Mode 1 is the synthesized in-circuit verifier proven at the production
+    LDE-32 compression config (compression_modes/mode_1.rs:102-103); its
+    public inputs bind the scheduler VK + scheduler public inputs."""
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    from zkevm_harness_tpu.circuits import queue_circuit as qc
+    from zkevm_harness_tpu.prover import layers as ly
+    from zkevm_harness_tpu.prover import plonkish as pk
+
+    sched_cfg = pk.PlonkishConfig(rate=2, cap_size=4, num_queries=4,
+                                  final_fri_size=8)
+    ir = qc.queue_ir(5)  # tiny scheduler stand-in (one queue block)
+    setup = qc.queue_setup(ir, sched_cfg)
+    W = qc.queue_witness(ir, [[i + 1 for i in range(8)]])
+    sched_proof = pk.prove(ir, setup, W, sched_cfg)
+    assert pk.verify(ir, setup.vk(), sched_proof, sched_cfg)
+
+    chain = ly.CompressionChain(ir, sched_cfg, setup.vk())
+    src = InMemoryDataSource()
+    out = cp.wrap_proof(sched_proof, sched_proof.public_inputs[:4],
+                        cp.WrapperConfig(1), chain.prove_fn, chain.verify_fn,
+                        src)
+    final = out["final_proof"]
+    # mode-1 config is the production LDE 32
+    assert ly.compression_engine_config(1).rate == 32
+    # the compression proof's PIs ARE the scheduler vk + scheduler PIs
+    vk = setup.vk()
+    assert [int(v) for v in final.public_inputs[:len(vk)]] == \
+        [int(v) for v in vk]
+    assert [int(v) for v in final.public_inputs[len(vk):]] == \
+        [int(v) for v in sched_proof.public_inputs]
+    # claiming a different scheduler VK must fail verification
+    import dataclasses as dc
+    bad = dc.replace(final, public_inputs=[(int(final.public_inputs[0]) + 1)
+                                           % (2**64 - 2**32 + 1)]
+                     + list(final.public_inputs[1:]))
+    assert not chain.verify_fn(1, bad, None)

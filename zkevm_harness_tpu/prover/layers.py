@@ -272,6 +272,106 @@ REAL_BASE_CIRCUITS = {int(BaseLayerCircuitType.RAM_PERMUTATION),
                       int(BaseLayerCircuitType.L1_MESSAGES_SORTER)}
 
 
+# -- compression layer: REAL in-circuit verifier proofs ---------------------
+#
+# Mode k's circuit verifies the previous layer's proof in-circuit
+# (reference: aux_layer/compression_modes/mode_{1..5}.rs + the
+# create/prove/verify_compression_layer_* surface, prover_utils.rs:566-711).
+# The circuit is the synthesized verifier (circuits/verifier_circuit.py);
+# mode 1's inner is the scheduler proof, mode k>1's inner is mode k-1's
+# circuit — so the whole chain is real, each link a proof-of-verification.
+
+@dataclasses.dataclass
+class CompressionSetup:
+    sd: SetupData
+    builder: object
+    layout: object
+
+
+def compression_engine_config(mode: int) -> pk.PlonkishConfig:
+    from ..circuits.types import COMPRESSION_PROOF_CONFIGS, CompressionMode
+    return _engine_config(COMPRESSION_PROOF_CONFIGS[CompressionMode(mode)])
+
+
+def create_compression_layer_setup_data(
+        mode: int, inner_ir: pk.PlonkishIR, inner_cfg: pk.PlonkishConfig,
+        outer_cfg: Optional[pk.PlonkishConfig] = None) -> CompressionSetup:
+    from ..circuits import verifier_circuit as vc
+    outer_cfg = outer_cfg or compression_engine_config(mode)
+    key = ("compression", mode, inner_ir.log_n, inner_ir.num_witness,
+           inner_cfg.rate, inner_cfg.cap_size, inner_cfg.num_queries,
+           inner_cfg.final_fri_size, outer_cfg.rate, outer_cfg.num_queries)
+    if key not in _SETUP_CACHE:
+        b, lay = vc.synthesize_verifier(inner_ir, inner_cfg, slots=8)
+        built = b.finalize()
+        setup = built.setup(outer_cfg)
+        sd = SetupData(ir=built.ir, setup=setup, vk=setup.vk(),
+                       config=outer_cfg)
+        _SETUP_CACHE[key] = CompressionSetup(sd=sd, builder=b, layout=lay)
+    return _SETUP_CACHE[key]
+
+
+def prove_compression_layer_circuit(
+        mode: int, inner_ir: pk.PlonkishIR, inner_cfg: pk.PlonkishConfig,
+        inner_vk, inner_proof,
+        outer_cfg: Optional[pk.PlonkishConfig] = None):
+    from ..circuits import verifier_circuit as vc
+    cs = create_compression_layer_setup_data(mode, inner_ir, inner_cfg,
+                                             outer_cfg)
+    asg = vc.verifier_assignments(cs.layout, inner_vk, inner_proof)
+    witness = cs.builder.fill_witness(asg)
+    proof = pk.prove(cs.sd.ir, cs.sd.setup, witness, cs.sd.config)
+    expected = vc.verifier_public_inputs(inner_vk, inner_proof)
+    assert [int(v) for v in proof.public_inputs] == expected, \
+        "compression PI mismatch (inner vk + inner public inputs)"
+    return proof
+
+
+def verify_compression_layer_proof(
+        mode: int, inner_ir: pk.PlonkishIR, inner_cfg: pk.PlonkishConfig,
+        proof, vk=None, expected_inner_vk=None,
+        outer_cfg: Optional[pk.PlonkishConfig] = None) -> bool:
+    cs = create_compression_layer_setup_data(mode, inner_ir, inner_cfg,
+                                             outer_cfg)
+    if expected_inner_vk is not None:
+        k = len(expected_inner_vk)
+        if [int(v) for v in proof.public_inputs[:k]] != \
+                [int(v) % pk.gl.P for v in expected_inner_vk]:
+            return False
+    return pk.verify(cs.sd.ir, vk if vk is not None else cs.sd.vk, proof,
+                     cs.sd.config)
+
+
+class CompressionChain:
+    """Pluggable prove/verify pair for compression.compute_compression_circuits
+    where every mode is a REAL proof-of-verification of the previous layer."""
+
+    def __init__(self, scheduler_ir: pk.PlonkishIR,
+                 scheduler_cfg: pk.PlonkishConfig, scheduler_vk,
+                 outer_cfgs: Optional[Dict[int, pk.PlonkishConfig]] = None):
+        self._inner: Dict[int, Tuple] = {
+            1: (scheduler_ir, scheduler_cfg, scheduler_vk)}
+        self._outer_cfgs = outer_cfgs or {}
+
+    def _outer(self, mode: int) -> Optional[pk.PlonkishConfig]:
+        return self._outer_cfgs.get(mode)
+
+    def prove_fn(self, mode: int, prev_proof):
+        ir, cfg, vk = self._inner[mode]
+        cs = create_compression_layer_setup_data(mode, ir, cfg,
+                                                 self._outer(mode))
+        proof = prove_compression_layer_circuit(mode, ir, cfg, vk, prev_proof,
+                                                self._outer(mode))
+        self._inner[mode + 1] = (cs.sd.ir, cs.sd.config, cs.sd.vk)
+        return proof, cs.sd.vk
+
+    def verify_fn(self, mode: int, proof, vk) -> bool:
+        ir, cfg, inner_vk = self._inner[mode]
+        return verify_compression_layer_proof(
+            mode, ir, cfg, proof, vk, expected_inner_vk=inner_vk,
+            outer_cfg=self._outer(mode))
+
+
 # -- real leaf queue-segment proofs ----------------------------------------
 
 def prove_leaf_queue_segment(task, cfg: Optional[pk.PlonkishConfig] = None):
