@@ -298,14 +298,31 @@ def _tree_widths(sh: InnerShape) -> Dict[str, int]:
 
 def synthesize_verifier(inner_ir: pk.PlonkishIR, inner_cfg: pk.PlonkishConfig,
                         slots: int = 8) -> Tuple[CircuitBuilder, VerifierLayout]:
-    sh = inner_shape(inner_ir, inner_cfg)
+    """One proof check in its own circuit; vk + inner PIs exposed as the
+    circuit's public inputs (the compression-mode shape)."""
     b = CircuitBuilder(slots=slots)
+    lay = synthesize_proof_check(b, inner_ir, inner_cfg)
+    for v in lay.vk_vars + lay.inner_pi_vars:
+        b.mark_public(v)
+    return b, lay
+
+
+def synthesize_proof_check(b: CircuitBuilder, inner_ir: pk.PlonkishIR,
+                           inner_cfg: pk.PlonkishConfig,
+                           vk_vars: Optional[List[int]] = None
+                           ) -> VerifierLayout:
+    """Emit the gates of ONE full proof verification into an existing builder
+    (aggregation circuits instantiate this once per child). `vk_vars` shares
+    an already-allocated VK across instances; public-input marking is the
+    caller's choice."""
+    sh = inner_shape(inner_ir, inner_cfg)
     ext = ExtOps(b)
     lay = VerifierLayout(shape=sh, inner_ir=inner_ir, builder=b)
     tr = CircuitTranscript(b)
 
     # -- proof data as input variables (fixed layout) ----------------------
-    lay.vk_vars = b.inputs(sh.cap_size * DIGEST)
+    lay.vk_vars = (vk_vars if vk_vars is not None
+                   else b.inputs(sh.cap_size * DIGEST))
     lay.inner_pi_vars = b.inputs(len(inner_ir.public_input_cells))
     for name in ("witness", "stage2", "quotient"):
         lay.caps[name] = b.inputs(sh.cap_size * DIGEST)
@@ -333,9 +350,6 @@ def synthesize_verifier(inner_ir: pk.PlonkishIR, inner_cfg: pk.PlonkishConfig,
         lay.fri_paths.append(
             [[b.inputs(DIGEST) for _ in range(sh.fri_layer_depth(r))]
              for _ in range(sh.num_queries)])
-
-    for v in lay.vk_vars + lay.inner_pi_vars:
-        b.mark_public(v)
 
     # -- 1. transcript replay ---------------------------------------------
     tr.absorb(lay.vk_vars)
@@ -558,7 +572,7 @@ def synthesize_verifier(inner_ir: pk.PlonkishIR, inner_cfg: pk.PlonkishConfig,
             acc = ext.add(ext.mul_base(acc, x_f), lay.final_poly[k])
         ext.assert_eq(acc, value)
 
-    return b, lay
+    return lay
 
 
 # ---------------------------------------------------------------------------
