@@ -110,3 +110,36 @@ def test_verifier_circuit_proof_of_verification(rig):
     bad_pis[0] = (int(bad_pis[0]) + 1) % P
     bad = dc.replace(proof, public_inputs=bad_pis)
     assert not pk.verify(built.ir, setup.vk(), bad, OUTER_CFG)
+
+
+def test_verifier_circuit_lookup_inner():
+    """Inner circuit WITH a lookup table (the flagship): the verifier's
+    logup path (theta/beta_lk draws, stage-3 terms, table DEEP groups)."""
+    from zkevm_harness_tpu.circuits import flagship as fl
+
+    inner_ir = fl.flagship_ir(log_n=6, width=8)
+    inner_setup = fl.flagship_setup(inner_ir, INNER_CFG)
+    W = fl.flagship_witness(inner_ir)
+    proof = pk.prove(inner_ir, inner_setup, W, INNER_CFG)
+    assert pk.verify(inner_ir, inner_setup.vk(), proof, INNER_CFG)
+
+    b, lay = vc.synthesize_verifier(inner_ir, INNER_CFG, slots=8)
+    built = b.finalize()
+    vk = inner_setup.vk()
+    asg = vc.verifier_assignments(lay, vk, proof)
+    Wv = b.fill_witness(asg)
+    viol = satisfy.check_satisfied(
+        built.ir, gl.to_ints(Wv), np.asarray(built.const_cols, dtype=object),
+        built.permutation, vc.verifier_public_inputs(vk, proof))
+    assert viol == []
+
+    # tampering the stage-3 OOD values must be unsatisfiable
+    bad = dc.replace(proof, ood_stage3=[
+        ((int(a) + 1) % P, bb) if i == 0 else (a, bb)
+        for i, (a, bb) in enumerate(proof.ood_stage3)])
+    asg_b = vc.verifier_assignments(lay, vk, bad)
+    Wb = b.fill_witness(asg_b)
+    viol_b = satisfy.check_satisfied(
+        built.ir, gl.to_ints(Wb), np.asarray(built.const_cols, dtype=object),
+        built.permutation, vc.verifier_public_inputs(vk, bad))
+    assert viol_b

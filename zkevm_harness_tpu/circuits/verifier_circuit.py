@@ -23,9 +23,10 @@ synthesis mirrors prover/plonkish._verify_inner step for step:
 The proof being verified is a private witness; the circuit's public inputs
 are the inner VK elements followed by the inner proof's public inputs.
 
-Supported inner circuits: no lookup tables yet (stage3/lookup OOD terms are
-the next increment); the poseidon2/queue/merkle gadget circuits and any
-builder-produced circuit qualify.
+Inner circuits with lookup tables are fully supported: the theta/beta_lk
+draws, stage-3 cap/OOD absorption, logup constraint terms at z, the s(1)=0
+boundary, and the stage-3 tree's Merkle/DEEP contributions mirror the host
+verifier's lookup path.
 """
 
 from __future__ import annotations
@@ -61,6 +62,9 @@ class InnerShape:
     cap_size: int
     num_queries: int
     final_fri_size: int
+    n_tables: int = 0
+    table_width: int = 0
+    num_sets: int = 0
 
     @property
     def n(self) -> int:
@@ -75,12 +79,21 @@ class InnerShape:
         return self.n_comm.bit_length() - 1
 
     @property
+    def has_lk(self) -> bool:
+        return self.num_sets > 0
+
+    @property
     def s2_width(self) -> int:
-        return 2 + 2 * (self.num_chunks - 1)
+        return 2 + 2 * (self.num_chunks - 1) + self.n_tables
+
+    @property
+    def s3_width(self) -> int:
+        return (2 + 2 * self.n_tables + 2 * self.num_sets
+                if self.has_lk else 0)
 
     @property
     def setup_width(self) -> int:
-        return self.num_const + self.num_witness
+        return self.num_const + self.num_witness + self.table_width
 
     @property
     def rounds(self) -> int:
@@ -106,15 +119,16 @@ class InnerShape:
 
 
 def inner_shape(ir: pk.PlonkishIR, cfg: pk.PlonkishConfig) -> InnerShape:
-    assert not ir.lookup_sets and not ir.lookup_tables, \
-        "lookup-table inner circuits not supported yet"
     chunks = pk._copy_chunks(ir.num_witness, ir.copy_chunk)
     max_deg = max(ir.gate_degree, ir.copy_chunk + 1)
+    table_width = int(sum(np.asarray(t).shape[1] for t in ir.lookup_tables))
     return InnerShape(
         log_n=ir.log_n, num_witness=ir.num_witness, num_const=ir.num_const,
         num_chunks=len(chunks), num_q_chunks=max(1, max_deg - 1),
         rate=cfg.rate, cap_size=cfg.cap_size, num_queries=cfg.num_queries,
-        final_fri_size=cfg.final_fri_size)
+        final_fri_size=cfg.final_fri_size,
+        n_tables=len(ir.lookup_tables), table_width=table_width,
+        num_sets=len(ir.lookup_sets))
 
 
 # ---------------------------------------------------------------------------
@@ -288,8 +302,12 @@ _TREE_WIDTHS = None
 
 
 def _tree_widths(sh: InnerShape) -> Dict[str, int]:
-    return {"witness": sh.num_witness, "stage2": sh.s2_width,
-            "quotient": 2 * sh.num_q_chunks, "setup": sh.setup_width}
+    out = {"witness": sh.num_witness, "stage2": sh.s2_width}
+    if sh.has_lk:
+        out["stage3"] = sh.s3_width
+    out["quotient"] = 2 * sh.num_q_chunks
+    out["setup"] = sh.setup_width
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -324,7 +342,9 @@ def synthesize_proof_check(b: CircuitBuilder, inner_ir: pk.PlonkishIR,
     lay.vk_vars = (vk_vars if vk_vars is not None
                    else b.inputs(sh.cap_size * DIGEST))
     lay.inner_pi_vars = b.inputs(len(inner_ir.public_input_cells))
-    for name in ("witness", "stage2", "quotient"):
+    cap_names = (("witness", "stage2", "stage3", "quotient") if sh.has_lk
+                 else ("witness", "stage2", "quotient"))
+    for name in cap_names:
         lay.caps[name] = b.inputs(sh.cap_size * DIGEST)
 
     def ood_pairs(k: int) -> List[EVar]:
@@ -334,6 +354,9 @@ def synthesize_proof_check(b: CircuitBuilder, inner_ir: pk.PlonkishIR,
     lay.ood["witness_next"] = ood_pairs(sh.num_witness)
     lay.ood["stage2"] = ood_pairs(sh.s2_width)
     lay.ood["stage2_next"] = ood_pairs(sh.s2_width)
+    lay.ood["stage3"] = ood_pairs(sh.s3_width)
+    lay.ood["stage3_next"] = ood_pairs(sh.s3_width)
+    lay.ood["table"] = ood_pairs(sh.table_width)
     lay.ood["const"] = ood_pairs(sh.num_const)
     lay.ood["sigma"] = ood_pairs(sh.num_witness)
     lay.ood["quotient"] = ood_pairs(2 * sh.num_q_chunks)
@@ -358,12 +381,18 @@ def synthesize_proof_check(b: CircuitBuilder, inner_ir: pk.PlonkishIR,
     beta = tr.challenge_ext()
     gamma = tr.challenge_ext()
     tr.absorb(lay.caps["stage2"])
+    theta = beta_lk = None
+    if sh.has_lk:
+        theta = tr.challenge_ext()
+        beta_lk = tr.challenge_ext()
+        tr.absorb(lay.caps["stage3"])
     alpha = tr.challenge_ext()
     tr.absorb(lay.caps["quotient"])
     z = tr.challenge_ext()
     for pair in (lay.ood["witness"] + lay.ood["witness_next"]
                  + lay.ood["stage2"] + lay.ood["stage2_next"]
-                 + lay.ood["const"] + lay.ood["sigma"]
+                 + lay.ood["stage3"] + lay.ood["stage3_next"]
+                 + lay.ood["table"] + lay.ood["const"] + lay.ood["sigma"]
                  + lay.ood["quotient"]):
         tr.absorb([pair[0], pair[1]])
     gamma_deep = tr.challenge_ext()
@@ -402,9 +431,53 @@ def synthesize_proof_check(b: CircuitBuilder, inner_ir: pk.PlonkishIR,
         copy_vals.append(ext.sub(ext.mul(nxt, den_p), ext.mul(prev, num_p)))
         prev = pp_ext[t] if t < len(chunks) - 1 else None
 
+    # lookup (logup) constraint values at z
+    lookup_vals: List[EVar] = []
+    s_ext_lk = None
+    if sh.has_lk:
+        def pair_at(pairs, i):
+            return _combine_pair(ext, pairs[2 * i], pairs[2 * i + 1])
+
+        s_ext_lk = pair_at(lay.ood["stage3"], 0)
+        s_next_lk = _combine_pair(ext, lay.ood["stage3_next"][0],
+                                  lay.ood["stage3_next"][1])
+        h_tables = [pair_at(lay.ood["stage3"], 1 + t)
+                    for t in range(sh.n_tables)]
+        h_sets = [pair_at(lay.ood["stage3"], 1 + sh.n_tables + s)
+                  for s in range(sh.num_sets)]
+        m_ofs = 2 + 2 * (sh.num_chunks - 1)
+        tslices = pk._table_col_slices(inner_ir)
+
+        def compress_ood(vals, theta_c):
+            acc = vals[0]
+            tp = ext.const((1, 0))
+            for v2 in vals[1:]:
+                tp = ext.mul(tp, theta_c)
+                acc = ext.add(acc, ext.mul(tp, v2))
+            return acc
+
+        for s, (_tbl, cols) in enumerate(inner_ir.lookup_sets):
+            a_comp = compress_ood([lay.ood["witness"][c] for c in cols],
+                                  theta)
+            denom = ext.add(a_comp, beta_lk)
+            prod_hd = ext.mul(h_sets[s], denom)
+            lookup_vals.append((b.add_int(prod_hd[0], P - 1), prod_hd[1]))
+        for t, (start, width) in enumerate(tslices):
+            t_comp = compress_ood([lay.ood["table"][start + j]
+                                   for j in range(width)], theta)
+            denom = ext.add(t_comp, beta_lk)
+            m_val = lay.ood["stage2"][m_ofs + t]
+            lookup_vals.append(ext.sub(ext.mul(h_tables[t], denom), m_val))
+        s_trans = ext.sub(s_next_lk, s_ext_lk)
+        for h in h_sets:
+            s_trans = ext.sub(s_trans, h)
+        for h in h_tables:
+            s_trans = ext.add(s_trans, h)
+        lookup_vals.append(s_trans)
+
     comb = ext.const((0, 0))
     apow = ext.const((1, 0))
-    for gv in gate_vals + copy_vals:
+    for gv in gate_vals + copy_vals + lookup_vals:
         apow = ext.mul(apow, alpha)
         comb = ext.add(comb, ext.mul(apow, gv))
     # zn = z^n via square chain; zh = zn - 1
@@ -416,8 +489,11 @@ def synthesize_proof_check(b: CircuitBuilder, inner_ir: pk.PlonkishIR,
     apow_b = ext.mul(apow, alpha)
     zm1 = (b.add_int(z_ext[0], P - 1), z_ext[1])
     z_minus_1 = (b.add_int(z[0], P - 1), z[1])
-    comb = ext.add(comb, ext.mul(apow_b,
-                                 ext.mul(zm1, ext.inverse(z_minus_1))))
+    inv_zm1 = ext.inverse(z_minus_1)
+    comb = ext.add(comb, ext.mul(apow_b, ext.mul(zm1, inv_zm1)))
+    if sh.has_lk:
+        apow_b = ext.mul(apow_b, alpha)
+        comb = ext.add(comb, ext.mul(apow_b, ext.mul(s_ext_lk, inv_zm1)))
     w_gen = gl.primitive_root_of_unity(sh.log_n)
     apow_pi = apow_b
     for (col, row), pi_var in zip(inner_ir.public_input_cells,
@@ -457,11 +533,14 @@ def synthesize_proof_check(b: CircuitBuilder, inner_ir: pk.PlonkishIR,
 
     # -- DEEP gamma powers (shared across queries) ------------------------
     deep_order = [("witness", "witness", False), ("witness", "witness_next", True),
-                  ("stage2", "stage2", False), ("stage2", "stage2_next", True),
-                  ("setup", None, False), ("quotient", "quotient", False)]
-    ood_setup = lay.ood["const"] + lay.ood["sigma"]
-    total_terms = (2 * sh.num_witness + 2 * sh.s2_width + sh.setup_width
-                   + 2 * sh.num_q_chunks)
+                  ("stage2", "stage2", False), ("stage2", "stage2_next", True)]
+    if sh.has_lk:
+        deep_order += [("stage3", "stage3", False),
+                       ("stage3", "stage3_next", True)]
+    deep_order += [("setup", None, False), ("quotient", "quotient", False)]
+    ood_setup = lay.ood["const"] + lay.ood["sigma"] + lay.ood["table"]
+    total_terms = (2 * sh.num_witness + 2 * sh.s2_width + 2 * sh.s3_width
+                   + sh.setup_width + 2 * sh.num_q_chunks)
     gammas: List[EVar] = []
     g = gamma_deep
     gammas.append(g)
@@ -474,6 +553,8 @@ def synthesize_proof_check(b: CircuitBuilder, inner_ir: pk.PlonkishIR,
                        ("witness_next", lay.ood["witness_next"]),
                        ("stage2", lay.ood["stage2"]),
                        ("stage2_next", lay.ood["stage2_next"]),
+                       ("stage3", lay.ood["stage3"]),
+                       ("stage3_next", lay.ood["stage3_next"]),
                        ("setup", ood_setup),
                        ("quotient", lay.ood["quotient"])):
         neg1[key] = [b.mul_int(p[1], P - 1) for p in pairs]
@@ -595,12 +676,18 @@ def verifier_assignments(lay: VerifierLayout, vk: Sequence[int],
     put(lay.caps["witness"],
         np.asarray(proof.witness_cap, dtype=object).ravel())
     put(lay.caps["stage2"], np.asarray(proof.stage2_cap, dtype=object).ravel())
+    if sh.has_lk:
+        put(lay.caps["stage3"],
+            np.asarray(proof.stage3_cap, dtype=object).ravel())
     put(lay.caps["quotient"],
         np.asarray(proof.quotient_cap, dtype=object).ravel())
     for key, pairs in (("witness", proof.ood_witness),
                        ("witness_next", proof.ood_witness_next),
                        ("stage2", proof.ood_stage2),
                        ("stage2_next", proof.ood_stage2_next),
+                       ("stage3", proof.ood_stage3),
+                       ("stage3_next", proof.ood_stage3_next),
+                       ("table", proof.ood_table),
                        ("const", proof.ood_const),
                        ("sigma", proof.ood_sigma),
                        ("quotient", proof.ood_quotient)):
