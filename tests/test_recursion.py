@@ -82,3 +82,43 @@ def test_ready_batches_parallel_waves():
     assert len(waves[0]) == 40  # all base proofs in parallel
     assert all(t.kind == "base" for t in waves[0])
     assert waves[-1][0].kind == "scheduler"
+
+
+def test_run_dag_parallel_matches_sequential():
+    """max_workers > 1 dispatches waves concurrently with identical results
+    and resume semantics (instance-level data parallelism)."""
+    import threading
+
+    queues = {1: make_queue(40), 8: make_queue(5)}
+    dag = sch.build_block_dag(queues, {1: 40, 8: 5})
+
+    concurrency = {"cur": 0, "peak": 0}
+    lock = threading.Lock()
+
+    def prove_fn(task, deps):
+        with lock:
+            concurrency["cur"] += 1
+            concurrency["peak"] = max(concurrency["peak"], concurrency["cur"])
+        import time
+        time.sleep(0.005)
+        with lock:
+            concurrency["cur"] -= 1
+        return {"task": task.key(), "ndeps": len(deps)}
+
+    src_seq = InMemoryDataSource()
+    done_seq = sch.run_dag(dag, prove_fn, src_seq)
+    src_par = InMemoryDataSource()
+    done_par = sch.run_dag(dag, prove_fn, src_par, max_workers=8)
+    assert done_par.keys() == done_seq.keys()
+    assert all(done_par[k] == done_seq[k] for k in done_seq)
+    assert concurrency["peak"] > 1  # waves actually ran concurrently
+
+    # resume under parallel dispatch: nothing recomputed
+    calls = []
+
+    def prove_fn2(task, deps):
+        calls.append(task.key())
+        return {}
+
+    done3 = sch.run_dag(dag, prove_fn2, src_par, max_workers=8)
+    assert calls == [] and len(done3) == len(dag)

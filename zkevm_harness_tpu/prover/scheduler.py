@@ -80,8 +80,17 @@ def build_block_dag(recursion_queues: Dict[int, QueueSimulator],
 
 def run_dag(tasks: List[ProofTask], prove_fn: Callable[[ProofTask, Dict], object],
             source: Optional[InMemoryDataSource] = None,
-            progress: Optional[Callable[[str], None]] = None) -> Dict:
-    """Execute the DAG with resume semantics. Returns key -> proof."""
+            progress: Optional[Callable[[str], None]] = None,
+            max_workers: int = 1) -> Dict:
+    """Execute the DAG with resume semantics. Returns key -> proof.
+
+    max_workers > 1 dispatches each `ready_batches` wave through a thread
+    pool — instance-level data parallelism over independent proofs (all base
+    instances, all leaf chunks; the reference runs these sequentially,
+    complex_tests/mod.rs:316-407). Results and resume behavior are identical
+    to the sequential path: every task is still store-guarded and its
+    dependencies are complete before its wave starts.
+    """
     source = source or InMemoryDataSource()
     done: Dict = {}
 
@@ -104,17 +113,31 @@ def run_dag(tasks: List[ProofTask], prove_fn: Callable[[ProofTask, Dict], object
         else:
             source.set_scheduler_proof(proof)
 
-    for t in tasks:
+    def run_one(t: ProofTask):
         existing = store_get(t)
         if existing is not None:
-            done[t.key()] = existing
-            continue
+            return t, existing, True
         assert all(d.key() in done for d in t.deps), "DAG order violated"
         proof = prove_fn(t, {d.key(): done[d.key()] for d in t.deps})
-        store_set(t, proof)
+        return t, proof, False
+
+    def record(t: ProofTask, proof, resumed: bool):
+        if not resumed:
+            store_set(t, proof)
         done[t.key()] = proof
-        if progress:
+        if progress and not resumed:
             progress(f"{t.kind}[{t.circuit_type}][d{t.depth}][{t.index}] done")
+
+    if max_workers <= 1:
+        for t in tasks:
+            record(*run_one(t))
+        return done
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        for wave in ready_batches(tasks):
+            for t, proof, resumed in pool.map(run_one, wave):
+                record(t, proof, resumed)
     return done
 
 
