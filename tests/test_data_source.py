@@ -49,6 +49,8 @@ def test_sequencer_api_commitments():
     assert sq.events_queue_commitment([]) == (0, 0, 0, 0)
     h1 = sq.initial_heap_content_commitment([1, 2, 3])
     h2 = sq.initial_heap_content_commitment([1, 2, 4])
-    assert h1 != h2 and len(h1) == 4
+    # full-width memory queues carry 12-lane sponge-state tails
+    # (memory_query.rs:120-128 / FullWidthQueueSimulator)
+    assert h1 != h2 and len(h1) == 12
     # re-exports present
     assert sq.GeometryConfig and sq.sort_storage_access_queries
