@@ -68,3 +68,35 @@ def test_sharded_commit_matches_single(mesh, rng):
     assert bool(np.all(np.asarray(gl.equal(got_lde, lde))))
     assert bool(np.all(np.asarray(gl.equal(got_digests, want_tree.levels[0]))))
     assert bool(np.all(np.asarray(gl.equal(got_cap, want_tree.cap))))
+
+
+def test_multichip_full_prove_bit_identical():
+    """Full prove with column-sharded witness/setup over the 8-device mesh:
+    the proof is BIT-IDENTICAL to single-chip (same transcript) and verifies
+    (VERDICT multi-chip-full-prove criterion)."""
+    import numpy as np
+    from zkevm_harness_tpu.circuits import flagship as fl
+    from zkevm_harness_tpu.parallel import mesh as pm
+    from zkevm_harness_tpu.prover import plonkish as pk
+
+    cfg = pk.PlonkishConfig(rate=2, cap_size=4, num_queries=8,
+                            final_fri_size=8)
+    ir = fl.flagship_ir(log_n=6, width=16)
+    setup = fl.flagship_setup(ir, cfg)
+    W = fl.flagship_witness(ir)
+    p1 = pk.prove(ir, setup, W, cfg)
+    mesh = pm.make_mesh(8)
+    p2 = pm.prove_column_sharded(ir, setup, W, cfg, mesh)
+    assert p1.public_inputs == p2.public_inputs
+    assert np.array_equal(np.asarray(p1.witness_cap),
+                          np.asarray(p2.witness_cap))
+    assert np.array_equal(np.asarray(p1.stage2_cap),
+                          np.asarray(p2.stage2_cap))
+    assert np.array_equal(np.asarray(p1.quotient_cap),
+                          np.asarray(p2.quotient_cap))
+    assert p1.ood_witness == p2.ood_witness
+    assert p1.ood_quotient == p2.ood_quotient
+    assert p1.fri.final_poly == p2.fri.final_poly
+    assert np.array_equal(p1.fri.query_positions, p2.fri.query_positions)
+    assert p1.openings["witness"] == p2.openings["witness"]
+    assert pk.verify(ir, setup.vk(), p2, cfg)

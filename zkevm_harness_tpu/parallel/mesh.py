@@ -42,8 +42,14 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "col") -> Mesh:
 
 
 def shard_columns(x: GF, mesh: Mesh, axis: str = "col") -> GF:
-    """Place a (num_cols, n) GF array with columns sharded over the mesh."""
-    sh = NamedSharding(mesh, P_(axis, None))
+    """Place a (num_cols, n) GF array with columns sharded over the mesh.
+
+    Arrays whose column count does not divide the mesh (tiny const/table
+    bundles) are replicated instead — sharding must be even for device_put.
+    """
+    d = mesh.shape[axis]
+    spec = P_(axis, None) if x.shape[0] % d == 0 else P_(None, None)
+    sh = NamedSharding(mesh, spec)
     return GF(jax.device_put(x.lo, sh), jax.device_put(x.hi, sh))
 
 
@@ -147,3 +153,33 @@ def sharded_commit(cols: GF, rate: int, cap_size: int, mesh: Mesh,
 
     (llo, lhi), (dlo, dhi), (clo, chi) = _local(cols.lo, cols.hi)
     return GF(llo, lhi), GF(dlo, dhi), GF(clo, chi)
+
+
+def shard_setup(setup, mesh: Mesh, axis: str = "col"):
+    """Column-shard a PlonkishSetup's device-resident columns for a
+    multi-chip prove (sigma/const/table; trees stay replicated)."""
+    import dataclasses
+    return dataclasses.replace(
+        setup,
+        sigma_cols=shard_columns(setup.sigma_cols, mesh, axis),
+        const_cols=(shard_columns(setup.const_cols, mesh, axis)
+                    if setup.const_cols.shape[0] else setup.const_cols),
+        table_cols=(shard_columns(setup.table_cols, mesh, axis)
+                    if setup.table_cols.shape[0] else setup.table_cols))
+
+
+def prove_column_sharded(ir, setup, witness: GF, cfg, mesh: Mesh,
+                         axis: str = "col"):
+    """Multi-chip FULL prove: witness + setup columns laid out sharded over
+    the mesh; every prover phase (commit LDE/NTT, stage-2/3 columns, coset
+    quotient, OOD evaluation, DEEP, FRI) then runs with XLA/GSPMD inserting
+    the collectives implied by the shardings (computation follows data).
+
+    The proof is BIT-IDENTICAL to the single-chip prove of the same inputs —
+    the transcript sees the same caps/evaluations, so verification does not
+    know or care how many chips produced it.
+    """
+    from ..prover import plonkish as pk
+    sharded_witness = shard_columns(witness, mesh, axis)
+    sharded = shard_setup(setup, mesh, axis)
+    return pk.prove(ir, sharded, sharded_witness, cfg)

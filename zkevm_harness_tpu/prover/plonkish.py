@@ -477,8 +477,11 @@ def _commit_cols_jit(cols: GF, rate: int, cap_size: int):
 
 
 def _coset_fn(ir: PlonkishIR):
-    """One jitted kernel evaluating the full constraint composition on one
-    coset of the evaluation domain (all columns, all constraints, fused)."""
+    """Constraint composition on one coset of the evaluation domain, split
+    into TWO kernels (gates+PI vs copy+lookup+boundary) so per-dispatch HBM
+    liveness peaks at one kernel's bundles — the single fully-fused kernel's
+    transients were the 2^20 x 130-column OOM. The outputs sum linearly:
+    comb = comb_gates + comb_rest, identical to the one-kernel composition."""
     key = ("coset", id(ir))
     if key not in _PHASE_CACHE:
         chunks = _copy_chunks(ir.num_witness, ir.copy_chunk)
@@ -487,35 +490,41 @@ def _coset_fn(ir: PlonkishIR):
         tslices = _table_col_slices(ir)
         alg = DeviceAlgebra()
         w_gen_cached = gl.primitive_root_of_unity(ir.log_n)
+        # alpha-power layout (must match verify's sequential consumption):
+        # [gates)[copy)[lookup)[boundary z][boundary s (lk)][PIs)
+        G = ir.num_gate_constraints
+        C = len(chunks)
+        L = (len(ir.lookup_sets) + n_tables + 1) if has_lk else 0
+        b_z = G + C + L
+        pi_off = b_z + 1 + (1 if has_lk else 0)
 
-        def f(all_coeffs, bundle_sizes, s_c, zh_inv, u_pows, ks_vec, apows,
-              beta, gamma, theta, beta_lk, pi_vals):
-            # all_coeffs: every column bundle stacked on axis 0 so the whole
-            # coset evaluation is ONE batched NTT (6x smaller XLA graph than
-            # per-bundle transforms; bundle_sizes is a static tuple:
-            # (wit, s2, s3, const, sigma, table))
+        def _segs(all_coeffs, bundle_sizes, s_c, needed):
             n = all_coeffs.shape[-1]
             pw = nt.powers_device(s_c, n)
-            scaled = gl.mul(all_coeffs, gl.broadcast_to(pw, all_coeffs.shape))
-            all_ev = nt.ntt(scaled)
-            sizes = bundle_sizes
             offs = [0]
-            for s in sizes:
+            for s in bundle_sizes:
                 offs.append(offs[-1] + s)
+            out = []
+            for i in range(6):
+                if i not in needed or bundle_sizes[i] == 0:
+                    out.append(None)
+                    continue
+                chunk = all_coeffs[offs[i]:offs[i + 1]]
+                scaled = gl.mul(chunk, gl.broadcast_to(pw, chunk.shape))
+                out.append(nt.ntt(scaled))
+            return out
 
-            def seg(i):
-                if sizes[i] == 0:
-                    return None
-                return all_ev[offs[i]:offs[i + 1]]
+        roll = lambda a: GF(jnp.roll(a.lo, -1, -1), jnp.roll(a.hi, -1, -1))
 
-            wit_ev = seg(0)
-            s2_ev = seg(1)
-            s3_ev = seg(2)
-            const_ev = seg(3)
-            sigma_ev = seg(4)
-            table_ev = seg(5)
-            const_coeffs = const_ev  # sentinel for the branch below
-            roll = lambda a: GF(jnp.roll(a.lo, -1, -1), jnp.roll(a.hi, -1, -1))
+        def apow_at(apows, i, n):
+            a = _scalar2(apows, i)
+            return _ebc(a, (n,))
+
+        def f_gates(all_coeffs, bundle_sizes, s_c, zh_inv, u_pows, apows,
+                    pi_vals):
+            n = all_coeffs.shape[-1]
+            evs = _segs(all_coeffs, bundle_sizes, s_c, {0, 3})
+            wit_ev, const_ev = evs[0], evs[3]
             wit_cols = [wit_ev[j] for j in range(ir.num_witness)]
             wit_next = [roll(wit_ev)[j] for j in range(ir.num_witness)]
             const_cols = ([const_ev[j] for j in range(ir.num_const)]
@@ -523,7 +532,36 @@ def _coset_fn(ir: PlonkishIR):
             xs = gl.mul(u_pows, gl.broadcast_to(s_c, (n,)))
 
             gate_vals = ir.eval_gates(alg, wit_cols, wit_next, const_cols)
-            assert len(gate_vals) == ir.num_gate_constraints
+            assert len(gate_vals) == G
+            comb = gl.ext_zeros((n,))
+            for i, gv in enumerate(gate_vals):
+                a = _scalar2(apows, i)
+                comb = gl.ext_add(comb, GF2(
+                    gl.mul(gl.broadcast_to(a.c0, (n,)), gv),
+                    gl.mul(gl.broadcast_to(a.c1, (n,)), gv)))
+            comb = GF2(gl.mul(comb.c0, gl.broadcast_to(zh_inv, (n,))),
+                       gl.mul(comb.c1, gl.broadcast_to(zh_inv, (n,))))
+            for idx, (col, row) in enumerate(ir.public_input_cells):
+                a = _scalar2(apows, pi_off + idx)
+                pt = pow(w_gen_cached, row, P)
+                den_inv = gl.inv(gl.sub(xs, gl.broadcast_to(gl.from_int(pt),
+                                                            (n,))))
+                num = gl.sub(wit_cols[col],
+                             gl.broadcast_to(_scalar(pi_vals, idx), (n,)))
+                term = gl.mul(num, den_inv)
+                comb = gl.ext_add(comb, GF2(
+                    gl.mul(gl.broadcast_to(a.c0, (n,)), term),
+                    gl.mul(gl.broadcast_to(a.c1, (n,)), term)))
+            return comb
+
+        def f_rest(all_coeffs, bundle_sizes, s_c, zh_inv, u_pows, ks_vec,
+                   apows, beta, gamma, theta, beta_lk):
+            n = all_coeffs.shape[-1]
+            evs = _segs(all_coeffs, bundle_sizes, s_c, {0, 1, 2, 4, 5})
+            wit_ev, s2_ev, s3_ev, sigma_ev, table_ev = (
+                evs[0], evs[1], evs[2], evs[4], evs[5])
+            wit_cols = [wit_ev[j] for j in range(ir.num_witness)]
+            xs = gl.mul(u_pows, gl.broadcast_to(s_c, (n,)))
 
             z_ext = GF2(s2_ev[0], s2_ev[1])
             z_next = GF2(roll(s2_ev)[0], roll(s2_ev)[1])
@@ -577,55 +615,37 @@ def _coset_fn(ir: PlonkishIR):
                     s_trans = gl.ext_add(s_trans, h)
                 lookup_vals.append(s_trans)
 
-            # combine with the transcript-derived alpha-power array
-            ai = [0]
-
-            def next_apow() -> GF2:
-                a = _scalar2(apows, ai[0])
-                ai[0] += 1
-                return a
-
             comb = gl.ext_zeros((n,))
-            for gv in gate_vals:
-                a = next_apow()
-                comb = gl.ext_add(comb, GF2(
-                    gl.mul(gl.broadcast_to(a.c0, (n,)), gv),
-                    gl.mul(gl.broadcast_to(a.c1, (n,)), gv)))
-            for cv in copy_vals + lookup_vals:
-                a = next_apow()
-                comb = gl.ext_add(comb, gl.ext_mul(_ebc(a, (n,)), cv))
+            for i, cv in enumerate(copy_vals + lookup_vals):
+                comb = gl.ext_add(comb, gl.ext_mul(apow_at(apows, G + i, n),
+                                                   cv))
             comb = GF2(gl.mul(comb.c0, gl.broadcast_to(zh_inv, (n,))),
                        gl.mul(comb.c1, gl.broadcast_to(zh_inv, (n,))))
             # boundary z(1) = 1
-            a = next_apow()
             zm1 = GF2(gl.sub(z_ext.c0, gl.broadcast_to(gl.from_int(1), (n,))),
                       z_ext.c1)
             xm1_inv = gl.inv(gl.sub(xs, gl.broadcast_to(gl.from_int(1), (n,))))
-            comb = gl.ext_add(comb, gl.ext_mul(_ebc(a, (n,)), GF2(
+            comb = gl.ext_add(comb, gl.ext_mul(apow_at(apows, b_z, n), GF2(
                 gl.mul(zm1.c0, xm1_inv), gl.mul(zm1.c1, xm1_inv))))
             if has_lk:
-                a = next_apow()
-                comb = gl.ext_add(comb, gl.ext_mul(_ebc(a, (n,)), GF2(
-                    gl.mul(s_ext.c0, xm1_inv), gl.mul(s_ext.c1, xm1_inv))))
-            for idx, (col, row) in enumerate(ir.public_input_cells):
-                a = next_apow()
-                pt = pow(w_gen_cached, row, P)
-                den_inv = gl.inv(gl.sub(xs, gl.broadcast_to(gl.from_int(pt),
-                                                            (n,))))
-                num = gl.sub(wit_cols[col],
-                             gl.broadcast_to(_scalar(pi_vals, idx), (n,)))
-                term = gl.mul(num, den_inv)
-                comb = gl.ext_add(comb, GF2(
-                    gl.mul(gl.broadcast_to(a.c0, (n,)), term),
-                    gl.mul(gl.broadcast_to(a.c1, (n,)), term)))
+                comb = gl.ext_add(comb, gl.ext_mul(
+                    apow_at(apows, b_z + 1, n), GF2(
+                        gl.mul(s_ext.c0, xm1_inv),
+                        gl.mul(s_ext.c1, xm1_inv))))
             return comb
 
-        jf = jax.jit(f, static_argnums=(1,))
+        jf_gates = jax.jit(f_gates, static_argnums=(1,))
+        jf_rest = jax.jit(f_rest, static_argnums=(1,))
 
-        def call(*args):
-            if jax.default_backend() == "cpu":
-                return f(*args)
-            return jf(*args)
+        def call(all_coeffs, bundle_sizes, s_c, zh_inv, u_pows, ks_vec,
+                 apows, beta, gamma, theta, beta_lk, pi_vals):
+            eager = jax.default_backend() == "cpu"
+            g = (f_gates if eager else jf_gates)(
+                all_coeffs, bundle_sizes, s_c, zh_inv, u_pows, apows, pi_vals)
+            r = (f_rest if eager else jf_rest)(
+                all_coeffs, bundle_sizes, s_c, zh_inv, u_pows, ks_vec, apows,
+                beta, gamma, theta, beta_lk)
+            return gl.ext_add(g, r)
 
         _PHASE_CACHE[key] = call
     return _PHASE_CACHE[key]
@@ -698,19 +718,35 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     has_lk = bool(ir.lookup_sets)
     n_tables = len(ir.lookup_tables)
 
+    # lean-HBM mode (TPU): commitment LDEs are dropped after tree build and
+    # recomputed from coefficients for the DEEP phase — halves peak HBM so
+    # the 2^20 x 130-column MainVM shape fits a single chip. CPU keeps the
+    # retain-LDE path (the extra NTT pass is slower than the memory saving).
+    lean = jax.default_backend() != "cpu"
+
     tr = Transcript()
     tr.absorb_ints(setup.vk())
 
     # public inputs (bound via transcript + composition terms; the reference
     # binds them via simulated closed-form-input commitments,
-    # src/witness/utils.rs:269-308)
-    wit_np = gl.to_u64(witness) if ir.public_input_cells else None
-    public_inputs = [int(wit_np[c, r]) for (c, r) in ir.public_input_cells]
+    # src/witness/utils.rs:269-308): fetch ONLY the PI cells (a full-witness
+    # fetch is a GB-scale host transfer at production shapes)
+    if ir.public_input_cells:
+        ci = jnp.asarray(np.array([c for c, _ in ir.public_input_cells],
+                                  dtype=np.int32))
+        ri = jnp.asarray(np.array([r for _, r in ir.public_input_cells],
+                                  dtype=np.int32))
+        pi_gf = GF(witness.lo[ci, ri], witness.hi[ci, ri])
+        public_inputs = [int(v) for v in gl.to_u64(pi_gf)]
+    else:
+        public_inputs = []
     tr.absorb_ints(public_inputs)
 
     # -- stage 1: witness commitment --------------------------------------
     wit_coeffs = nt.intt(witness)
     wit_lde, wit_tree = _commit_cols_jit(witness, rate, cfg.cap_size)
+    if lean:
+        wit_lde = None
     tr.absorb_gf_device(wit_tree.cap)
 
     # -- stage 2: copy-permutation columns --------------------------------
@@ -726,12 +762,19 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     stage2 = _stage2_fn(ir.num_witness, ir.copy_chunk)(
         witness, setup.sigma_cols, beta_gf, gamma_gf, w_pows, ks_vec)
     if has_lk:
-        wit_np_all = gl.to_u64(witness)
-        m_cols_np = _multiplicities(ir, setup, wit_np_all, n)
+        # fetch only the lookup-set columns (not the whole witness)
+        lk_cols = sorted({c for (_, cols) in ir.lookup_sets for c in cols})
+        sub = gl.take(witness, jnp.asarray(np.array(lk_cols, dtype=np.int32)),
+                      axis=0)
+        sub_np = gl.to_u64(sub)
+        wit_cols_np = {c: sub_np[i] for i, c in enumerate(lk_cols)}
+        m_cols_np = _multiplicities(ir, setup, wit_cols_np, n)
         m_cols = gl.from_int(np.stack(m_cols_np))
         stage2 = gl.concatenate([stage2, m_cols], axis=0)
     s2_coeffs = nt.intt(stage2)
     s2_lde, s2_tree = _commit_cols_jit(stage2, rate, cfg.cap_size)
+    if lean:
+        s2_lde = None
     del stage2  # evals recomputed from coeffs per coset
     tr.absorb_gf_device(s2_tree.cap)
 
@@ -745,6 +788,8 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
                                 theta_gf, beta_lk_gf)
         s3_coeffs = nt.intt(stage3)
         s3_lde, s3_tree = _commit_cols_jit(stage3, rate, cfg.cap_size)
+        if lean:
+            s3_lde = None
         del stage3
         tr.absorb_gf_device(s3_tree.cap)
     else:
@@ -786,6 +831,11 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
             sizes.append(b.shape[0])
     all_coeffs = gl.concatenate(bundles, axis=0)
     bundle_sizes = tuple(sizes)
+    if lean:
+        # the stacked bundle supersedes the per-stage coefficient arrays
+        del bundles
+        wit_coeffs = s2_coeffs = s3_coeffs = None
+        const_coeffs = sigma_coeffs = table_coeffs = None
     comp_cosets = []
     for c in range(lde_eval):
         s_c = (shift * pow(v, c, P)) % P
@@ -815,6 +865,8 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     q_coeffs = gl.stack(q_cols, axis=0)
     q_lde, q_tree = _commit_cols_from_coeffs(q_coeffs, n_comm,
                                             cfg.cap_size)
+    if lean:
+        q_lde = None
     tr.absorb_gf_device(q_tree.cap)
 
     # -- stage 4: OOD evaluations -----------------------------------------
@@ -848,12 +900,31 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
 
     # -- stage 5: DEEP + FRI ----------------------------------------------
     gamma_deep = tr.challenge_ext_ints()
-    setup_lde = nt.coset_lde(gl.concatenate(
-        [setup.const_cols, setup.sigma_cols, setup.table_cols], axis=0), rate)
+    offs_np = [0]
+    for s in bundle_sizes:
+        offs_np.append(offs_np[-1] + s)
+    if lean:
+        # recompute the commitment LDEs from the coefficient bundle (the
+        # drop-after-commit half of lean-HBM mode), then release the bundle
+        del big_coeffs
+        wit_lde = _lde_from_coeffs(all_coeffs[offs_np[0]:offs_np[1]], n_comm)
+        s2_lde = _lde_from_coeffs(all_coeffs[offs_np[1]:offs_np[2]], n_comm)
+        s3_lde = (_lde_from_coeffs(all_coeffs[offs_np[2]:offs_np[3]], n_comm)
+                  if has_lk else None)
+        setup_lde = _lde_from_coeffs(all_coeffs[offs_np[3]:offs_np[6]], n_comm)
+        q_lde = _lde_from_coeffs(q_coeffs, n_comm)
+        del all_coeffs
+    else:
+        setup_lde = nt.coset_lde(gl.concatenate(
+            [setup.const_cols, setup.sigma_cols, setup.table_cols], axis=0),
+            rate)
     ood_setup = ood_const + ood_sigma + ood_table
-    n_deep_terms = (2 * ir.num_witness + 2 * s2_lde.shape[0]
-                    + (2 * s3_lde.shape[0] if has_lk else 0)
-                    + setup_lde.shape[0] + q_lde.shape[0])
+    s2_w = bundle_sizes[1]
+    s3_w = bundle_sizes[2]
+    setup_w = bundle_sizes[3] + bundle_sizes[4] + bundle_sizes[5]
+    n_deep_terms = (2 * ir.num_witness + 2 * s2_w
+                    + (2 * s3_w if has_lk else 0)
+                    + setup_w + 2 * num_q_chunks)
     gp_list = []
     gp = (1, 0)
     for _ in range(n_deep_terms):
@@ -929,6 +1000,24 @@ def _commit_cols_from_coeffs(coeffs: GF, n_comm: int, cap_size: int):
     if jax.default_backend() == "cpu":
         return _commit_coeffs_body(coeffs, n_comm, cap_size)
     return _commit_coeffs_jitted(coeffs, n_comm, cap_size)
+
+
+def _lde_from_coeffs_body(coeffs: GF, n_comm: int) -> GF:
+    """Commitment-domain LDE from coefficients (same layout as
+    coset_lde(evals, rate)) — the recompute half of lean-HBM mode."""
+    n = coeffs.shape[-1]
+    pad = gl.zeros((coeffs.shape[0], n_comm - n))
+    return nt.ntt(nt.scale_by_powers(gl.concatenate([coeffs, pad], axis=-1),
+                                     gl.MULTIPLICATIVE_GENERATOR))
+
+
+_lde_from_coeffs_jitted = jax.jit(_lde_from_coeffs_body, static_argnums=(1,))
+
+
+def _lde_from_coeffs(coeffs: GF, n_comm: int) -> GF:
+    if jax.default_backend() == "cpu":
+        return _lde_from_coeffs_body(coeffs, n_comm)
+    return _lde_from_coeffs_jitted(coeffs, n_comm)
 
 
 # ---------------------------------------------------------------------------
