@@ -498,21 +498,12 @@ def _coset_fn(ir: PlonkishIR):
         b_z = G + C + L
         pi_off = b_z + 1 + (1 if has_lk else 0)
 
-        def _segs(all_coeffs, bundle_sizes, s_c, needed):
-            n = all_coeffs.shape[-1]
+        def _coset_ntt(coeffs, s_c):
+            if coeffs is None:
+                return None
+            n = coeffs.shape[-1]
             pw = nt.powers_device(s_c, n)
-            offs = [0]
-            for s in bundle_sizes:
-                offs.append(offs[-1] + s)
-            out = []
-            for i in range(6):
-                if i not in needed or bundle_sizes[i] == 0:
-                    out.append(None)
-                    continue
-                chunk = all_coeffs[offs[i]:offs[i + 1]]
-                scaled = gl.mul(chunk, gl.broadcast_to(pw, chunk.shape))
-                out.append(nt.ntt(scaled))
-            return out
+            return nt.ntt(gl.mul(coeffs, gl.broadcast_to(pw, coeffs.shape)))
 
         roll = lambda a: GF(jnp.roll(a.lo, -1, -1), jnp.roll(a.hi, -1, -1))
 
@@ -520,11 +511,11 @@ def _coset_fn(ir: PlonkishIR):
             a = _scalar2(apows, i)
             return _ebc(a, (n,))
 
-        def f_gates(all_coeffs, bundle_sizes, s_c, zh_inv, u_pows, apows,
+        def f_gates(wit_coeffs, const_coeffs, s_c, zh_inv, u_pows, apows,
                     pi_vals):
-            n = all_coeffs.shape[-1]
-            evs = _segs(all_coeffs, bundle_sizes, s_c, {0, 3})
-            wit_ev, const_ev = evs[0], evs[3]
+            n = wit_coeffs.shape[-1]
+            wit_ev = _coset_ntt(wit_coeffs, s_c)
+            const_ev = _coset_ntt(const_coeffs, s_c)
             wit_cols = [wit_ev[j] for j in range(ir.num_witness)]
             wit_next = [roll(wit_ev)[j] for j in range(ir.num_witness)]
             const_cols = ([const_ev[j] for j in range(ir.num_const)]
@@ -554,12 +545,15 @@ def _coset_fn(ir: PlonkishIR):
                     gl.mul(gl.broadcast_to(a.c1, (n,)), term)))
             return comb
 
-        def f_rest(all_coeffs, bundle_sizes, s_c, zh_inv, u_pows, ks_vec,
+        def f_rest(wit_coeffs, s2_coeffs, s3_coeffs, sigma_coeffs,
+                   table_coeffs, s_c, zh_inv, u_pows, ks_vec,
                    apows, beta, gamma, theta, beta_lk):
-            n = all_coeffs.shape[-1]
-            evs = _segs(all_coeffs, bundle_sizes, s_c, {0, 1, 2, 4, 5})
-            wit_ev, s2_ev, s3_ev, sigma_ev, table_ev = (
-                evs[0], evs[1], evs[2], evs[4], evs[5])
+            n = wit_coeffs.shape[-1]
+            wit_ev = _coset_ntt(wit_coeffs, s_c)
+            s2_ev = _coset_ntt(s2_coeffs, s_c)
+            s3_ev = _coset_ntt(s3_coeffs, s_c)
+            sigma_ev = _coset_ntt(sigma_coeffs, s_c)
+            table_ev = _coset_ntt(table_coeffs, s_c)
             wit_cols = [wit_ev[j] for j in range(ir.num_witness)]
             xs = gl.mul(u_pows, gl.broadcast_to(s_c, (n,)))
 
@@ -634,17 +628,19 @@ def _coset_fn(ir: PlonkishIR):
                         gl.mul(s_ext.c1, xm1_inv))))
             return comb
 
-        jf_gates = jax.jit(f_gates, static_argnums=(1,))
-        jf_rest = jax.jit(f_rest, static_argnums=(1,))
+        jf_gates = jax.jit(f_gates)
+        jf_rest = jax.jit(f_rest)
 
-        def call(all_coeffs, bundle_sizes, s_c, zh_inv, u_pows, ks_vec,
+        def call(wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs,
+                 sigma_coeffs, table_coeffs, s_c, zh_inv, u_pows, ks_vec,
                  apows, beta, gamma, theta, beta_lk, pi_vals):
             eager = jax.default_backend() == "cpu"
             g = (f_gates if eager else jf_gates)(
-                all_coeffs, bundle_sizes, s_c, zh_inv, u_pows, apows, pi_vals)
+                wit_coeffs, const_coeffs, s_c, zh_inv, u_pows, apows, pi_vals)
             r = (f_rest if eager else jf_rest)(
-                all_coeffs, bundle_sizes, s_c, zh_inv, u_pows, ks_vec, apows,
-                beta, gamma, theta, beta_lk)
+                wit_coeffs, s2_coeffs, s3_coeffs, sigma_coeffs, table_coeffs,
+                s_c, zh_inv, u_pows, ks_vec, apows, beta, gamma, theta,
+                beta_lk)
             return gl.ext_add(g, r)
 
         _PHASE_CACHE[key] = call
@@ -821,27 +817,22 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     pi_vals = gl.from_int(np.asarray(public_inputs if public_inputs else
                                      np.zeros(0, dtype=object), dtype=object))
     coset_eval = _coset_fn(ir)
-    bundles = [wit_coeffs, s2_coeffs]
-    sizes = [wit_coeffs.shape[0], s2_coeffs.shape[0]]
-    for b in (s3_coeffs, const_coeffs, sigma_coeffs, table_coeffs):
-        if b is None:
-            sizes.append(0)
-        else:
-            bundles.append(b)
-            sizes.append(b.shape[0])
-    all_coeffs = gl.concatenate(bundles, axis=0)
-    bundle_sizes = tuple(sizes)
-    if lean:
-        # the stacked bundle supersedes the per-stage coefficient arrays
-        del bundles
-        wit_coeffs = s2_coeffs = s3_coeffs = None
-        const_coeffs = sigma_coeffs = table_coeffs = None
+    # per-bundle arrays flow straight into the kernels — no stacked
+    # all-coefficients concat (the 2.8 GB duplicate + in-kernel slice copies
+    # were part of the 2^20 x 130 HBM budget overrun)
+    bundle_sizes = (
+        wit_coeffs.shape[0], s2_coeffs.shape[0],
+        s3_coeffs.shape[0] if s3_coeffs is not None else 0,
+        const_coeffs.shape[0] if const_coeffs is not None else 0,
+        sigma_coeffs.shape[0],
+        table_coeffs.shape[0] if table_coeffs is not None else 0)
     comp_cosets = []
     for c in range(lde_eval):
         s_c = (shift * pow(v, c, P)) % P
         zh_c = (pow(s_c, n, P) - 1) % P
         comp_cosets.append(coset_eval(
-            all_coeffs, bundle_sizes, gl.from_int(s_c),
+            wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs, sigma_coeffs,
+            table_coeffs, gl.from_int(s_c),
             gl.from_int(pow(zh_c, P - 2, P)),
             u_pows, ks_vec, apows, beta_gf, gamma_gf, theta_gf, beta_lk_gf,
             pi_vals))
@@ -875,24 +866,22 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     zw = fi.escale(z_pt, w_gen)
     zw_gf = gl.ext_from_ints(*zw)
 
-    # one batched evaluation per OOD point over every column bundle
+    # per-bundle evaluations at the OOD points
     from .stark import _ext_evals
-    big_coeffs = gl.concatenate([all_coeffs, q_coeffs], axis=0)
-    evals_z = _ext_evals(big_coeffs, z_gf)
-    evals_zw = _ext_evals(big_coeffs, zw_gf)
-    o = [0]
-    for s in bundle_sizes + (q_coeffs.shape[0],):
-        o.append(o[-1] + s)
-    ood_witness = evals_z[o[0]:o[1]]
-    ood_stage2 = evals_z[o[1]:o[2]]
-    ood_stage3 = evals_z[o[2]:o[3]]
-    ood_const = evals_z[o[3]:o[4]]
-    ood_sigma = evals_z[o[4]:o[5]]
-    ood_table = evals_z[o[5]:o[6]]
-    ood_quotient = evals_z[o[6]:o[7]]
-    ood_witness_next = evals_zw[o[0]:o[1]]
-    ood_stage2_next = evals_zw[o[1]:o[2]]
-    ood_stage3_next = evals_zw[o[2]:o[3]]
+
+    def _ev(coeffs, pt):
+        return _ext_evals(coeffs, pt) if coeffs is not None else []
+
+    ood_witness = _ev(wit_coeffs, z_gf)
+    ood_stage2 = _ev(s2_coeffs, z_gf)
+    ood_stage3 = _ev(s3_coeffs, z_gf)
+    ood_const = _ev(const_coeffs, z_gf)
+    ood_sigma = _ev(sigma_coeffs, z_gf)
+    ood_table = _ev(table_coeffs, z_gf)
+    ood_quotient = _ev(q_coeffs, z_gf)
+    ood_witness_next = _ev(wit_coeffs, zw_gf)
+    ood_stage2_next = _ev(s2_coeffs, zw_gf)
+    ood_stage3_next = _ev(s3_coeffs, zw_gf)
     for pair in (ood_witness + ood_witness_next + ood_stage2 + ood_stage2_next
                  + ood_stage3 + ood_stage3_next + ood_table
                  + ood_const + ood_sigma + ood_quotient):
@@ -900,20 +889,18 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
 
     # -- stage 5: DEEP + FRI ----------------------------------------------
     gamma_deep = tr.challenge_ext_ints()
-    offs_np = [0]
-    for s in bundle_sizes:
-        offs_np.append(offs_np[-1] + s)
     if lean:
-        # recompute the commitment LDEs from the coefficient bundle (the
-        # drop-after-commit half of lean-HBM mode), then release the bundle
-        del big_coeffs
-        wit_lde = _lde_from_coeffs(all_coeffs[offs_np[0]:offs_np[1]], n_comm)
-        s2_lde = _lde_from_coeffs(all_coeffs[offs_np[1]:offs_np[2]], n_comm)
-        s3_lde = (_lde_from_coeffs(all_coeffs[offs_np[2]:offs_np[3]], n_comm)
-                  if has_lk else None)
-        setup_lde = _lde_from_coeffs(all_coeffs[offs_np[3]:offs_np[6]], n_comm)
+        # recompute the commitment LDEs from the coefficient bundles (the
+        # drop-after-commit half of lean-HBM mode), then release the bundles
+        wit_lde = _lde_from_coeffs(wit_coeffs, n_comm)
+        s2_lde = _lde_from_coeffs(s2_coeffs, n_comm)
+        s3_lde = _lde_from_coeffs(s3_coeffs, n_comm) if has_lk else None
+        setup_lde = _lde_from_coeffs(gl.concatenate(
+            [b for b in (const_coeffs, sigma_coeffs, table_coeffs)
+             if b is not None], axis=0), n_comm)
         q_lde = _lde_from_coeffs(q_coeffs, n_comm)
-        del all_coeffs
+        wit_coeffs = s2_coeffs = s3_coeffs = None
+        const_coeffs = sigma_coeffs = table_coeffs = None
     else:
         setup_lde = nt.coset_lde(gl.concatenate(
             [setup.const_cols, setup.sigma_cols, setup.table_cols], axis=0),
