@@ -62,3 +62,28 @@ def test_spot_proving_events_sorters():
         assert tuple(int(v) for v in pis[k:k + 4]) == \
             tuple(int(v) % (2**64 - 2**32 + 1)
                   for v in inst.input_queue_state[0])
+
+
+def test_spot_proving_log_demuxer():
+    # real proof for the log-demuxer slot (type 4), from the block's actual
+    # rollback-resolved log queue
+    res = harness.run_block(BLOCK, prove_mode="spot", spot_types=(4,))
+    base = res.source.get_base_layer_proof(4, 0)
+    assert base["real"] and "public_inputs" in base
+
+
+def test_recursion_queues_carry_real_pi_commitments():
+    """Types 4/8/11/12 push Poseidon2 digests of the real instance PIs into
+    the recursion queues (not index placeholders)."""
+    res = harness.run_block(BLOCK, prove_mode="dry")
+    from zkevm_harness_tpu.ops import goldilocks as gl
+    from zkevm_harness_tpu.ops import poseidon2 as p2
+    from zkevm_harness_tpu.prover import layers as ly
+    art = res.artifacts
+    ram = art.ram_permutation
+    pis = ly.real_base_instance_public_inputs(
+        8, ram.instances[0], ram.challenges, 4)
+    digest = tuple(int(v) for v in gl.to_ints(p2.hash_elements(
+        gl.from_int([int(p) % (2**64 - 2**32 + 1) for p in pis]))))
+    enc0 = [int(v) for v in art.recursion_queues[8].encodings[0]]
+    assert enc0 == [8, *digest, 0, 0, 0]

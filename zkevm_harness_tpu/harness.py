@@ -71,6 +71,37 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
     # -- L2: witness artifacts --------------------------------------------
     artifacts = orc.create_artifacts_from_tracer(tracer, geometry)
 
+    # recursion queues for the REAL base circuits carry REAL public-input
+    # commitments (Poseidon2 digest of the instance's expected PIs — the
+    # exact digest leaf circuits recompute in-circuit from the child proof;
+    # circuits/leaf_circuit.py). Stand-in types keep index placeholders
+    # until their gate sets land.
+    from .ops import goldilocks as _gl
+    from .ops import poseidon2 as _p2
+    from .witness.recursion import (RecursionQueueSimulator, RecursionRequest)
+    real_payloads = {
+        4: (artifacts.log_demuxer.instances, None,
+            geometry.cycles_per_log_demuxer),
+        8: (artifacts.ram_permutation.instances,
+            artifacts.ram_permutation.challenges,
+            geometry.cycles_per_ram_permutation),
+        11: (artifacts.events_sorter.instances,
+             artifacts.events_sorter.challenges,
+             geometry.cycles_per_events_or_l1_messages_sorter),
+        12: (artifacts.l1_messages_sorter.instances,
+             artifacts.l1_messages_sorter.challenges,
+             geometry.cycles_per_events_or_l1_messages_sorter),
+    }
+    for ctype, (insts, challenges, cap) in real_payloads.items():
+        rq = RecursionQueueSimulator()
+        for inst_w in insts:
+            pis = ly.real_base_instance_public_inputs(ctype, inst_w,
+                                                      challenges, cap)
+            digest = tuple(int(v) for v in _gl.to_ints(_p2.hash_elements(
+                _gl.from_int([int(p) % (2**64 - 2**32 + 1) for p in pis]))))
+            rq.push_request(RecursionRequest(ctype, digest))
+        artifacts.recursion_queues[ctype] = rq
+
     # -- CircuitMaker pass: PI commitments + recursion queues -------------
     makers: Dict[int, pp.CircuitMaker] = {}
     for ctype, pca in artifacts.per_circuit.items():
@@ -123,6 +154,17 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
                         assert ly.verify_events_instance(
                             inst_w, art.challenges, cap, proof,
                             circuit_type=ctype), "verify-after-prove failed"
+                        return {"kind": task.kind, "real": True,
+                                "circuit_type": ctype,
+                                "public_inputs": proof.public_inputs}
+                elif ctype == 4:
+                    art = artifacts.log_demuxer
+                    if task.index < len(art.instances):
+                        inst_w = art.instances[task.index]
+                        cap = geometry.cycles_per_log_demuxer
+                        proof = ly.prove_demux_instance(inst_w, cap, source)
+                        assert ly.verify_demux_instance(inst_w, cap, proof), \
+                            "verify-after-prove failed"
                         return {"kind": task.kind, "real": True,
                                 "circuit_type": ctype,
                                 "public_inputs": proof.public_inputs}

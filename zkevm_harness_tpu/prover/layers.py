@@ -25,6 +25,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 from ..circuits import events_sorter_circuit as ecirc
 from ..circuits import flagship as fl
+from ..circuits import log_demux_circuit as dcirc
 from ..circuits import poseidon2_circuit as p2c
 from ..circuits import queue_circuit as qc
 from ..circuits import ram_permutation_circuit as rcirc
@@ -64,7 +65,8 @@ def _queue_factory(log_n: int) -> CircuitFactory:
 _TEST_LOG_N = 8
 BASE_REGISTRY: Dict[int, CircuitFactory] = {
     int(t): _flagship_factory(_TEST_LOG_N, 16) for t in BaseLayerCircuitType
-    if t not in (BaseLayerCircuitType.RAM_PERMUTATION,
+    if t not in (BaseLayerCircuitType.LOG_DEMUXER,
+                 BaseLayerCircuitType.RAM_PERMUTATION,
                  BaseLayerCircuitType.EVENTS_SORTER,
                  BaseLayerCircuitType.L1_MESSAGES_SORTER)
 }
@@ -267,9 +269,79 @@ def verify_events_instance(inst_w, challenges, capacity: int, proof,
     return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
 
 
-REAL_BASE_CIRCUITS = {int(BaseLayerCircuitType.RAM_PERMUTATION),
+def demux_geometry_for_capacity(capacity: int) -> dcirc.DemuxGeometry:
+    """Smallest demux trace covering `capacity` log queries per instance."""
+    log_n = 8
+    while True:
+        n = 1 << log_n
+        ept = (n // dcirc.nrr.ROWS_PER_PERMUTATION) // dcirc.nrr.CHUNKS
+        tiles = max(1, -(-capacity // ept))
+        geo = dcirc.DemuxGeometry(log_n, tiles)
+        if geo.capacity >= capacity and geo.capacity + 1 <= n:
+            return geo
+        log_n += 1
+
+
+def demux_setup_data(capacity: int,
+                     psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
+                     source=None) -> Tuple[SetupData, dcirc.DemuxGeometry]:
+    geo = demux_geometry_for_capacity(capacity)
+    key = ("base_demux", geo.log_n, geo.tiles)
+    if key not in _SETUP_CACHE:
+        ir = dcirc.demux_ir(geo.log_n, geo.tiles)
+        cfg = _engine_config(psc)
+        setup = dcirc.demux_setup(ir, geo, cfg)
+        _SETUP_CACHE[key] = SetupData(ir=ir, setup=setup, vk=setup.vk(),
+                                      config=cfg)
+    sd = _SETUP_CACHE[key]
+    if source is not None:
+        source.set_base_layer_vk(sd.vk, int(BaseLayerCircuitType.LOG_DEMUXER))
+    return sd, geo
+
+
+def prove_demux_instance(inst_w, capacity: int, source=None):
+    sd, geo = demux_setup_data(capacity, source=source)
+    witness = dcirc.demux_witness(sd.ir, geo, inst_w)
+    proof = pk.prove(sd.ir, sd.setup, witness, sd.config)
+    expected = dcirc.instance_public_inputs(geo, inst_w)
+    assert [int(v) for v in proof.public_inputs] == \
+        [int(v) % pk.gl.P for v in expected], "instance PI mismatch"
+    return proof
+
+
+def verify_demux_instance(inst_w, capacity: int, proof, vk=None) -> bool:
+    sd, geo = demux_setup_data(capacity)
+    expected = dcirc.instance_public_inputs(geo, inst_w)
+    if [int(v) for v in proof.public_inputs] != \
+            [int(v) % pk.gl.P for v in expected]:
+        return False
+    return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
+
+
+REAL_BASE_CIRCUITS = {int(BaseLayerCircuitType.LOG_DEMUXER),
+                      int(BaseLayerCircuitType.RAM_PERMUTATION),
                       int(BaseLayerCircuitType.EVENTS_SORTER),
                       int(BaseLayerCircuitType.L1_MESSAGES_SORTER)}
+
+
+def real_base_instance_public_inputs(ctype: int, inst_w, challenges,
+                                     capacity: int):
+    """Expected public inputs of a REAL base circuit instance — computable
+    from the decomposer payload alone (before proving), which is what lets
+    the recursion queues carry real PI commitments (the reference's
+    CircuitMaker simulates the commitment the same way,
+    src/witness/utils.rs:269-308)."""
+    if ctype == int(BaseLayerCircuitType.LOG_DEMUXER):
+        return dcirc.instance_public_inputs(
+            demux_geometry_for_capacity(capacity), inst_w)
+    if ctype == int(BaseLayerCircuitType.RAM_PERMUTATION):
+        return rcirc.instance_public_inputs(
+            ram_geometry_for_capacity(capacity), inst_w, challenges)
+    if ctype in (int(BaseLayerCircuitType.EVENTS_SORTER),
+                 int(BaseLayerCircuitType.L1_MESSAGES_SORTER)):
+        return ecirc.instance_public_inputs(
+            events_geometry_for_capacity(capacity), inst_w, challenges)
+    raise KeyError(ctype)
 
 
 # -- compression layer: REAL in-circuit verifier proofs ---------------------

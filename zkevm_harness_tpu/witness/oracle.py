@@ -66,6 +66,7 @@ class BlockArtifacts:
     ram_permutation: RamPermutationArtifacts = None
     events_sorter: "EventsCircuitArtifacts" = None
     l1_messages_sorter: "EventsCircuitArtifacts" = None
+    log_demuxer: "DemuxCircuitArtifacts" = None
 
 
 def _instances_for(count: int, capacity: int) -> int:
@@ -133,6 +134,7 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
 
     # 5. per-circuit instance counts at geometry capacities
     g = geometry
+    from ..witness.log_demux import compute_log_demux_artifacts
     from ..witness.sorters import compute_events_circuit_artifacts
     ev_art = compute_events_circuit_artifacts(
         [q for _, q in demuxed["events"]],
@@ -140,6 +142,8 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
     l1_art = compute_events_circuit_artifacts(
         [q for _, q in demuxed["l1"]],
         g.cycles_per_events_or_l1_messages_sorter, circuit_type=12)
+    demux_art = compute_log_demux_artifacts(
+        [q for _, q in log_entries], g.cycles_per_log_demuxer)
     counts = {
         BaseLayerCircuitType.MAIN_VM:
             (tracer.cycle_counter, g.cycles_per_vm_snapshot),
@@ -148,7 +152,8 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
         BaseLayerCircuitType.CODE_DECOMMITTER:
             (len(tracer.decommittment_queries), g.cycles_per_code_decommitter),
         BaseLayerCircuitType.LOG_DEMUXER:
-            (len(log_entries), g.cycles_per_log_demuxer),
+            (len(demux_art.instances) * g.cycles_per_log_demuxer,
+             g.cycles_per_log_demuxer),
         BaseLayerCircuitType.KECCAK_ROUND_FUNCTION:
             (len(demuxed["keccak"]), g.cycles_per_keccak256_circuit),
         BaseLayerCircuitType.SHA256_ROUND_FUNCTION:
@@ -197,4 +202,5 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
         deduplicated_storage=dedup_storage, deduplicated_events=dedup_ev,
         deduplicated_l1_messages=dedup_l1, per_circuit=per_circuit,
         recursion_queues=recursion_queues, ram_permutation=ram_art,
-        events_sorter=ev_art, l1_messages_sorter=l1_art)
+        events_sorter=ev_art, l1_messages_sorter=l1_art,
+        log_demuxer=demux_art)
