@@ -72,6 +72,14 @@ def test_spot_proving_log_demuxer():
     assert base["real"] and "public_inputs" in base
 
 
+def test_spot_proving_decommitts_sorter():
+    # real proof for the code-decommittments-sorter slot (type 2), from the
+    # block's actual decommit request stream
+    res = harness.run_block(BLOCK, prove_mode="spot", spot_types=(2,))
+    base = res.source.get_base_layer_proof(2, 0)
+    assert base["real"] and "public_inputs" in base
+
+
 def test_recursion_queues_carry_real_pi_commitments():
     """Types 4/8/11/12 push Poseidon2 digests of the real instance PIs into
     the recursion queues (not index placeholders)."""

@@ -80,6 +80,9 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
     from .ops import poseidon2 as _p2
     from .witness.recursion import (RecursionQueueSimulator, RecursionRequest)
     real_payloads = {
+        2: (artifacts.decommitts_sorter.instances,
+            artifacts.decommitts_sorter.challenges,
+            geometry.cycles_per_code_decommitter_sorter),
         4: (artifacts.log_demuxer.instances, None,
             geometry.cycles_per_log_demuxer),
         8: (artifacts.ram_permutation.instances,
@@ -154,6 +157,19 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
                         assert ly.verify_events_instance(
                             inst_w, art.challenges, cap, proof,
                             circuit_type=ctype), "verify-after-prove failed"
+                        return {"kind": task.kind, "real": True,
+                                "circuit_type": ctype,
+                                "public_inputs": proof.public_inputs}
+                elif ctype == 2:
+                    art = artifacts.decommitts_sorter
+                    if task.index < len(art.instances):
+                        inst_w = art.instances[task.index]
+                        cap = geometry.cycles_per_code_decommitter_sorter
+                        proof = ly.prove_decommitts_instance(
+                            inst_w, art.challenges, cap, source)
+                        assert ly.verify_decommitts_instance(
+                            inst_w, art.challenges, cap, proof), \
+                            "verify-after-prove failed"
                         return {"kind": task.kind, "real": True,
                                 "circuit_type": ctype,
                                 "public_inputs": proof.public_inputs}

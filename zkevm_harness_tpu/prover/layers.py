@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Dict, Optional, Tuple
 
+from ..circuits import decommitts_sorter_circuit as dscirc
 from ..circuits import events_sorter_circuit as ecirc
 from ..circuits import flagship as fl
 from ..circuits import log_demux_circuit as dcirc
@@ -65,7 +66,8 @@ def _queue_factory(log_n: int) -> CircuitFactory:
 _TEST_LOG_N = 8
 BASE_REGISTRY: Dict[int, CircuitFactory] = {
     int(t): _flagship_factory(_TEST_LOG_N, 16) for t in BaseLayerCircuitType
-    if t not in (BaseLayerCircuitType.LOG_DEMUXER,
+    if t not in (BaseLayerCircuitType.CODE_DECOMMITTMENTS_SORTER,
+                 BaseLayerCircuitType.LOG_DEMUXER,
                  BaseLayerCircuitType.RAM_PERMUTATION,
                  BaseLayerCircuitType.EVENTS_SORTER,
                  BaseLayerCircuitType.L1_MESSAGES_SORTER)
@@ -269,6 +271,61 @@ def verify_events_instance(inst_w, challenges, capacity: int, proof,
     return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
 
 
+def decommitts_geometry_for_capacity(capacity: int
+                                     ) -> dscirc.DecommittsGeometry:
+    """Smallest decommitts-sorter trace covering `capacity` requests per
+    instance (3 full-width strips, one 32-row block per request)."""
+    log_n = 8
+    while True:
+        n = 1 << log_n
+        tiles = max(1, -(-capacity * dscirc.ROWS_PER_PERMUTATION // n))
+        geo = dscirc.DecommittsGeometry(log_n, tiles)
+        if geo.capacity >= capacity and geo.capacity + 1 <= n:
+            return geo
+        log_n += 1
+
+
+def decommitts_setup_data(capacity: int,
+                          psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
+                          source=None
+                          ) -> Tuple[SetupData, dscirc.DecommittsGeometry]:
+    geo = decommitts_geometry_for_capacity(capacity)
+    key = ("base_decommitts", geo.log_n, geo.tiles_per_queue)
+    if key not in _SETUP_CACHE:
+        ir = dscirc.decommitts_ir(geo.log_n, geo.tiles_per_queue)
+        cfg = _engine_config(psc)
+        setup = dscirc.decommitts_setup(ir, geo, cfg)
+        _SETUP_CACHE[key] = SetupData(ir=ir, setup=setup, vk=setup.vk(),
+                                      config=cfg)
+    sd = _SETUP_CACHE[key]
+    if source is not None:
+        source.set_base_layer_vk(
+            sd.vk, int(BaseLayerCircuitType.CODE_DECOMMITTMENTS_SORTER))
+    return sd, geo
+
+
+def prove_decommitts_instance(inst_w, challenges, capacity: int, source=None):
+    """Prove ONE DecommittsCircuitInstance from the decomposer."""
+    sd, geo = decommitts_setup_data(capacity, source=source)
+    inst = dscirc.instance_inputs(inst_w, challenges)
+    witness = dscirc.decommitts_witness(sd.ir, geo, inst)
+    proof = pk.prove(sd.ir, sd.setup, witness, sd.config)
+    expected = dscirc.instance_public_inputs(geo, inst_w, challenges)
+    assert [int(v) for v in proof.public_inputs] == \
+        [int(v) % pk.gl.P for v in expected], "instance PI mismatch"
+    return proof
+
+
+def verify_decommitts_instance(inst_w, challenges, capacity: int, proof,
+                               vk=None) -> bool:
+    sd, geo = decommitts_setup_data(capacity)
+    expected = dscirc.instance_public_inputs(geo, inst_w, challenges)
+    if [int(v) for v in proof.public_inputs] != \
+            [int(v) % pk.gl.P for v in expected]:
+        return False
+    return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
+
+
 def demux_geometry_for_capacity(capacity: int) -> dcirc.DemuxGeometry:
     """Smallest demux trace covering `capacity` log queries per instance."""
     log_n = 8
@@ -318,7 +375,8 @@ def verify_demux_instance(inst_w, capacity: int, proof, vk=None) -> bool:
     return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
 
 
-REAL_BASE_CIRCUITS = {int(BaseLayerCircuitType.LOG_DEMUXER),
+REAL_BASE_CIRCUITS = {int(BaseLayerCircuitType.CODE_DECOMMITTMENTS_SORTER),
+                      int(BaseLayerCircuitType.LOG_DEMUXER),
                       int(BaseLayerCircuitType.RAM_PERMUTATION),
                       int(BaseLayerCircuitType.EVENTS_SORTER),
                       int(BaseLayerCircuitType.L1_MESSAGES_SORTER)}
@@ -331,6 +389,9 @@ def real_base_instance_public_inputs(ctype: int, inst_w, challenges,
     the recursion queues carry real PI commitments (the reference's
     CircuitMaker simulates the commitment the same way,
     src/witness/utils.rs:269-308)."""
+    if ctype == int(BaseLayerCircuitType.CODE_DECOMMITTMENTS_SORTER):
+        return dscirc.instance_public_inputs(
+            decommitts_geometry_for_capacity(capacity), inst_w, challenges)
     if ctype == int(BaseLayerCircuitType.LOG_DEMUXER):
         return dcirc.instance_public_inputs(
             demux_geometry_for_capacity(capacity), inst_w)

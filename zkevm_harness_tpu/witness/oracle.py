@@ -67,6 +67,7 @@ class BlockArtifacts:
     events_sorter: "EventsCircuitArtifacts" = None
     l1_messages_sorter: "EventsCircuitArtifacts" = None
     log_demuxer: "DemuxCircuitArtifacts" = None
+    decommitts_sorter: "DecommittsCircuitArtifacts" = None
 
 
 def _instances_for(count: int, capacity: int) -> int:
@@ -144,6 +145,10 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
         g.cycles_per_events_or_l1_messages_sorter, circuit_type=12)
     demux_art = compute_log_demux_artifacts(
         [q for _, q in log_entries], g.cycles_per_log_demuxer)
+    from ..witness.sorters import compute_decommitts_circuit_artifacts
+    decommitts_art = compute_decommitts_circuit_artifacts(
+        list(tracer.decommittment_queries),
+        g.cycles_per_code_decommitter_sorter)
     counts = {
         BaseLayerCircuitType.MAIN_VM:
             (tracer.cycle_counter, g.cycles_per_vm_snapshot),
@@ -203,4 +208,4 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
         deduplicated_l1_messages=dedup_l1, per_circuit=per_circuit,
         recursion_queues=recursion_queues, ram_permutation=ram_art,
         events_sorter=ev_art, l1_messages_sorter=l1_art,
-        log_demuxer=demux_art)
+        log_demuxer=demux_art, decommitts_sorter=decommitts_art)

@@ -281,6 +281,123 @@ def compute_events_circuit_artifacts(queries: Sequence[LogQuery],
 # Decommittment requests sorter (circuit type 2) + decommitter feed (type 3)
 # --------------------------------------------------------------------------
 
+DECOMMITTS_NUM_CHALLENGES = 18  # 2 repetitions x (8 per-lane + gamma)
+
+
+@dataclasses.dataclass
+class DecommittsCircuitInstance:
+    index: int
+    start_flag: bool
+    completion_flag: bool
+    unsorted_queue_state: Tuple[Tuple[int, ...], Tuple[int, ...], int]
+    sorted_queue_state: Tuple[Tuple[int, ...], Tuple[int, ...], int]
+    output_queue_state: Tuple[Tuple[int, ...], Tuple[int, ...], int]
+    accumulators_in: Tuple[int, int, int, int]
+    accumulators_out: Tuple[int, int, int, int]
+    num_items_in: int
+    num_items: int
+    out_items_in: int
+    out_items: int
+    unsorted_encodings: np.ndarray  # (num_items, 8)
+    sorted_encodings: np.ndarray    # (num_items, 8)
+    prev_sorted_entry: "np.ndarray | None"  # 8-limb enc or None
+
+
+@dataclasses.dataclass
+class DecommittsCircuitArtifacts:
+    circuit_type: int
+    instances: List[DecommittsCircuitInstance]
+    challenges: List[int]                  # 18
+    output_queue: FullWidthQueueSimulator  # fresh requests (decommitter feed)
+    final_accumulators: Tuple[int, int, int, int]
+
+
+def compute_decommitts_circuit_artifacts(queries, capacity: int
+                                         ) -> DecommittsCircuitArtifacts:
+    """Full circuit-instance payloads for the code-decommittments sorter
+    (type 2): 2-repetition permutation argument over the full-width request
+    queues, per-instance segments for unsorted/sorted/output queues, and the
+    previous sorted entry as cross-instance comparison context
+    (sort_decommit_requests.rs behavior; consumed by
+    circuits/decommitts_sorter_circuit.py)."""
+    n = len(queries)
+    W = 8
+    input_enc = np.array([encode_decommittment_request(q) for q in queries],
+                         dtype=object).reshape(-1, W)
+    sorted_qs = sorted(queries, key=lambda q: (q.hash, q.timestamp))
+    sorted_enc = np.array([encode_decommittment_request(q) for q in sorted_qs],
+                          dtype=object).reshape(-1, W)
+
+    in_q = FullWidthQueueSimulator()
+    in_q.push_many(input_enc)
+    srt_q = FullWidthQueueSimulator()
+    srt_q.push_many(sorted_enc)
+
+    tr = Transcript(domain_tag=2)
+    tr.absorb_ints(list(in_q.tail) + list(srt_q.tail) + [n])
+    challenges = [tr.challenge_base()
+                  for _ in range(DECOMMITTS_NUM_CHALLENGES)]
+
+    # emission flags: fresh requests (first per hash in sorted order)
+    emit = []
+    prev_hash = None
+    for q in sorted_qs:
+        emit.append(1 if q.hash != prev_hash else 0)
+        prev_hash = q.hash
+    out_q = FullWidthQueueSimulator()
+    out_q.push_many([sorted_enc[j] for j in range(n) if emit[j]])
+
+    chains = []
+    if n:
+        for rep in range(2):
+            base = rep * 9
+            ch_gf = gl.from_int(challenges[base:base + W])
+            gm = gl.from_int(challenges[base + W])
+            for enc in (input_enc, sorted_enc):
+                terms = fs_challenge_terms(gl.from_int(enc), ch_gf, gm)
+                chains.append([int(v) for v in
+                               gl.to_u64(grand_product_chain(terms))])
+
+    def accs(idx: int) -> Tuple[int, int, int, int]:
+        if idx < 0 or not chains:
+            return (1, 1, 1, 1)
+        return (chains[0][idx], chains[1][idx], chains[2][idx],
+                chains[3][idx])
+
+    in_tails = in_q.tails()
+    srt_tails = srt_q.tails()
+    out_tails = out_q.tails()
+    emit_prefix = np.concatenate([[0], np.cumsum(emit)]) if n else [0, 0]
+
+    # always at least one instance: an empty block still produces an (empty)
+    # sorter circuit, like the reference's per-type minimum
+    n_inst = max(1, -(-n // capacity))
+    instances = []
+    for i in range(n_inst):
+        lo, hi = i * capacity, min(n, (i + 1) * capacity)
+        olo, ohi = int(emit_prefix[lo]), int(emit_prefix[hi])
+        instances.append(DecommittsCircuitInstance(
+            index=i, start_flag=(i == 0), completion_flag=(i == n_inst - 1),
+            unsorted_queue_state=(tuple(int(v) for v in in_tails[lo]),
+                                  tuple(int(v) for v in in_tails[hi]),
+                                  hi - lo),
+            sorted_queue_state=(tuple(int(v) for v in srt_tails[lo]),
+                                tuple(int(v) for v in srt_tails[hi]),
+                                hi - lo),
+            output_queue_state=(tuple(int(v) for v in out_tails[olo]),
+                                tuple(int(v) for v in out_tails[ohi]),
+                                ohi - olo),
+            accumulators_in=accs(lo - 1), accumulators_out=accs(hi - 1),
+            num_items_in=lo, num_items=hi - lo,
+            out_items_in=olo, out_items=ohi - olo,
+            unsorted_encodings=input_enc[lo:hi],
+            sorted_encodings=sorted_enc[lo:hi],
+            prev_sorted_entry=(sorted_enc[lo - 1] if lo else None)))
+    return DecommittsCircuitArtifacts(
+        circuit_type=2, instances=instances, challenges=challenges,
+        output_queue=out_q, final_accumulators=accs(n - 1))
+
+
 def compute_decommitts_sorter(queries, capacity: int) -> SorterArtifacts:
     """Sort decommit requests by (hash, timestamp); the deduplicated output
     queue keeps only the first (fresh) request per code hash — the feed for
