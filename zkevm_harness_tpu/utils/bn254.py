@@ -1,12 +1,15 @@
-"""BN254 (alt_bn128): fields, G1, MSM, FFT domain — wrapper-layer groundwork.
+"""BN254 (alt_bn128): fields, G1/G2, pairing, MSM, FFT domain, KZG.
 
 The SNARK wrapper proves the final compression proof in a Bn254 PLONK circuit
 (reference: bellman_ce assemblies, src/proof_wrapper_utils/wrapper.rs,
 L1_VERIFIER_DOMAIN_SIZE_LOG = 24). This module provides the exact host-side
-curve/field layer the wrapper's prover needs (G1 arithmetic, Pippenger MSM
-over a CRS, Fr FFT domain with 2-adicity 28); the PLONK protocol itself and
-the G2/pairing verification path land with the wrapper increment.
-"""
+curve/field layer the wrapper (utils/plonk.py) runs on: G1/G2 arithmetic,
+Pippenger MSM over a CRS, the Fr FFT domain (2-adicity 28), and the optimal
+ate pairing over the D-twist tower Fp2 = Fp[u]/(u^2+1),
+Fp12 = Fp2[w]/(w^6 - xi) with xi = 9 + u. Final exponentiation is one big
+pow (correctness-first, same style as utils/bls12_381.py — the wrapper runs
+once per block, off the TPU hot path, exactly like the reference keeps its
+wrapper on CPU)."""
 
 from __future__ import annotations
 
@@ -137,3 +140,275 @@ def simulated_crs(max_degree: int, tau: int = 0xACE0FBA5E) -> List:
 def kate_commit(crs: Sequence, coeffs: Sequence[int]):
     """Polynomial commitment [p(tau)]G1 over the monomial CRS."""
     return g1_msm(crs[:len(coeffs)], list(coeffs))
+
+
+# ---------------------------------------------------------------------------
+# Fp2 = Fp[u]/(u^2 + 1)
+# ---------------------------------------------------------------------------
+
+XI = (9, 1)  # 9 + u, the sextic non-residue (D-twist divisor)
+BN_U = 4965661367192848881  # the BN parameter x
+ATE_LOOP = 6 * BN_U + 2
+
+
+def f2_add(a, b):
+    return ((a[0] + b[0]) % Q, (a[1] + b[1]) % Q)
+
+
+def f2_sub(a, b):
+    return ((a[0] - b[0]) % Q, (a[1] - b[1]) % Q)
+
+
+def f2_mul(a, b):
+    return ((a[0] * b[0] - a[1] * b[1]) % Q,
+            (a[0] * b[1] + a[1] * b[0]) % Q)
+
+
+def f2_sqr(a):
+    return f2_mul(a, a)
+
+
+def f2_scale(a, c):
+    return (a[0] * c % Q, a[1] * c % Q)
+
+
+def f2_neg(a):
+    return ((-a[0]) % Q, (-a[1]) % Q)
+
+
+def f2_conj(a):
+    return (a[0], (-a[1]) % Q)
+
+
+def f2_inv(a):
+    norm = (a[0] * a[0] + a[1] * a[1]) % Q
+    ninv = pow(norm, Q - 2, Q)
+    return (a[0] * ninv % Q, (-a[1]) * ninv % Q)
+
+
+def f2_pow(a, e: int):
+    result = (1, 0)
+    while e:
+        if e & 1:
+            result = f2_mul(result, a)
+        a = f2_sqr(a)
+        e >>= 1
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Fp12 = Fp2[w]/(w^6 - xi): 6 Fp2 coefficients, low to high
+# ---------------------------------------------------------------------------
+
+F12_ONE = ((1, 0), (0, 0), (0, 0), (0, 0), (0, 0), (0, 0))
+
+
+def f12_mul(a, b):
+    acc = [(0, 0)] * 11
+    for i in range(6):
+        if a[i] == (0, 0):
+            continue
+        for j in range(6):
+            if b[j] == (0, 0):
+                continue
+            acc[i + j] = f2_add(acc[i + j], f2_mul(a[i], b[j]))
+    out = list(acc[:6])
+    for k in range(6, 11):
+        out[k - 6] = f2_add(out[k - 6], f2_mul(acc[k], XI))
+    return tuple(out)
+
+
+def f12_sqr(a):
+    return f12_mul(a, a)
+
+
+def f12_pow(a, e: int):
+    result = F12_ONE
+    while e:
+        if e & 1:
+            result = f12_mul(result, a)
+        a = f12_sqr(a)
+        e >>= 1
+    return result
+
+
+# ---------------------------------------------------------------------------
+# G2 (affine over Fp2, the D-twist E': y^2 = x^3 + 3/xi)
+# ---------------------------------------------------------------------------
+
+B2 = f2_mul((B, 0), f2_inv(XI))
+
+G2_GENERATOR = (
+    (10857046999023057135944570762232829481370756359578518086990519993285655852781,
+     11559732032986387107991004021392285783925812861821192530917403151452391805634),
+    (8495653923123431417604973247489272438418190587263600148770280649306958101930,
+     4082367875863433681332203403145435568316851327593401208105741076214120093531),
+)
+
+
+def g2_is_on_curve(p) -> bool:
+    if p is None:
+        return True
+    x, y = p
+    return f2_sub(f2_sqr(y), f2_add(f2_mul(f2_sqr(x), x), B2)) == (0, 0)
+
+
+def g2_double(p):
+    if p is None:
+        return None
+    x, y = p
+    if y == (0, 0):
+        return None
+    lam = f2_mul(f2_scale(f2_sqr(x), 3), f2_inv(f2_scale(y, 2)))
+    x3 = f2_sub(f2_sqr(lam), f2_scale(x, 2))
+    y3 = f2_sub(f2_mul(lam, f2_sub(x, x3)), y)
+    return (x3, y3)
+
+
+def g2_add(p, q):
+    if p is None:
+        return q
+    if q is None:
+        return p
+    if p[0] == q[0]:
+        if f2_add(p[1], q[1]) == (0, 0):
+            return None
+        return g2_double(p)
+    lam = f2_mul(f2_sub(q[1], p[1]), f2_inv(f2_sub(q[0], p[0])))
+    x3 = f2_sub(f2_sub(f2_sqr(lam), p[0]), q[0])
+    y3 = f2_sub(f2_mul(lam, f2_sub(p[0], x3)), p[1])
+    return (x3, y3)
+
+
+def g2_neg(p):
+    return None if p is None else (p[0], f2_neg(p[1]))
+
+
+def g2_mul(p, k: int):
+    k %= R
+    result = None
+    while k:
+        if k & 1:
+            result = g2_add(result, p)
+        p = g2_double(p)
+        k >>= 1
+    return result
+
+
+# Frobenius constants for the twisted-coordinate endomorphism:
+# pi_p(x, y) = (conj(x) * xi^((p-1)/3), conj(y) * xi^((p-1)/2))
+_FROB_X = f2_pow(XI, (Q - 1) // 3)
+_FROB_Y = f2_pow(XI, (Q - 1) // 2)
+
+
+def g2_frobenius(p):
+    if p is None:
+        return None
+    x, y = p
+    return (f2_mul(f2_conj(x), _FROB_X), f2_mul(f2_conj(y), _FROB_Y))
+
+
+# ---------------------------------------------------------------------------
+# Pairing (optimal ate over 6u+2, D-twist line evaluation)
+# ---------------------------------------------------------------------------
+
+def _f12_at(c, power_of_w: int):
+    out = [(0, 0)] * 6
+    out[power_of_w] = c
+    return tuple(out)
+
+
+def _line(t, q2, p1):
+    """Line through the untwisted images of t and (q2 or t for doubling),
+    evaluated at p1 = (xp, yp) in G1.
+
+    Untwisting psi(x, y) = (x*w^2, y*w^3) gives slope lam' = lam*w and
+    l(P) = yp - lam*xp * w + (lam*x_T - y_T) * w^3.
+    """
+    xp, yp = p1
+    xt, yt = t
+    if q2 is None:
+        lam = f2_mul(f2_scale(f2_sqr(xt), 3), f2_inv(f2_scale(yt, 2)))
+        t_new = g2_double(t)
+    else:
+        xq, yq = q2
+        lam = f2_mul(f2_sub(yq, yt), f2_inv(f2_sub(xq, xt)))
+        t_new = g2_add(t, q2)
+    val = [(0, 0)] * 6
+    val[0] = (yp % Q, 0)
+    val[1] = f2_scale(lam, (-xp) % Q)
+    val[3] = f2_sub(f2_mul(lam, xt), yt)
+    return tuple(val), t_new
+
+
+def miller_loop(p1, q2):
+    if p1 is None or q2 is None:
+        return F12_ONE
+    f = F12_ONE
+    t = q2
+    for b in bin(ATE_LOOP)[3:]:  # skip leading 1
+        ln, t = _line(t, None, p1)
+        f = f12_mul(f12_sqr(f), ln)
+        if b == "1":
+            ln, t = _line(t, q2, p1)
+            f = f12_mul(f, ln)
+    # BN final steps: two more line additions with Frobenius images of Q
+    q1 = g2_frobenius(q2)
+    q2f = g2_neg(g2_frobenius(q1))
+    ln, t = _line(t, q1, p1)
+    f = f12_mul(f, ln)
+    ln, t = _line(t, q2f, p1)
+    f = f12_mul(f, ln)
+    return f
+
+
+_FINAL_EXP = (Q ** 12 - 1) // R
+
+
+def pairing(p1, q2):
+    """e(P, Q) for P in G1, Q in G2 (full final exponentiation)."""
+    return f12_pow(miller_loop(p1, q2), _FINAL_EXP)
+
+
+def pairings_equal(pairs_a, pairs_b) -> bool:
+    """prod e(a_i) == prod e(b_i) via one combined final exponentiation."""
+    f = F12_ONE
+    for (p, q) in pairs_a:
+        f = f12_mul(f, miller_loop(p, q))
+    for (p, q) in pairs_b:
+        f = f12_mul(f, miller_loop(p, g2_neg(q)))
+    return f12_pow(f, _FINAL_EXP) == F12_ONE
+
+
+# ---------------------------------------------------------------------------
+# KZG over the monomial CRS
+# ---------------------------------------------------------------------------
+
+def simulated_crs_g2(tau: int = 0xACE0FBA5E):
+    """([1]G2, [tau]G2) for tests (production loads the reference CRS_FILE,
+    utils.rs get_trusted_setup)."""
+    return (G2_GENERATOR, g2_mul(G2_GENERATOR, tau))
+
+
+def kate_open(crs: Sequence, coeffs: Sequence[int], z: int):
+    """Witness [q(tau)]G1 for q(X) = (p(X) - p(z)) / (X - z); returns
+    (witness, p(z))."""
+    z %= R
+    y = 0
+    for c in reversed(list(coeffs)):
+        y = (y * z + c) % R
+    q = [0] * (len(coeffs) - 1)
+    carry = 0
+    for i in reversed(range(1, len(coeffs))):
+        carry = (coeffs[i] + carry * z) % R
+        q[i - 1] = carry
+    w = g1_msm(crs[:len(q)], q) if q else None
+    return w, y
+
+
+def kate_verify(g2_powers, commitment, z: int, y: int, witness) -> bool:
+    """e(C - [y]G1, G2) == e(W, [tau]G2 - [z]G2)."""
+    g2_one, g2_tau = g2_powers
+    lhs = g1_add(commitment, g1_neg(g1_mul(G1_GENERATOR, y % R)))
+    rhs_g2 = g2_add(g2_tau, g2_neg(g2_mul(g2_one, z % R)))
+    return pairings_equal([(lhs, g2_one)], [(witness, rhs_g2)])
