@@ -1,0 +1,155 @@
+"""Scheduler circuit: the block-level aggregation root.
+
+The reference scheduler
+(circuit_definitions/src/circuit_definitions/recursion_layer/scheduler.rs)
+verifies, per base-circuit type, the node proof that aggregates that type's
+recursion queue; checks the queue was consumed from EMPTY head to its final
+tail; and compresses the block's observable data plus all verification-key
+material into a single public-input commitment — the value the compression
+chain and the SNARK wrapper ultimately expose on L1.
+
+Synthesized here with the gadget builder over the node-circuit PI convention
+(circuits/node_circuit.py):
+
+  node PIs = [leaf VK || base VK of the aggregated type || head (4) || tail (12)]
+
+In-circuit statement, for types t_1..t_k (a synthesis parameter — production
+all 13, tests fewer):
+  - one `synthesize_proof_check` per type against a SHARED node VK;
+  - every node proof's head capacity lanes are ZERO (each type's recursion
+    queue is consumed whole, from the empty state);
+  - every node proof embeds the SAME leaf VK (leaf_vk_len is a synthesis
+    parameter);
+  - the block commitment  digest = hash_elements([block_number || aux
+    observables || node VK || leaf VK || (type_id || base VK_t || tail_t)
+    per type])  is recomputed in-circuit and exposed as the circuit's ONLY
+    public inputs (4 lanes) — the closed-form block commitment
+    (external_calls.rs:250-540 scheduler-witness contents).
+
+Aux observables are the scheduler witness's block-glue values (memory/events
+queue tails, state-diff + L1-linear keccak hashes as u32 limbs), passed as a
+flat field-element vector.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+from ..ops import goldilocks as gl
+from ..prover import plonkish as pk
+from . import builder as bd
+from . import verifier_circuit as vc
+
+P = gl.P
+T = 12
+QUEUE_SUFFIX = 4 + T
+
+
+@dataclasses.dataclass
+class SchedulerLayout:
+    builder: bd.CircuitBuilder
+    type_ids: List[int]
+    child_layouts: List[vc.VerifierLayout]
+    node_vk_vars: List[int]
+    block_number_var: int
+    aux_vars: List[int]
+    leaf_vk_len: int
+    prefix_len: int
+
+
+def synthesize_scheduler(node_ir: pk.PlonkishIR, node_cfg: pk.PlonkishConfig,
+                         type_ids: Sequence[int], leaf_vk_len: int,
+                         aux_len: int = 0, slots: int = 8
+                         ) -> Tuple[bd.CircuitBuilder, SchedulerLayout]:
+    n_child_pis = len(node_ir.public_input_cells)
+    prefix_len = n_child_pis - QUEUE_SUFFIX
+    assert 0 < leaf_vk_len <= prefix_len
+    sh = vc.inner_shape(node_ir, node_cfg)
+    b = bd.CircuitBuilder(slots=slots)
+    node_vk_vars = b.inputs(sh.cap_size * vc.DIGEST)
+    block_number_var = b.input()
+    aux_vars = b.inputs(aux_len)
+
+    child_layouts = []
+    for _ in type_ids:
+        lay = vc.synthesize_proof_check(b, node_ir, node_cfg,
+                                        vk_vars=node_vk_vars)
+        child_layouts.append(lay)
+
+    # every type's queue is consumed from the EMPTY state
+    for lay in child_layouts:
+        for k in range(4):
+            b.assert_zero(lay.inner_pi_vars[prefix_len + k])
+    # one leaf VK across all aggregated types
+    pi0 = child_layouts[0].inner_pi_vars
+    for lay in child_layouts[1:]:
+        for j in range(leaf_vk_len):
+            b.assert_eq(lay.inner_pi_vars[j], pi0[j])
+
+    absorb = [block_number_var] + list(aux_vars) + list(node_vk_vars)
+    absorb += pi0[:leaf_vk_len]
+    for tid, lay in zip(type_ids, child_layouts):
+        absorb.append(b.constant(int(tid)))
+        absorb += lay.inner_pi_vars[leaf_vk_len:prefix_len]   # base VK_t
+        absorb += lay.inner_pi_vars[prefix_len + 4:]          # tail_t (12)
+    digest = vc.hash_row(b, absorb)
+    for v in digest:
+        b.mark_public(v)
+    return b, SchedulerLayout(builder=b, type_ids=list(type_ids),
+                              child_layouts=child_layouts,
+                              node_vk_vars=node_vk_vars,
+                              block_number_var=block_number_var,
+                              aux_vars=aux_vars, leaf_vk_len=leaf_vk_len,
+                              prefix_len=prefix_len)
+
+
+def scheduler_assignments(lay: SchedulerLayout, node_vk: Sequence[int],
+                          node_proofs: Sequence[pk.PlonkishProof],
+                          block_number: int,
+                          aux_values: Sequence[int] = ()) -> Dict[int, int]:
+    assert len(node_proofs) == len(lay.child_layouts)
+    asg: Dict[int, int] = {lay.block_number_var: int(block_number) % P}
+    assert len(aux_values) == len(lay.aux_vars)
+    for var, val in zip(lay.aux_vars, aux_values):
+        asg[var] = int(val) % P
+    for child_lay, proof in zip(lay.child_layouts, node_proofs):
+        asg.update(vc.verifier_assignments(child_lay, node_vk, proof))
+    return asg
+
+
+def scheduler_public_inputs(lay: SchedulerLayout, node_vk: Sequence[int],
+                            node_proofs: Sequence[pk.PlonkishProof],
+                            block_number: int,
+                            aux_values: Sequence[int] = ()) -> List[int]:
+    """The block commitment, recomputed host-side with the SAME
+    hash_elements chain the circuit replays."""
+    from ..ops import poseidon2 as p2
+    pl, lvl = lay.prefix_len, lay.leaf_vk_len
+    absorb = [int(block_number) % P]
+    absorb += [int(v) % P for v in aux_values]
+    absorb += [int(v) % P for v in node_vk]
+    pis0 = [int(v) % P for v in node_proofs[0].public_inputs]
+    absorb += pis0[:lvl]
+    for tid, proof in zip(lay.type_ids, node_proofs):
+        pis = [int(v) % P for v in proof.public_inputs]
+        absorb.append(int(tid))
+        absorb += pis[lvl:pl]
+        absorb += pis[pl + 4:]
+    digest = gl.to_ints(p2.hash_elements(gl.from_int(absorb)))
+    return [int(v) for v in digest]
+
+
+def scheduler_aux_values(sched_wit) -> List[int]:
+    """Flatten a SchedulerCircuitInstanceWitness's observable block data into
+    the aux field-element vector (u32 limbs for the keccak byte hashes)."""
+    out: List[int] = []
+    out += [int(v) % P for v in sched_wit.bootloader_heap_initial_content]
+    out += [int(v) % P for v in sched_wit.events_queue_state.tail]
+    out.append(int(sched_wit.events_queue_state.length))
+    out += [int(v) % P for v in sched_wit.memory_queue_state.tail]
+    out.append(int(sched_wit.memory_queue_state.length))
+    for h in (sched_wit.aux_output.rollup_state_diff_for_compression,
+              sched_wit.aux_output.l1_messages_linear_hash):
+        out += [int.from_bytes(h[i:i + 4], "big") for i in range(0, 32, 4)]
+    return out
