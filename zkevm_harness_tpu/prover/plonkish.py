@@ -683,6 +683,55 @@ def _deep_fn(ir: PlonkishIR):
     return _PHASE_CACHE[key]
 
 
+def _deep_invs_fn():
+    """1/(x-z), 1/(x-zw) over the commitment domain (shared by every
+    streamed DEEP partial)."""
+    key = ("deep_invs",)
+    if key not in _PHASE_CACHE:
+
+        def f(z, zw, xs):
+            n_comm = xs.shape[0]
+            x_ext = GF2(xs, gl.zeros((n_comm,)))
+            inv_xz = gl.ext_inv(gl.ext_sub(x_ext, _ebc(z, (n_comm,))))
+            inv_xzw = gl.ext_inv(gl.ext_sub(x_ext, _ebc(zw, (n_comm,))))
+            return inv_xz, inv_xzw
+
+        _PHASE_CACHE[key] = _phase_jit(f)
+    return _PHASE_CACHE[key]
+
+
+def _deep_partial_fn(ncols: int, has_next: bool):
+    """One bundle's DEEP contribution, accumulated into `deep` — the DEEP
+    sum is additive over bundles, so lean-HBM mode streams it one bundle
+    LDE at a time instead of holding every commitment LDE at once (the
+    2^20 x 130 peak-HBM overrun). Term order matches _deep_fn: all
+    at-z terms of the bundle, then its at-zw terms; gamma powers are sliced
+    by the caller in the same global order the verifier uses."""
+    key = ("deep_partial", ncols, has_next)
+    if key not in _PHASE_CACHE:
+
+        def f(deep, cols, ood_z, ood_zw, gp_z, gp_zw, inv_xz, inv_xzw):
+            n_comm = cols.shape[-1]
+
+            def accum(deep, col: GF, ood: GF2, inv_den: GF2, g: GF2):
+                num = GF2(gl.sub(col, gl.broadcast_to(ood.c0, (n_comm,))),
+                          gl.neg(gl.broadcast_to(ood.c1, (n_comm,))))
+                term = gl.ext_mul(num, inv_den)
+                return gl.ext_add(deep, gl.ext_mul(_ebc(g, (n_comm,)), term))
+
+            for j in range(ncols):
+                deep = accum(deep, cols[j], _scalar2(ood_z, j), inv_xz,
+                             _scalar2(gp_z, j))
+            if has_next:
+                for j in range(ncols):
+                    deep = accum(deep, cols[j], _scalar2(ood_zw, j), inv_xzw,
+                                 _scalar2(gp_zw, j))
+            return deep
+
+        _PHASE_CACHE[key] = _phase_jit(f)
+    return _PHASE_CACHE[key]
+
+
 def _oods_to_gf2(oods: List[Tuple[int, int]]) -> GF2:
     arr = np.asarray(oods if oods else np.zeros((0, 2)), dtype=object)
     return GF2(gl.from_int(arr[:, 0] if len(oods) else np.zeros(0, dtype=object)),
@@ -692,6 +741,9 @@ def _oods_to_gf2(oods: List[Tuple[int, int]]) -> GF2:
 # ---------------------------------------------------------------------------
 # Prover
 # ---------------------------------------------------------------------------
+
+FORCE_LEAN = False  # test hook: run the lean-HBM streamed phases on CPU
+
 
 def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
           cfg: PlonkishConfig = PlonkishConfig()) -> PlonkishProof:
@@ -715,10 +767,12 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     n_tables = len(ir.lookup_tables)
 
     # lean-HBM mode (TPU): commitment LDEs are dropped after tree build and
-    # recomputed from coefficients for the DEEP phase — halves peak HBM so
-    # the 2^20 x 130-column MainVM shape fits a single chip. CPU keeps the
-    # retain-LDE path (the extra NTT pass is slower than the memory saving).
-    lean = jax.default_backend() != "cpu"
+    # recomputed from coefficients for the streamed DEEP/opening phases —
+    # peak HBM holds one bundle LDE instead of all five, so the 2^20 x
+    # 130-column MainVM shape fits a single chip. CPU keeps the retain-LDE
+    # path (the extra NTT passes are slower than the memory saving);
+    # FORCE_LEAN lets tests pin transcript-equality of the two paths.
+    lean = jax.default_backend() != "cpu" or FORCE_LEAN
 
     tr = Transcript()
     tr.absorb_ints(setup.vk())
@@ -793,6 +847,11 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         theta_gf = beta_lk_gf = gl.ext_zeros(())
         s3_coeffs = s3_lde = s3_tree = None
 
+    # the witness evals are dead past this point (everything downstream
+    # reads wit_coeffs); drop this frame's reference so the 130-column
+    # buffer can be reclaimed once the caller releases theirs
+    witness = None
+
     # -- stage 3: quotient (coset-streamed over the eval domain) ----------
     alpha = tr.challenge_ext_ints()
     const_coeffs = nt.intt(setup.const_cols) if ir.num_const else None
@@ -830,12 +889,17 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     for c in range(lde_eval):
         s_c = (shift * pow(v, c, P)) % P
         zh_c = (pow(s_c, n, P) - 1) % P
-        comp_cosets.append(coset_eval(
+        res = coset_eval(
             wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs, sigma_coeffs,
             table_coeffs, gl.from_int(s_c),
             gl.from_int(pow(zh_c, P - 2, P)),
             u_pows, ks_vec, apows, beta_gf, gamma_gf, theta_gf, beta_lk_gf,
-            pi_vals))
+            pi_vals)
+        if lean:
+            # sequence the cosets: async dispatch would queue lde_eval
+            # multi-GB working sets at once and exhaust HBM at 2^20 x 130
+            res = jax.block_until_ready(res)
+        comp_cosets.append(res)
 
     # interleave cosets -> full eval-domain values -> coefficients
     comp0 = jnp.stack([c.c0.lo for c in comp_cosets], axis=1).reshape(n_eval)
@@ -890,18 +954,15 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     # -- stage 5: DEEP + FRI ----------------------------------------------
     gamma_deep = tr.challenge_ext_ints()
     if lean:
-        # recompute the commitment LDEs from the coefficient bundles (the
-        # drop-after-commit half of lean-HBM mode), then release the bundles
-        wit_lde = _lde_from_coeffs(wit_coeffs, n_comm)
-        s2_lde = _lde_from_coeffs(s2_coeffs, n_comm)
-        s3_lde = _lde_from_coeffs(s3_coeffs, n_comm) if has_lk else None
-        setup_lde = _lde_from_coeffs(gl.concatenate(
+        # lean-HBM mode streams DEEP one bundle at a time (below); keep the
+        # coefficient bundles, concatenating the setup side once
+        setup_coeffs_all = gl.concatenate(
             [b for b in (const_coeffs, sigma_coeffs, table_coeffs)
-             if b is not None], axis=0), n_comm)
-        q_lde = _lde_from_coeffs(q_coeffs, n_comm)
-        wit_coeffs = s2_coeffs = s3_coeffs = None
+             if b is not None], axis=0)
         const_coeffs = sigma_coeffs = table_coeffs = None
+        setup_lde = None
     else:
+        setup_coeffs_all = None
         setup_lde = nt.coset_lde(gl.concatenate(
             [setup.const_cols, setup.sigma_cols, setup.table_cols], axis=0),
             rate)
@@ -921,13 +982,46 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     xs_host = gl.powers_host(gl.primitive_root_of_unity(n_comm.bit_length() - 1),
                              n_comm).astype(object)
     xs = gl.from_int((xs_host * shift) % P)
-    deep = _deep_fn(ir)(
-        wit_lde, s2_lde, s3_lde, setup_lde, q_lde,
-        _oods_to_gf2(ood_witness), _oods_to_gf2(ood_witness_next),
-        _oods_to_gf2(ood_stage2), _oods_to_gf2(ood_stage2_next),
-        _oods_to_gf2(ood_stage3), _oods_to_gf2(ood_stage3_next),
-        _oods_to_gf2(ood_setup), _oods_to_gf2(ood_quotient),
-        z_gf, zw_gf, gpows, xs)
+    if lean:
+        # streamed DEEP: the combination is additive over bundles, so each
+        # commitment LDE is recomputed from its coefficients, folded into
+        # the accumulator, and released — peak HBM holds ONE bundle LDE
+        # instead of all five (the 2^20 x 130 fix). Gamma-power order
+        # matches _deep_fn / the verifier exactly.
+        inv_xz, inv_xzw = _deep_invs_fn()(z_gf, zw_gf, xs)
+        deep = gl.ext_zeros((n_comm,))
+        stream = [(wit_coeffs, ood_witness, ood_witness_next),
+                  (s2_coeffs, ood_stage2, ood_stage2_next)]
+        if has_lk:
+            stream.append((s3_coeffs, ood_stage3, ood_stage3_next))
+        stream += [(setup_coeffs_all, ood_setup, None),
+                   (q_coeffs, ood_quotient, None)]
+        gp_off = 0
+        for coeffs_b, ood_z, ood_zw in stream:
+            w_b = coeffs_b.shape[0]
+            lde_b = _lde_from_coeffs(coeffs_b, n_comm)
+            gp_z = gpows[gp_off:gp_off + w_b]
+            gp_off += w_b
+            if ood_zw is not None:
+                gp_zw = gpows[gp_off:gp_off + w_b]
+                gp_off += w_b
+            else:
+                gp_zw = None
+            deep = jax.block_until_ready(
+                _deep_partial_fn(w_b, ood_zw is not None)(
+                    deep, lde_b, _oods_to_gf2(ood_z),
+                    _oods_to_gf2(ood_zw) if ood_zw is not None else None,
+                    gp_z, gp_zw, inv_xz, inv_xzw))
+            del lde_b
+        assert gp_off == n_deep_terms
+    else:
+        deep = _deep_fn(ir)(
+            wit_lde, s2_lde, s3_lde, setup_lde, q_lde,
+            _oods_to_gf2(ood_witness), _oods_to_gf2(ood_witness_next),
+            _oods_to_gf2(ood_stage2), _oods_to_gf2(ood_stage2_next),
+            _oods_to_gf2(ood_stage3), _oods_to_gf2(ood_stage3_next),
+            _oods_to_gf2(ood_setup), _oods_to_gf2(ood_quotient),
+            z_gf, zw_gf, gpows, xs)
     fri_cfg = cfg.fri_config(n_comm)
     fri_proof = fri_prove(deep, shift, tr, fri_cfg)
 
@@ -938,17 +1032,30 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     idx_arr = np.array(idx_set, dtype=np.uint32)
     openings: Dict[str, Dict[int, List[int]]] = {}
     paths: Dict[str, Dict[int, np.ndarray]] = {}
-    all_trees = [("witness", wit_lde, wit_tree),
-                 ("stage2", s2_lde, s2_tree),
-                 ("quotient", q_lde, q_tree),
-                 ("setup", setup_lde, setup.tree)]
-    if has_lk:
-        all_trees.insert(2, ("stage3", s3_lde, s3_tree))
-    for name, lde_cols, tree in all_trees:
+    if lean:
+        # recompute each bundle's LDE one at a time for the query gathers
+        # (drop-after-commit: only one bundle LDE is ever live)
+        all_trees = [("witness", wit_coeffs, wit_tree),
+                     ("stage2", s2_coeffs, s2_tree),
+                     ("quotient", q_coeffs, q_tree),
+                     ("setup", setup_coeffs_all, setup.tree)]
+        if has_lk:
+            all_trees.insert(2, ("stage3", s3_coeffs, s3_tree))
+    else:
+        all_trees = [("witness", wit_lde, wit_tree),
+                     ("stage2", s2_lde, s2_tree),
+                     ("quotient", q_lde, q_tree),
+                     ("setup", setup_lde, setup.tree)]
+        if has_lk:
+            all_trees.insert(2, ("stage3", s3_lde, s3_tree))
+    for name, cols_or_coeffs, tree in all_trees:
+        lde_cols = (_lde_from_coeffs(cols_or_coeffs, n_comm) if lean
+                    else cols_or_coeffs)
         # gather opened rows from the column-major LDE: (cols, q) -> (q, cols)
         g = gl.take(lde_cols, jnp.asarray(idx_arr), axis=1)
         vals = gl.to_ints(GF(jnp.moveaxis(g.lo, 0, 1),
                              jnp.moveaxis(g.hi, 0, 1)))
+        del lde_cols, g
         pth = gl.to_ints(mk.open_indices(tree, idx_arr))
         openings[name] = {int(i): [int(v) for v in vals[k]]
                           for k, i in enumerate(idx_set)}
