@@ -278,6 +278,169 @@ def compute_events_circuit_artifacts(queries: Sequence[LogQuery],
 
 
 # --------------------------------------------------------------------------
+# Storage sorter (circuit type 9): full per-instance circuit payloads
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class StorageCircuitInstance:
+    index: int
+    start_flag: bool
+    completion_flag: bool
+    input_queue_state: Tuple[Tuple[int, ...], Tuple[int, ...], int]
+    sorted_queue_state: Tuple[Tuple[int, ...], Tuple[int, ...], int]
+    output_queue_state: Tuple[Tuple[int, ...], Tuple[int, ...], int]
+    accumulators_in: Tuple[int, int, int, int]
+    accumulators_out: Tuple[int, int, int, int]
+    num_items_in: int
+    num_items: int
+    out_items_in: int
+    out_items: int
+    input_encodings: np.ndarray   # (num_items, 20)
+    sorted_encodings: np.ndarray  # (num_items, 20)
+    prev_enc: "np.ndarray | None"  # previous sorted encoding or None
+
+
+@dataclasses.dataclass
+class StorageCircuitArtifacts:
+    circuit_type: int
+    instances: List[StorageCircuitInstance]
+    challenges: List[int]          # 42
+    output_queue: QueueSimulator   # net storage accesses (dedup result)
+    final_accumulators: Tuple[int, int, int, int]
+
+
+def compute_storage_circuit_artifacts(queries: Sequence[LogQuery],
+                                      capacity: int
+                                      ) -> StorageCircuitArtifacts:
+    """Full circuit-instance payloads for the storage sorter (type 9):
+    2-repetition permutation argument over the TIMESTAMPED encodings,
+    per-instance queue segments for input/sorted/output, and SAFE-SPLIT
+    boundaries at storage-cell boundaries (the circuit's first-row
+    constraint forbids an instance starting inside a cell). The emitted
+    output stream is cross-checked against the behavioral
+    sort_storage_access_queries dedup (sort_storage_access.rs:19-260)."""
+    n = len(queries)
+    W = EVENTS_ENC_W
+    input_enc = np.array(
+        [encode_timestamped_log_query(q, i) for i, q in enumerate(queries)],
+        dtype=object).reshape(-1, W)
+    with_ts, dedup = sort_storage_access_queries(list(queries))
+    sorted_enc = np.array(
+        [encode_timestamped_log_query(e.raw_query, e.extended_timestamp)
+         for e in with_ts], dtype=object).reshape(-1, W)
+
+    in_q = QueueSimulator()
+    in_q.push_many(input_enc)
+    srt_q = QueueSimulator()
+    srt_q.push_many(sorted_enc)
+
+    tr = Transcript(domain_tag=9)
+    tr.absorb_ints(list(in_q.tail) + list(srt_q.tail) + [n])
+    challenges = [tr.challenge_base() for _ in range(EVENTS_NUM_CHALLENGES)]
+
+    # cell boundaries + per-element emission (the in-circuit replay's view)
+    def cell_of(e):
+        q = e.raw_query
+        return (q.shard_id, q.address, q.key)
+
+    emit = [0] * n
+    out_encs: List[List[int]] = []
+    i = 0
+    while i < n:
+        j = i
+        while j < n and cell_of(with_ts[j]) == cell_of(with_ts[i]):
+            j += 1
+        group = [e.raw_query for e in with_ts[i:j]]
+        initial = group[0].read_value
+        current = initial
+        depth = 0
+        rdz = 0
+        for q in group:
+            if q.rw_flag:
+                if q.rollback:
+                    depth -= 1
+                    current = q.read_value
+                else:
+                    depth += 1
+                    current = q.written_value
+            elif depth == 0:
+                rdz = 1
+        if initial != current or rdz:
+            emit[j - 1] = 1
+            cand = group[0]
+            out_encs.append(encode_log_query(LogQuery(
+                timestamp=0, tx_number_in_block=0, aux_byte=cand.aux_byte,
+                shard_id=cand.shard_id, address=cand.address, key=cand.key,
+                read_value=initial, written_value=current,
+                rw_flag=(initial != current))))
+        i = j
+    out_q = QueueSimulator()
+    out_q.push_many(out_encs)
+    # behavioral cross-check against the reference dedup function
+    ref_encs = [encode_log_query(q) for q in dedup]
+    assert out_encs == ref_encs, \
+        "in-circuit emission diverged from sort_storage_access semantics"
+
+    chains = []
+    if n:
+        for rep in range(EVENTS_NUM_REPETITIONS):
+            base = rep * (W + 1)
+            ch_gf = gl.from_int(challenges[base:base + W])
+            gm = gl.from_int(challenges[base + W])
+            for enc in (input_enc, sorted_enc):
+                terms = fs_challenge_terms(gl.from_int(enc), ch_gf, gm)
+                chains.append([int(v) for v in
+                               gl.to_u64(grand_product_chain(terms))])
+
+    def accs(idx: int) -> Tuple[int, int, int, int]:
+        if idx < 0 or not chains:
+            return (1, 1, 1, 1)
+        return (chains[0][idx], chains[1][idx], chains[2][idx],
+                chains[3][idx])
+
+    # safe-split: never split inside a cell
+    bounds = [0]
+    while bounds[-1] < n:
+        b = min(bounds[-1] + capacity, n)
+        while b < n and cell_of(with_ts[b]) == cell_of(with_ts[b - 1]):
+            b -= 1
+        assert b > bounds[-1], "capacity smaller than a storage-cell group"
+        bounds.append(b)
+    if n == 0:
+        bounds = [0, 0]
+
+    in_tails = in_q.tails()
+    srt_tails = srt_q.tails()
+    out_tails = out_q.tails()
+    emit_prefix = np.concatenate([[0], np.cumsum(emit)]) if n else [0, 0]
+
+    instances = []
+    n_inst = len(bounds) - 1
+    for i in range(n_inst):
+        lo, hi = bounds[i], bounds[i + 1]
+        olo, ohi = int(emit_prefix[lo]), int(emit_prefix[hi])
+        instances.append(StorageCircuitInstance(
+            index=i, start_flag=(i == 0), completion_flag=(i == n_inst - 1),
+            input_queue_state=(tuple(int(v) for v in in_tails[lo]),
+                               tuple(int(v) for v in in_tails[hi]), hi - lo),
+            sorted_queue_state=(tuple(int(v) for v in srt_tails[lo]),
+                                tuple(int(v) for v in srt_tails[hi]),
+                                hi - lo),
+            output_queue_state=(tuple(int(v) for v in out_tails[olo]),
+                                tuple(int(v) for v in out_tails[ohi]),
+                                ohi - olo),
+            accumulators_in=accs(lo - 1), accumulators_out=accs(hi - 1),
+            num_items_in=lo, num_items=hi - lo,
+            out_items_in=olo, out_items=ohi - olo,
+            input_encodings=input_enc[lo:hi],
+            sorted_encodings=sorted_enc[lo:hi],
+            prev_enc=(sorted_enc[lo - 1] if lo else None)))
+    return StorageCircuitArtifacts(
+        circuit_type=9, instances=instances, challenges=challenges,
+        output_queue=out_q, final_accumulators=accs(n - 1))
+
+
+# --------------------------------------------------------------------------
 # Decommittment requests sorter (circuit type 2) + decommitter feed (type 3)
 # --------------------------------------------------------------------------
 
