@@ -37,6 +37,30 @@ class LinearHasherInstanceWitness:
     output_hash: bytes  # only meaningful on the completion instance
 
 
+@dataclasses.dataclass
+class LinearHasherCircuitArtifacts:
+    """Circuit-level payloads for type 13: ONE in-circuit keccak256 of the
+    serialized message stream (circuits/linear_hasher_circuit.py proves the
+    full chained sponge; the reference capacity of 774 messages per
+    instance always fits one)."""
+    instances: List  # [HasherInstanceInputs]
+    digest: bytes
+    queue_instances: List[LinearHasherInstanceWitness]
+
+
+def compute_hasher_circuit_artifacts(messages: Sequence[LogQuery],
+                                     capacity: int
+                                     ) -> LinearHasherCircuitArtifacts:
+    from ..circuits import linear_hasher_circuit as lh
+    assert len(messages) <= capacity, \
+        "multi-instance linear hashing exceeds the single-hash capacity"
+    data = b"".join(serialize_l1_message(q) for q in messages)
+    queue_instances, digest = compute_linear_keccak256(messages, capacity)
+    inst = lh.instance_inputs(data)
+    return LinearHasherCircuitArtifacts(
+        instances=[inst], digest=digest, queue_instances=queue_instances)
+
+
 def compute_linear_keccak256(messages: Sequence[LogQuery], capacity: int
                              ) -> Tuple[List[LinearHasherInstanceWitness], bytes]:
     data = b"".join(serialize_l1_message(q) for q in messages)
