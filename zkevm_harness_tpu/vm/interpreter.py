@@ -259,7 +259,8 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
         tracer.add_log_query(cycle, q)
         assert code_hash != 0, f"far call to undeployed address {callee:#x}"
         dq, _words = vm.tools.decommitter.decommit(code_hash, mem, vm.timestamp)
-        tracer.add_decommittment(cycle, dq)
+        tracer.add_decommittment(
+            cycle, dq, vm.tools.decommitter.known.get(code_hash))
         CODE_STORE[dq.memory_page] = _CONTRACT_CODE[code_hash]
         heap_page = mem.new_page()
         new_frame = CallstackEntry(

@@ -30,6 +30,33 @@ def bytecode_hash(words: Sequence[int]) -> int:
 
 
 @dataclasses.dataclass
+class CodeDecommitterCircuitArtifacts:
+    """Circuit-level payloads for type 3: one in-circuit chained sha256
+    per fresh bytecode (circuits/decommitter_circuit.py), digest pinned
+    against the request's versioned hash."""
+    instances: List  # [DecommitterInstanceInputs]
+    hashes: List[int]  # versioned hash per instance, same order
+
+
+def compute_code_decommitter_artifacts(
+        fresh_queries: Sequence[DecommittmentQuery],
+        known_bytecodes: Dict[int, Sequence[int]],
+        ) -> CodeDecommitterCircuitArtifacts:
+    from ..circuits import decommitter_circuit as dcc
+    instances, hashes = [], []
+    for q in fresh_queries:
+        words = known_bytecodes.get(q.hash)
+        if words is None:
+            continue  # bootstrap/entry code outside the decommit store
+        inst = dcc.instance_inputs(words)
+        expected = bytecode_hash(words)
+        assert expected == q.hash, "bytecode does not match versioned hash"
+        instances.append(inst)
+        hashes.append(q.hash)
+    return CodeDecommitterCircuitArtifacts(instances=instances, hashes=hashes)
+
+
+@dataclasses.dataclass
 class DecommitterInstanceWitness:
     index: int
     start_flag: bool

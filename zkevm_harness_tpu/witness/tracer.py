@@ -74,6 +74,7 @@ class WitnessTracer:
         self.cycles_per_vm_snapshot = cycles_per_vm_snapshot
         self.memory_queries: List[Tuple[int, MemoryQuery]] = []
         self.decommittment_queries: List[Tuple[int, DecommittmentQuery]] = []
+        self.decommitted_bytecodes: Dict[int, List[int]] = {}
         self.precompile_calls: List[Tuple[int, LogQuery, bytes, bytes]] = []
         self.refunds: List[Tuple[int, LogQuery, int]] = []
         self.callstack_with_aux_data = CallstackWithAuxData()
@@ -97,8 +98,11 @@ class WitnessTracer:
             rollback = dataclasses.replace(query, rollback=True)
         self.callstack_with_aux_data.add_log(cycle, query, rollback)
 
-    def add_decommittment(self, cycle: int, query: DecommittmentQuery):
+    def add_decommittment(self, cycle: int, query: DecommittmentQuery,
+                          words=None):
         self.decommittment_queries.append((cycle, query))
+        if words is not None:
+            self.decommitted_bytecodes[query.hash] = list(words)
 
     def add_precompile_call_result(self, cycle: int, query: LogQuery,
                                    data: bytes, result: bytes):
