@@ -1,0 +1,129 @@
+"""MainVM circuit (type 1, stage A): per-cycle transition proofs from the
+traced block — decode binding, add/sub register semantics, control flow,
+and log/memory side-effect accumulators."""
+
+import dataclasses as dc
+
+import numpy as np
+import pytest
+
+from zkevm_harness_tpu.circuits import main_vm_circuit as mvc
+from zkevm_harness_tpu.circuits.types import testing_geometry
+from zkevm_harness_tpu.prover import plonkish as pk
+from zkevm_harness_tpu.prover import satisfy
+from zkevm_harness_tpu.vm import isa
+from zkevm_harness_tpu.vm.environment import (DefaultPrecompilesProcessor,
+                                              InMemoryEventSink,
+                                              InMemoryStorage,
+                                              SimpleDecommitter, SimpleMemory)
+from zkevm_harness_tpu.vm.interpreter import run_vm
+from zkevm_harness_tpu.vm.state import (BlockProperties, ProvingToolset,
+                                        create_vm)
+from zkevm_harness_tpu.witness import main_vm as wmv
+from zkevm_harness_tpu.witness.tracer import WitnessTracer
+
+I = isa.imm
+R = isa.reg
+
+CFG = pk.PlonkishConfig(rate=2, cap_size=4, num_queries=4, final_fri_size=8)
+GEO = mvc.VmGeometry(log_n=8, limb_bits=8, num_limbs=16)  # u128 regs
+
+BLOCK = [
+    isa.BinOp("add", I(40), I(2), dst=1),        # r1 = 42
+    isa.BinOp("sub", R(1), I(42), dst=2),        # r2 = 0, eq flag set
+    isa.JumpIfEq(target=4),                      # taken
+    isa.Nop(),                                   # skipped
+    isa.BinOp("add", R(1), R(1), dst=3),         # r3 = 84
+    isa.StorageWrite(I(7), R(3)),                # log write
+    isa.StorageRead(I(7), 4),                    # r4 = 84 (oracle read)
+    isa.HeapWrite(I(0), R(4)),                   # memory write
+    isa.HeapRead(I(0), 5),                       # r5 = 84
+    isa.Event(I(2), R(5)),                       # event log
+    isa.BinOp("sub", R(5), R(3), dst=6),         # r6 = 0, eq set
+    isa.Jump(target=12),
+    isa.Ret(),                                   # ext row
+]
+
+
+@pytest.fixture(scope="module")
+def rig():
+    tracer = WitnessTracer(5)
+    tools = ProvingToolset(
+        storage=InMemoryStorage(), memory=SimpleMemory(),
+        decommitter=SimpleDecommitter(), event_sink=InMemoryEventSink(),
+        precompiles=DefaultPrecompilesProcessor(), tracer=tracer,
+        geometry=testing_geometry())
+    vm = create_vm(tools, BlockProperties(block_number=1), 0xAA, code_page=0)
+    run_vm(vm, BLOCK, 100)
+    assert vm.finished
+    art = wmv.compute_main_vm_artifacts(tracer, GEO, capacity=len(BLOCK))
+    assert len(art.instances) == 1
+    inst = art.instances[0]
+    ir = mvc.main_vm_ir(GEO)
+    setup = mvc.main_vm_setup(ir, GEO, CFG)
+    W = mvc.main_vm_witness(ir, GEO, inst)
+    return dict(tracer=tracer, art=art, inst=inst, ir=ir, setup=setup, W=W)
+
+
+def test_rows_decode_the_block(rig):
+    rows = rig["inst"].rows
+    assert [r.op for r in rows] == [
+        mvc.OP_ADD, mvc.OP_SUB, mvc.OP_JEQ, mvc.OP_ADD, mvc.OP_STOW,
+        mvc.OP_STOR, mvc.OP_HEAPW, mvc.OP_HEAPR, mvc.OP_EVT, mvc.OP_SUB,
+        mvc.OP_JUMP, mvc.OP_EXT]
+    assert rows[3].pc == 4          # the JumpIfEq was taken over the Nop
+    assert rows[5].res == 84        # storage read bound to the traced value
+    assert rows[7].res == 84        # heap read bound to the traced value
+
+
+def test_witness_satisfies(rig):
+    inst, ir, W = rig["inst"], rig["ir"], rig["W"]
+    Wint = np.asarray(W.lo, dtype=object) + \
+        (np.asarray(W.hi, dtype=object) << 32)
+    pis = mvc.expected_public_inputs(GEO, inst)
+    violations = satisfy.check_satisfied(
+        ir, Wint, mvc._const_rows(GEO).T,
+        pk.identity_permutation(ir.num_witness, GEO.n), pis)
+    assert violations == [], violations[:8]
+
+
+def test_proves_and_verifies(rig):
+    proof = pk.prove(rig["ir"], rig["setup"], rig["W"], CFG)
+    expected = mvc.expected_public_inputs(GEO, rig["inst"])
+    assert [int(v) for v in proof.public_inputs] == \
+        [int(v) % pk.gl.P for v in expected]
+    assert pk.verify(rig["ir"], rig["setup"].vk(), proof, CFG)
+    # tampered exit-pc PI must be rejected
+    pis = list(proof.public_inputs)
+    pis[11] = (int(pis[11]) + 1) % pk.gl.P
+    bad = dc.replace(proof, public_inputs=tuple(pis))
+    assert not pk.verify(rig["ir"], rig["setup"].vk(), bad, CFG)
+
+
+def test_forged_storage_read_changes_log_accumulator(rig):
+    """Claiming a different read value changes the log fingerprint, so the
+    proof cannot match the oracle-recomputed PI."""
+    inst = rig["inst"]
+    rows = [dc.replace(r) for r in inst.rows]
+    rows[5] = dc.replace(rows[5], res=85)
+    forged = dc.replace(inst, rows=rows)
+    assert wmv.replay_accumulators(GEO, forged)[1] != \
+        wmv.replay_accumulators(GEO, inst)[1]
+
+
+def test_multi_instance_accumulators_chain():
+    tracer = WitnessTracer(5)
+    tools = ProvingToolset(
+        storage=InMemoryStorage(), memory=SimpleMemory(),
+        decommitter=SimpleDecommitter(), event_sink=InMemoryEventSink(),
+        precompiles=DefaultPrecompilesProcessor(), tracer=tracer,
+        geometry=testing_geometry())
+    vm = create_vm(tools, BlockProperties(block_number=1), 0xAA, code_page=0)
+    run_vm(vm, BLOCK, 100)
+    art = wmv.compute_main_vm_artifacts(tracer, GEO, capacity=5)
+    assert len(art.instances) == 3
+    for a, b in zip(art.instances, art.instances[1:]):
+        assert a.acc_out == b.acc_in
+        assert a.exit_pc == b.rows[0].pc
+        assert a.exit_regs == b.rows[0].regs
+    assert art.instances[-1].acc_out == art.final_accs

@@ -1,0 +1,499 @@
+"""MainVM circuit (type 1, stage A): per-cycle VM transition proofs.
+
+The reference's vm_main circuit
+(circuit_definitions/src/circuit_definitions/base_layer/vm_main.rs:29-110,
+130 copy columns, specialized gates) proves EraVM cycles against the
+VmWitnessOracle's per-cycle replay. This is the TPU-native counterpart for
+the structured ISA (vm/interpreter.py), one ROW per cycle:
+
+  - the register file lives as 15 x NLIMB u(L)-bit limb columns; operand
+    values are muxed from one-hot register selectors or immediate limbs;
+  - PROVEN semantics (stage A): BinOp add/sub (exact limb adds with
+    boolean carries + eq/lt flag updates through a zero-sum inverse
+    gadget), Nop, Jump, JumpIfEq (on the carried flag state), register
+    writeback, pc/timestamp chains, and the log/memory-query side effects
+    of StorageWrite/StorageRead/Event/L1-Event/HeapWrite/HeapRead —
+    each such row folds (op, timestamp, key/addr, value) into a Horner
+    fingerprint accumulator, with READ results entering as oracle-provided
+    witness values bound by the same accumulator (exactly how the RAM
+    permutation / log circuits consume them);
+  - every executed row is bound to the block's CODE by a third
+    accumulator over the decoded fields (pc, opcode id, operand selectors,
+    immediates, jump target) — challenge-after-commit over the traced
+    instruction stream;
+  - remaining opcodes (calls/ret/ptr ops/other BinOps) are EXT rows this
+    round: they participate in the code fingerprint but leave pc/regs/
+    flags oracle-provided (the panic/callstack semantics are the next
+    increment; the reference stages its vm gates the same way —
+    capacity-first, opcode-set-growing);
+  - public inputs: challenges, the three accumulator boundaries, pc/ts
+    boundaries, validity, and the FULL register file at the first and
+    last row (the snapshot FSM binding of oracle.rs:1164-1420).
+
+Geometry: tests run u8 limbs x 16 (u128 registers, 2^8 range table);
+production uses u16 x 16 (full u256) at 2^16+ rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops import goldilocks as gl
+from ..prover import plonkish as pk
+
+P = gl.P
+NREGS = 15
+
+# opcode classes (stage A)
+OP_NOP, OP_ADD, OP_SUB, OP_JUMP, OP_JEQ = 0, 1, 2, 3, 4
+OP_HEAPW, OP_HEAPR, OP_STOW, OP_STOR = 5, 6, 7, 8
+OP_EVT, OP_EVTL1, OP_EXT = 9, 10, 11
+NOPS = 12
+_LOG_OPS = (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1)
+_MEM_OPS = (OP_HEAPW, OP_HEAPR)
+
+
+@dataclasses.dataclass(frozen=True)
+class VmGeometry:
+    log_n: int
+    limb_bits: int = 16
+    num_limbs: int = 16
+
+    @property
+    def n(self) -> int:
+        return 1 << self.log_n
+
+    @property
+    def capacity(self) -> int:
+        """cycles per instance (cycles_per_vm_snapshot analogue)."""
+        return self.n
+
+
+def _cols(geo: VmGeometry) -> Dict[str, int]:
+    NL = geo.num_limbs
+    off, w = {}, 0
+
+    def reg(name, k):
+        nonlocal w
+        off[name] = w
+        w += k
+
+    reg("REG", NREGS * NL)
+    reg("PC", 1)
+    reg("TS", 1)
+    reg("OP", NOPS)
+    reg("DST", NREGS)
+    reg("S0SEL", NREGS)
+    reg("S0IMM", 1)
+    reg("S1SEL", NREGS)
+    reg("S1IMM", 1)
+    reg("IMM0", NL)
+    reg("IMM1", NL)
+    reg("TGT", 1)
+    reg("V0", NL)
+    reg("V1", NL)
+    reg("RES", NL)
+    reg("CAR", NL)
+    reg("EQF", 1)     # flag state entering the row
+    reg("LTF", 1)
+    reg("SINV", 1)    # inverse hint for the zero-sum flag gadget
+    reg("PCH", 5 + 2 * NL)   # challenge powers (max fingerprint width)
+    reg("GC", 1)      # code gamma
+    reg("GL", 1)      # log gamma
+    reg("GM", 1)      # mem gamma
+    reg("AC", 1)      # code accumulator
+    reg("AL", 1)      # log accumulator
+    reg("AM", 1)      # mem accumulator
+    reg("V", 1)       # row validity
+    off["_width"] = w
+    return off
+
+
+K_WRAP = 0      # row n-1 marker
+K_FIRST = 1     # row 0 marker
+NUM_CONST = 2
+
+
+def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
+    NL, L = geo.num_limbs, geo.limb_bits
+    n = geo.n
+    off = _cols(geo)
+    NPOW = 5 + 2 * NL
+
+    def eval_gates(alg, w, w_next, c):
+        out = []
+        wrap, first = c[K_WRAP], c[K_FIRST]
+        notwrap = _one_minus(alg, wrap)
+
+        def W(name, i=0):
+            return w[off[name] + i]
+
+        def Wn(name, i=0):
+            return w_next[off[name] + i]
+
+        op = [W("OP", k) for k in range(NOPS)]
+        dst = [W("DST", i) for i in range(NREGS)]
+        s0 = [W("S0SEL", i) for i in range(NREGS)]
+        s1 = [W("S1SEL", i) for i in range(NREGS)]
+        s0i, s1i = W("S0IMM"), W("S1IMM")
+        v = W("V")
+        ext = op[OP_EXT]
+
+        # --- booleanity ---------------------------------------------------
+        for b in (op + dst + s0 + s1 + [s0i, s1i, v, W("EQF"), W("LTF")]
+                  + [W("CAR", j) for j in range(NL)]):
+            out.append(alg.sub(alg.mul(b, b), b))
+        # exactly one opcode on valid rows, none on padding
+        ssum = op[0]
+        for k in range(1, NOPS):
+            ssum = alg.add(ssum, op[k])
+        out.append(alg.sub(ssum, v))
+        # at most one selection per selector family
+        for fam in (dst, s0, s1):
+            t = fam[0]
+            for x in fam[1:]:
+                t = alg.add(t, x)
+            out.append(alg.mul(t, alg.add_int(alg.mul_int(t, P - 1), 1)))
+
+        # --- operand muxes -------------------------------------------------
+        for j in range(NL):
+            m0 = alg.mul(s0i, W("IMM0", j))
+            m1 = alg.mul(s1i, W("IMM1", j))
+            for i in range(NREGS):
+                m0 = alg.add(m0, alg.mul(s0[i], W("REG", i * NL + j)))
+                m1 = alg.add(m1, alg.mul(s1[i], W("REG", i * NL + j)))
+            out.append(alg.sub(W("V0", j), m0))
+            out.append(alg.sub(W("V1", j), m1))
+
+        # --- add/sub limb chains -------------------------------------------
+        # add: V0 + V1 = RES + 2^256*car ; sub: RES + V1 = V0 + 2^256*car
+        for j in range(NL):
+            cin = W("CAR", j - 1) if j else None
+            lhs_a = alg.add(W("V0", j), W("V1", j))
+            lhs_s = alg.add(W("RES", j), W("V1", j))
+            if cin is not None:
+                lhs_a = alg.add(lhs_a, cin)
+                lhs_s = alg.add(lhs_s, cin)
+            rhs_a = alg.add(W("RES", j), alg.mul_int(W("CAR", j), 1 << L))
+            rhs_s = alg.add(W("V0", j), alg.mul_int(W("CAR", j), 1 << L))
+            out.append(alg.mul(op[OP_ADD], alg.sub(lhs_a, rhs_a)))
+            out.append(alg.mul(op[OP_SUB], alg.sub(lhs_s, rhs_s)))
+
+        # --- flags (set by add/sub, carried otherwise) --------------------
+        binop = alg.add(op[OP_ADD], op[OP_SUB])
+        ssum_res = W("RES", 0)
+        for j in range(1, NL):
+            ssum_res = alg.add(ssum_res, W("RES", j))
+        # eq_new = 1 - S*SINV with S*eq_new == 0: S != 0 forces eq_new = 0,
+        # S == 0 forces eq_new = 1 (limbs are u(L) so S == 0 <=> RES == 0)
+        eq_new = _one_minus(alg, alg.mul(ssum_res, W("SINV")))
+        out.append(alg.mul(binop, alg.mul(ssum_res, eq_new)))
+        carry_flag = alg.mul(binop, alg.sub(Wn("EQF"), eq_new))
+        out.append(alg.mul(notwrap, carry_flag))
+        out.append(alg.mul(notwrap, alg.mul(binop,
+                                            alg.sub(Wn("LTF"),
+                                                    W("CAR", NL - 1)))))
+        keepf = _one_minus(alg, alg.add(binop, ext))
+        out.append(alg.mul(notwrap, alg.mul(keepf,
+                                            alg.sub(Wn("EQF"), W("EQF")))))
+        out.append(alg.mul(notwrap, alg.mul(keepf,
+                                            alg.sub(Wn("LTF"), W("LTF")))))
+
+        # --- register writeback --------------------------------------------
+        notext = _one_minus(alg, ext)
+        for i in range(NREGS):
+            for j in range(NL):
+                upd = alg.add(alg.mul(dst[i], W("RES", j)),
+                              alg.mul(_one_minus(alg, dst[i]),
+                                      W("REG", i * NL + j)))
+                out.append(alg.mul(notwrap, alg.mul(
+                    notext, alg.sub(Wn("REG", i * NL + j), upd))))
+
+        # --- pc / ts chains -------------------------------------------------
+        pc, tgt, eqf = W("PC"), W("TGT"), W("EQF")
+        pc_seq = alg.add_int(pc, 1)
+        pc_next = alg.add(alg.mul(op[OP_JUMP], tgt),
+                          alg.add(alg.mul(op[OP_JEQ],
+                                          alg.add(alg.mul(eqf, tgt),
+                                                  alg.mul(_one_minus(alg, eqf),
+                                                          pc_seq))),
+                                  alg.mul(_one_minus(alg,
+                                                     alg.add(op[OP_JUMP],
+                                                             op[OP_JEQ])),
+                                          pc_seq)))
+        out.append(alg.mul(notwrap, alg.mul(v, alg.mul(
+            notext, alg.sub(Wn("PC"), pc_next)))))
+        # padding rows carry pc so the boundary PI is pinned
+        out.append(alg.mul(notwrap, alg.mul(_one_minus(alg, v),
+                                            alg.sub(Wn("PC"), pc))))
+        ts_step = alg.add(W("TS"), alg.mul_int(v, 2))
+        out.append(alg.mul(notwrap, alg.sub(Wn("TS"), ts_step)))
+        # validity only drops
+        out.append(alg.mul(notwrap, alg.mul(_one_minus(alg, v), Wn("V"))))
+
+        # --- fingerprints ----------------------------------------------------
+        pch = [W("PCH", j) for j in range(NPOW)]
+        for j in range(NPOW):
+            out.append(alg.sub(Wn("PCH", j), pch[j]))
+        for nm in ("GC", "GL", "GM"):
+            out.append(alg.sub(Wn(nm), W(nm)))
+        for j in range(NPOW - 1):
+            out.append(alg.mul(first, alg.sub(pch[j + 1],
+                                              alg.mul(pch[j], pch[0]))))
+
+        def horner(gate, acc_nm, gamma_nm, fields):
+            t = None
+            for j, f in enumerate(fields):
+                term = alg.mul(pch[j], f)
+                t = term if t is None else alg.add(t, term)
+            upd = alg.add(alg.mul(W(acc_nm), W(gamma_nm)), t)
+            out.append(alg.mul(notwrap, alg.mul(
+                gate, alg.sub(Wn(acc_nm), upd))))
+            out.append(alg.mul(notwrap, alg.mul(
+                _one_minus(alg, gate), alg.sub(Wn(acc_nm), W(acc_nm)))))
+
+        opid = None
+        for k in range(NOPS):
+            t = alg.mul_int(op[k], k + 1)
+            opid = t if opid is None else alg.add(opid, t)
+        dstid = None
+        for i in range(NREGS):
+            t = alg.mul_int(dst[i], i + 1)
+            dstid = t if dstid is None else alg.add(dstid, t)
+        s0id = alg.mul_int(s0i, NREGS + 1)
+        s1id = alg.mul_int(s1i, NREGS + 1)
+        for i in range(NREGS):
+            s0id = alg.add(s0id, alg.mul_int(s0[i], i + 1))
+            s1id = alg.add(s1id, alg.mul_int(s1[i], i + 1))
+        code_fields = ([W("PC"), opid,
+                        alg.add(dstid, alg.mul_int(s0id, 16)),
+                        alg.add(s1id, alg.mul_int(W("TGT"), 32))]
+                       + [W("IMM0", j) for j in range(NL)]
+                       + [W("IMM1", j) for j in range(NL)])
+        horner(v, "AC", "GC", code_fields)
+
+        s_log = None
+        for k in _LOG_OPS:
+            s_log = op[k] if s_log is None else alg.add(s_log, op[k])
+        stor = op[OP_STOR]
+        log_value = [alg.add(alg.mul(_one_minus(alg, stor), W("V1", j)),
+                             alg.mul(stor, W("RES", j))) for j in range(NL)]
+        log_fields = ([opid, W("TS")] + [W("V0", j) for j in range(NL)]
+                      + log_value)
+        horner(s_log, "AL", "GL", log_fields)
+
+        s_mem = alg.add(op[OP_HEAPW], op[OP_HEAPR])
+        heapr = op[OP_HEAPR]
+        mem_value = [alg.add(alg.mul(_one_minus(alg, heapr), W("V1", j)),
+                             alg.mul(heapr, W("RES", j))) for j in range(NL)]
+        mem_fields = ([op[OP_HEAPW], W("TS")]
+                      + [W("V0", j) for j in range(NL)] + mem_value)
+        horner(s_mem, "AM", "GM", mem_fields)
+        return out
+
+    n_constraints = (
+        (NOPS + 3 * NREGS + 5 + NL)      # booleans
+        + 1 + 3                           # op sum + selector sums
+        + 2 * NL                          # muxes
+        + 2 * NL                          # add/sub chains
+        + 5                               # flags
+        + NREGS * NL                      # writeback
+        + 4                               # pc (+padding carry), ts, validity
+        + NPOW + 3 + (NPOW - 1)           # fp constancy + chain
+        + 6)                              # 3 accumulators x (update+carry)
+
+    pis: List[Tuple[int, int]] = [
+        (off["PCH"], 0), (off["GC"], 0), (off["GL"], 0), (off["GM"], 0),
+        (off["AC"], 0), (off["AC"], n - 1),
+        (off["AL"], 0), (off["AL"], n - 1),
+        (off["AM"], 0), (off["AM"], n - 1),
+        (off["PC"], 0), (off["PC"], n - 1),
+        (off["TS"], 0), (off["TS"], n - 1),
+        (off["V"], 0),
+        (off["EQF"], 0), (off["LTF"], 0),
+    ]
+    for i in range(NREGS):
+        for j in range(NL):
+            pis.append((off["REG"] + i * NL + j, 0))
+    for i in range(NREGS):
+        for j in range(NL):
+            pis.append((off["REG"] + i * NL + j, n - 1))
+
+    table = np.arange(1 << L, dtype=object).reshape(-1, 1)
+    lookup_sets = tuple((0, (off["RES"] + j,)) for j in range(NL))
+
+    return pk.PlonkishIR(
+        log_n=geo.log_n, num_witness=off["_width"], num_const=NUM_CONST,
+        gate_degree=6, num_gate_constraints=n_constraints,
+        eval_gates=eval_gates, copy_chunk=4,
+        public_input_cells=tuple(pis),
+        lookup_tables=(table,), lookup_sets=lookup_sets)
+
+
+def _one_minus(alg, x):
+    return alg.add_int(alg.mul_int(x, P - 1), 1)
+
+
+def _const_rows(geo: VmGeometry) -> np.ndarray:
+    n = geo.n
+    rows = np.zeros((n, NUM_CONST), dtype=object)
+    rows[n - 1, K_WRAP] = 1
+    rows[0, K_FIRST] = 1
+    return rows
+
+
+def main_vm_setup(ir: pk.PlonkishIR, geo: VmGeometry,
+                  cfg: pk.PlonkishConfig) -> pk.PlonkishSetup:
+    const = _const_rows(geo).T
+    perm = pk.identity_permutation(ir.num_witness, geo.n)
+    return pk.build_setup(ir, const, perm, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Witness generation (consumes witness/main_vm.py row payloads)
+# ---------------------------------------------------------------------------
+
+def _limbs(v: int, NL: int, L: int) -> List[int]:
+    assert 0 <= int(v) < (1 << (NL * L)), "value exceeds register width"
+    return [(int(v) >> (L * i)) & ((1 << L) - 1) for i in range(NL)]
+
+
+def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
+    """inst: witness.main_vm.VmCircuitInstance."""
+    NL, L = geo.num_limbs, geo.limb_bits
+    n = geo.n
+    off = _cols(geo)
+    NPOW = 5 + 2 * NL
+    W = np.zeros((ir.num_witness, n), dtype=object)
+
+    ch = int(inst.challenge) % P
+    pw = ch
+    for j in range(NPOW):
+        W[off["PCH"] + j, :] = pw
+        pw = pw * ch % P
+    for nm, val in (("GC", inst.gamma_code), ("GL", inst.gamma_log),
+                    ("GM", inst.gamma_mem)):
+        W[off[nm], :] = int(val) % P
+
+    accs = [int(a) % P for a in inst.acc_in]  # code, log, mem
+    gammas = [int(inst.gamma_code) % P, int(inst.gamma_log) % P,
+              int(inst.gamma_mem) % P]
+    pows = [int(v) for v in
+            [pow(ch, j + 1, P) for j in range(NPOW)]]
+
+    def fold(which, fields):
+        t = 0
+        for j, f in enumerate(fields):
+            t = (t + pows[j] * (int(f) % P)) % P
+        accs[which] = (accs[which] * gammas[which] + t) % P
+
+    rows = inst.rows
+    assert len(rows) <= n
+    for r in range(n):
+        W[off["AC"], r] = accs[0]
+        W[off["AL"], r] = accs[1]
+        W[off["AM"], r] = accs[2]
+        if r < len(rows):
+            row = rows[r]
+            for i in range(NREGS):
+                W[off["REG"] + i * NL:off["REG"] + (i + 1) * NL, r] = \
+                    _limbs(row.regs[i], NL, L)
+            W[off["PC"], r] = row.pc
+            W[off["TS"], r] = row.ts
+            W[off["EQF"], r] = 1 if row.flags[0] else 0
+            W[off["LTF"], r] = 1 if row.flags[1] else 0
+            W[off["OP"] + row.op, r] = 1
+            if row.dst:
+                W[off["DST"] + row.dst - 1, r] = 1
+            for (kind, val, selnm, immnm, imflag) in (
+                    (row.s0_kind, row.s0_val, "S0SEL", "IMM0", "S0IMM"),
+                    (row.s1_kind, row.s1_val, "S1SEL", "IMM1", "S1IMM")):
+                if kind == "imm":
+                    W[off[imflag], r] = 1
+                    W[off[immnm]:off[immnm] + NL, r] = _limbs(val, NL, L)
+                elif kind == "reg" and val:
+                    W[off[selnm] + val - 1, r] = 1
+            W[off["TGT"], r] = row.tgt
+            v0 = row.v0 & ((1 << (NL * L)) - 1)
+            v1 = row.v1 & ((1 << (NL * L)) - 1)
+            W[off["V0"]:off["V0"] + NL, r] = _limbs(v0, NL, L)
+            W[off["V1"]:off["V1"] + NL, r] = _limbs(v1, NL, L)
+            res = int(row.res) & ((1 << (NL * L)) - 1)
+            res_l = _limbs(res, NL, L)
+            W[off["RES"]:off["RES"] + NL, r] = res_l
+            if row.op in (OP_ADD, OP_SUB):
+                v0l, v1l = _limbs(v0, NL, L), _limbs(v1, NL, L)
+                cin = 0
+                for j in range(NL):
+                    if row.op == OP_ADD:
+                        t = v0l[j] + v1l[j] + cin          # = res + 2^L*cout
+                    else:
+                        t = res_l[j] + v1l[j] + cin        # = v0 + 2^L*cout
+                    base = res_l[j] if row.op == OP_ADD else v0l[j]
+                    cout, rem = divmod(t - base, 1 << L)
+                    assert rem == 0 and cout in (0, 1), "carry chain broke"
+                    W[off["CAR"] + j, r] = cout
+                    cin = cout
+                S = sum(res_l)
+                W[off["SINV"], r] = pow(S, P - 2, P) if S else 0
+            W[off["V"], r] = 1
+            # fingerprints
+            opid = row.op + 1
+            dstid = row.dst
+            s0id = (NREGS + 1 if row.s0_kind == "imm"
+                    else (row.s0_val if row.s0_kind == "reg" else 0))
+            s1id = (NREGS + 1 if row.s1_kind == "imm"
+                    else (row.s1_val if row.s1_kind == "reg" else 0))
+            imm0 = row.s0_val if row.s0_kind == "imm" else 0
+            imm1 = row.s1_val if row.s1_kind == "imm" else 0
+            code_fields = ([row.pc, opid, dstid + 16 * s0id,
+                            s1id + 32 * row.tgt]
+                           + _limbs(imm0, NL, L) + _limbs(imm1, NL, L))
+            fold(0, code_fields)
+            if row.op in (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1):
+                value = res if row.op == OP_STOR else v1
+                fold(1, [opid, row.ts] + _limbs(v0, NL, L)
+                     + _limbs(value, NL, L))
+            if row.op in (OP_HEAPW, OP_HEAPR):
+                value = res if row.op == OP_HEAPR else v1
+                fold(2, [1 if row.op == OP_HEAPW else 0, row.ts]
+                     + _limbs(v0, NL, L) + _limbs(value, NL, L))
+        else:
+            # padding: carry the exit state
+            for i in range(NREGS):
+                W[off["REG"] + i * NL:off["REG"] + (i + 1) * NL, r] = \
+                    _limbs(inst.exit_regs[i], NL, L)
+            W[off["PC"], r] = inst.exit_pc
+            W[off["TS"], r] = inst.exit_ts
+            W[off["EQF"], r] = 1 if inst.exit_flags[0] else 0
+            W[off["LTF"], r] = 1 if inst.exit_flags[1] else 0
+    return gl.from_int(W)
+
+
+def expected_public_inputs(geo: VmGeometry, inst) -> List[int]:
+    """PI vector matching main_vm_ir's cell order, computed host-side."""
+    from ..witness.main_vm import replay_accumulators
+    NL, L = geo.num_limbs, geo.limb_bits
+    acc_out = replay_accumulators(geo, inst)
+    out = [int(inst.challenge) % P, int(inst.gamma_code) % P,
+           int(inst.gamma_log) % P, int(inst.gamma_mem) % P]
+    for a_in, a_out in zip(inst.acc_in, acc_out):
+        out += [int(a_in) % P, int(a_out) % P]
+    first = inst.rows[0] if inst.rows else None
+    out += [first.pc if first else inst.exit_pc,
+            inst.exit_pc,
+            first.ts if first else inst.exit_ts,
+            inst.exit_ts,
+            1 if inst.rows else 0,
+            (1 if first.flags[0] else 0) if first else
+            (1 if inst.exit_flags[0] else 0),
+            (1 if first.flags[1] else 0) if first else
+            (1 if inst.exit_flags[1] else 0)]
+    entry_regs = inst.rows[0].regs if inst.rows else inst.exit_regs
+    for regs in (entry_regs, inst.exit_regs):
+        for i in range(NREGS):
+            out += _limbs(regs[i], NL, L)
+    return out

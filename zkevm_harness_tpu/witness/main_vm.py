@@ -1,0 +1,243 @@
+"""MainVM circuit witness decomposer (type 1, stage A).
+
+Parity with the reference's VmWitnessOracle + vm-instance splitting
+(src/witness/oracle.rs:1164-1420): replay the tracer's per-cycle state log
+into circuit row payloads (decoded instruction, operand values, results,
+flag state), split at the snapshot capacity, and chain the three binding
+accumulators (code / log queries / memory queries) across instances. The
+decoded stream is bound challenge-after-commit; read results come from the
+traced queries (the same values the RAM-permutation and log circuits
+consume, which is the cross-circuit glue)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..circuits.main_vm_circuit import (NREGS, OP_ADD, OP_EVT, OP_EVTL1,
+                                        OP_EXT, OP_HEAPR, OP_HEAPW, OP_JEQ,
+                                        OP_JUMP, OP_NOP, OP_STOR, OP_STOW,
+                                        OP_SUB, VmGeometry)
+from ..ops import goldilocks as gl
+from ..vm import isa
+from .tracer import WitnessTracer
+
+P = gl.P
+
+
+@dataclasses.dataclass
+class VmRow:
+    op: int
+    pc: int
+    ts: int
+    regs: List[int]            # 15 values entering the row
+    flags: Tuple[bool, bool]   # (eq, lt) entering the row
+    dst: int = 0               # 1-based; 0 = no write
+    s0_kind: Optional[str] = None   # "imm" | "reg" | None
+    s0_val: int = 0
+    s1_kind: Optional[str] = None
+    s1_val: int = 0
+    tgt: int = 0
+    v0: int = 0
+    v1: int = 0
+    res: int = 0
+
+
+@dataclasses.dataclass
+class VmCircuitInstance:
+    index: int
+    rows: List[VmRow]
+    exit_regs: List[int]
+    exit_pc: int
+    exit_ts: int
+    exit_flags: Tuple[bool, bool]
+    challenge: int
+    gamma_code: int
+    gamma_log: int
+    gamma_mem: int
+    acc_in: Tuple[int, int, int]
+    acc_out: Tuple[int, int, int]
+
+
+@dataclasses.dataclass
+class VmCircuitArtifacts:
+    instances: List[VmCircuitInstance]
+    challenge: int
+    gammas: Tuple[int, int, int]
+    final_accs: Tuple[int, int, int]
+
+
+def _operand(op: isa.Operand, regs: List[int]) -> Tuple[str, int, int]:
+    """(kind, encoded value, runtime value)."""
+    if op.kind == "imm":
+        return "imm", int(op.value), int(op.value)
+    idx = int(op.value)
+    val = 0 if idx == 0 else regs[idx - 1]
+    return "reg", idx, val
+
+
+def decode_cycle_rows(tracer: WitnessTracer) -> List[VmRow]:
+    instrs = dict(tracer.cycle_instructions)
+    mem_reads = {c: q.value for (c, q) in tracer.memory_queries
+                 if not q.rw_flag}
+    log_reads: Dict[int, int] = {}
+    for (c, q) in tracer.callstack_with_aux_data.forward:
+        if not q.rw_flag and not q.rollback:
+            log_reads.setdefault(c, q.read_value)
+    rows: List[VmRow] = []
+    for cyc, state in enumerate(tracer.cycle_states):
+        regs = [v for (v, _ptr) in state["registers"]]
+        eqf, ltf, _ = state["flags"]
+        base = dict(pc=state["pc"], ts=state["timestamp"], regs=regs,
+                    flags=(bool(eqf), bool(ltf)))
+        instr = instrs.get(cyc)
+        row = None
+        if isinstance(instr, isa.Nop):
+            row = VmRow(op=OP_NOP, **base)
+        elif isinstance(instr, isa.BinOp) and instr.op in ("add", "sub"):
+            k0, e0, v0 = _operand(instr.src0, regs)
+            k1, e1, v1 = _operand(instr.src1, regs)
+            mask = (1 << 256) - 1
+            res = (v0 + v1) & mask if instr.op == "add" else (v0 - v1) & mask
+            row = VmRow(op=OP_ADD if instr.op == "add" else OP_SUB,
+                        dst=int(instr.dst), s0_kind=k0, s0_val=e0,
+                        s1_kind=k1, s1_val=e1, v0=v0, v1=v1, res=res, **base)
+        elif isinstance(instr, isa.Jump):
+            row = VmRow(op=OP_JUMP, tgt=int(instr.target), **base)
+        elif isinstance(instr, isa.JumpIfEq):
+            row = VmRow(op=OP_JEQ, tgt=int(instr.target), **base)
+        elif isinstance(instr, isa.HeapWrite):
+            k0, e0, v0 = _operand(instr.addr, regs)
+            k1, e1, v1 = _operand(instr.src, regs)
+            row = VmRow(op=OP_HEAPW, s0_kind=k0, s0_val=e0, s1_kind=k1,
+                        s1_val=e1, v0=v0, v1=v1, **base)
+        elif isinstance(instr, isa.HeapRead):
+            k0, e0, v0 = _operand(instr.addr, regs)
+            row = VmRow(op=OP_HEAPR, dst=int(instr.dst), s0_kind=k0,
+                        s0_val=e0, v0=v0, res=mem_reads.get(cyc, 0), **base)
+        elif isinstance(instr, isa.StorageWrite):
+            k0, e0, v0 = _operand(instr.key, regs)
+            k1, e1, v1 = _operand(instr.src, regs)
+            row = VmRow(op=OP_STOW, s0_kind=k0, s0_val=e0, s1_kind=k1,
+                        s1_val=e1, v0=v0, v1=v1, **base)
+        elif isinstance(instr, isa.StorageRead):
+            k0, e0, v0 = _operand(instr.key, regs)
+            row = VmRow(op=OP_STOR, dst=int(instr.dst), s0_kind=k0,
+                        s0_val=e0, v0=v0, res=log_reads.get(cyc, 0), **base)
+        elif isinstance(instr, isa.Event):
+            k0, e0, v0 = _operand(instr.key, regs)
+            k1, e1, v1 = _operand(instr.value, regs)
+            row = VmRow(op=OP_EVTL1 if instr.to_l1 else OP_EVT,
+                        s0_kind=k0, s0_val=e0, s1_kind=k1, s1_val=e1,
+                        v0=v0, v1=v1, **base)
+        else:
+            row = VmRow(op=OP_EXT, **base)
+        rows.append(row)
+    return rows
+
+
+def _limbs(v: int, NL: int, L: int) -> List[int]:
+    return [(int(v) >> (L * i)) & ((1 << L) - 1) for i in range(NL)]
+
+
+def _fold(geo: VmGeometry, acc: int, gamma: int, pows: List[int],
+          fields: Sequence[int]) -> int:
+    t = 0
+    for j, f in enumerate(fields):
+        t = (t + pows[j] * (int(f) % P)) % P
+    return (acc * gamma + t) % P
+
+
+def row_fingerprint_fields(geo: VmGeometry, row: VmRow):
+    """(code_fields, log_fields|None, mem_fields|None) — must mirror the
+    gate's field layout exactly."""
+    NL, L = geo.num_limbs, geo.limb_bits
+    opid = row.op + 1
+    s0id = (NREGS + 1 if row.s0_kind == "imm"
+            else (row.s0_val if row.s0_kind == "reg" else 0))
+    s1id = (NREGS + 1 if row.s1_kind == "imm"
+            else (row.s1_val if row.s1_kind == "reg" else 0))
+    imm0 = row.s0_val if row.s0_kind == "imm" else 0
+    imm1 = row.s1_val if row.s1_kind == "imm" else 0
+    code = ([row.pc, opid, row.dst + 16 * s0id, s1id + 32 * row.tgt]
+            + _limbs(imm0, NL, L) + _limbs(imm1, NL, L))
+    log = mem = None
+    if row.op in (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1):
+        value = row.res if row.op == OP_STOR else row.v1
+        log = ([opid, row.ts] + _limbs(row.v0, NL, L)
+               + _limbs(value, NL, L))
+    if row.op in (OP_HEAPW, OP_HEAPR):
+        value = row.res if row.op == OP_HEAPR else row.v1
+        mem = ([1 if row.op == OP_HEAPW else 0, row.ts]
+               + _limbs(row.v0, NL, L) + _limbs(value, NL, L))
+    return code, log, mem
+
+
+def replay_accumulators(geo: VmGeometry, inst: VmCircuitInstance
+                        ) -> Tuple[int, int, int]:
+    NL = geo.num_limbs
+    NPOW = 5 + 2 * NL
+    ch = int(inst.challenge) % P
+    pows = [pow(ch, j + 1, P) for j in range(NPOW)]
+    accs = [int(a) % P for a in inst.acc_in]
+    gammas = [int(inst.gamma_code) % P, int(inst.gamma_log) % P,
+              int(inst.gamma_mem) % P]
+    for row in inst.rows:
+        code, log, mem = row_fingerprint_fields(geo, row)
+        accs[0] = _fold(geo, accs[0], gammas[0], pows, code)
+        if log is not None:
+            accs[1] = _fold(geo, accs[1], gammas[1], pows, log)
+        if mem is not None:
+            accs[2] = _fold(geo, accs[2], gammas[2], pows, mem)
+    return tuple(accs)
+
+
+def draw_vm_challenges(rows: Sequence[VmRow], geo: VmGeometry
+                       ) -> Tuple[int, int, int, int]:
+    """Fiat-Shamir challenges bound to the decoded cycle stream."""
+    from ..ops import poseidon2 as p2
+    from ..prover.transcript import Transcript
+    tr = Transcript(domain_tag=1)
+    flat: List[int] = []
+    for row in rows:
+        code, log, mem = row_fingerprint_fields(geo, row)
+        flat += [f % P for f in code]
+        for extra in (log, mem):
+            if extra is not None:
+                flat += [f % P for f in extra]
+    digest = gl.to_ints(p2.hash_elements(gl.from_int(flat or [0])))
+    tr.absorb_ints([int(v) for v in digest] + [len(rows)])
+    return (tr.challenge_base(), tr.challenge_base(),
+            tr.challenge_base(), tr.challenge_base())
+
+
+def compute_main_vm_artifacts(tracer: WitnessTracer, geo: VmGeometry,
+                              capacity: int) -> VmCircuitArtifacts:
+    rows = decode_cycle_rows(tracer)
+    ch, gc, glg, gm = draw_vm_challenges(rows, geo)
+    chunks = [rows[i:i + capacity] for i in range(0, len(rows), capacity)] \
+        or [[]]
+    assert capacity <= geo.n, "instance capacity exceeds trace rows"
+    fs = tracer.final_state
+    instances: List[VmCircuitInstance] = []
+    accs = (1, 1, 1)
+    for i, chunk in enumerate(chunks):
+        nxt = (i + 1) * capacity
+        if nxt < len(rows):
+            exit_state = tracer.cycle_states[nxt]
+        else:
+            exit_state = fs
+        exit_regs = [v for (v, _p) in exit_state["registers"]]
+        eqf, ltf, _ = exit_state["flags"]
+        inst = VmCircuitInstance(
+            index=i, rows=list(chunk), exit_regs=exit_regs,
+            exit_pc=exit_state["pc"], exit_ts=exit_state["timestamp"],
+            exit_flags=(bool(eqf), bool(ltf)),
+            challenge=ch, gamma_code=gc, gamma_log=glg, gamma_mem=gm,
+            acc_in=accs, acc_out=(0, 0, 0))
+        acc_out = replay_accumulators(geo, inst)
+        inst.acc_out = acc_out
+        accs = acc_out
+        instances.append(inst)
+    return VmCircuitArtifacts(instances=instances, challenge=ch,
+                              gammas=(gc, glg, gm), final_accs=accs)
