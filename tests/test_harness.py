@@ -80,6 +80,76 @@ def test_spot_proving_decommitts_sorter():
     assert base["real"] and "public_inputs" in base
 
 
+def test_spot_proving_storage_sorter():
+    # real proof for the storage-sorter slot (type 9), from the block's
+    # actual demuxed rollup-storage queue
+    res = harness.run_block(BLOCK, prove_mode="spot", spot_types=(9,))
+    base = res.source.get_base_layer_proof(9, 0)
+    assert base["real"] and "public_inputs" in base
+
+
+def test_spot_proving_precompile_round_functions():
+    # real proofs for the keccak (5) and sha256 (6) round-function slots,
+    # driven by the block's actual precompile calls through the decomposer
+    from zkevm_harness_tpu.vm.environment import DefaultPrecompilesProcessor
+    block = [
+        isa.StorageWrite(I(1), I(100)),
+        isa.Precompile(DefaultPrecompilesProcessor.KECCAK_ADDRESS, I(7), 1),
+        isa.Precompile(DefaultPrecompilesProcessor.SHA256_ADDRESS, I(9), 2),
+        isa.Event(I(2), I(3)),
+        isa.Ret(),
+    ]
+    res = harness.run_block(block, prove_mode="spot", spot_types=(5, 6))
+    for ctype, art in ((5, "keccak_rounds"), (6, "sha256_rounds")):
+        base = res.source.get_base_layer_proof(ctype, 0)
+        assert base["real"] and "public_inputs" in base
+        # final accumulators land in the last PI lanes before the counters
+        a = getattr(res.artifacts, art)
+        assert a.total_invocations == 1
+        pis = [int(v) for v in base["public_inputs"]]
+        assert pis[-5:-3] == [int(x) for x in a.final_accs]
+        assert pis[-1] == 1  # cnt_out
+
+
+def test_spot_proving_l1_messages_hasher():
+    # real proof for the L1-messages hasher slot (type 13): the proven
+    # digest PIs ARE keccak256 of the block's serialized L1 messages
+    res = harness.run_block(BLOCK, prove_mode="spot", spot_types=(13,))
+    base = res.source.get_base_layer_proof(13, 0)
+    assert base["real"] and "public_inputs" in base
+    from zkevm_harness_tpu.circuits import linear_hasher_circuit as lh
+    assert lh.digest_bytes(base["public_inputs"]) == \
+        res.artifacts.linear_hasher.digest
+
+
+def test_spot_proving_code_decommitter():
+    # real proof for the code-decommitter slot (type 3): the proven digest
+    # PIs ARE the sha256 inside the callee's versioned bytecode hash
+    callee = [isa.StorageWrite(I(7), I(777)), isa.Ret()]
+    block = [isa.FarCall(I(0xBB), exception_handler=2), isa.Ret(), isa.Ret()]
+    res = harness.run_block(block, prove_mode="spot", spot_types=(3,),
+                            contracts={0xBB: callee})
+    base = res.source.get_base_layer_proof(3, 0)
+    assert base["real"] and "public_inputs" in base
+    from zkevm_harness_tpu.circuits import decommitter_circuit as dcc
+    dig = dcc.digest_bytes(base["public_inputs"])
+    vh = res.artifacts.code_decommitter.hashes[0]
+    assert vh & ((1 << 224) - 1) == int.from_bytes(dig[4:32], "big")
+
+
+def test_spot_proving_main_vm():
+    # real proofs for the MainVM slots (type 1): every instance proves the
+    # block's actual per-cycle execution trace (no random witnesses)
+    res = harness.run_block(BLOCK, prove_mode="spot", spot_types=(1,))
+    art = res.artifacts.main_vm
+    assert len(art.instances) >= 2  # the block spans snapshot boundaries
+    for idx in range(len(art.instances)):
+        base = res.source.get_base_layer_proof(1, idx)
+        assert base["real"] and "public_inputs" in base
+    # accumulators chain across the instance boundary
+    assert art.instances[0].acc_out == art.instances[1].acc_in
+
+
 def test_recursion_queues_carry_real_pi_commitments():
     """Types 4/8/11/12 push Poseidon2 digests of the real instance PIs into
     the recursion queues (not index placeholders)."""

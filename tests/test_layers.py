@@ -1,23 +1,23 @@
 """Typed per-layer prover surface: setup caching + prove/verify dispatch."""
 
-from zkevm_harness_tpu.circuits import flagship as fl
 from zkevm_harness_tpu.prover import layers as ly
 from zkevm_harness_tpu.utils.data_source import InMemoryDataSource
 
 
-def test_base_layer_roundtrip():
+def test_all_base_types_are_real():
+    """Every base-layer type has a REAL gate set — the flagship stand-in
+    registry is empty (round-1's random-witness path is gone)."""
+    assert ly.BASE_REGISTRY == {}
+    assert ly.REAL_BASE_CIRCUITS == set(range(1, 14))
+
+
+def test_main_vm_setup_roundtrip():
+    """Typed setup caching + VK recording on the real MainVM surface."""
     src = InMemoryDataSource()
-    sd = ly.create_base_layer_setup_data(1, src)  # MainVM stand-in slot
+    sd, geo = ly.main_vm_setup_data(5, source=src)
     assert src.get_base_layer_vk(1) == sd.vk
-    # setup reused across instances (cache identity)
-    assert ly.create_base_layer_setup_data(1) is sd
-    witness = fl.flagship_witness(sd.ir)
-    proof = ly.prove_base_layer_circuit(1, witness)
-    assert ly.verify_base_layer_proof(1, proof)
-    # wrong-type verify fails (different setup/vk)
-    assert not ly.verify_base_layer_proof(1, proof, vk=[0] * len(sd.vk))
-    # type 8 is REAL now: no flagship stand-in row may exist for it
-    assert 8 not in ly.BASE_REGISTRY
+    sd2, _ = ly.main_vm_setup_data(5)
+    assert sd2 is sd  # cache identity
 
 
 def test_ram_instance_surface(rng):

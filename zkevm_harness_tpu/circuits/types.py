@@ -145,5 +145,5 @@ def testing_geometry() -> GeometryConfig:
         cycles_per_keccak256_circuit=1,
         cycles_per_sha256_circuit=1,
         cycles_per_ecrecover_circuit=1,
-        limit_for_l1_messages_pudata_hasher=8,
+        limit_for_l1_messages_pudata_hasher=2,
     )

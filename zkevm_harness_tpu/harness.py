@@ -20,7 +20,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from .circuits import flagship as fl
 from .circuits.types import GeometryConfig, testing_geometry
 from .prover import layers as ly
 from .prover import scheduler as sch
@@ -51,7 +50,8 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
               cycle_limit: int = 10_000,
               prove_mode: str = "dry",
               spot_types: Sequence[int] = (),
-              source: Optional[InMemoryDataSource] = None
+              source: Optional[InMemoryDataSource] = None,
+              contracts: Optional[Dict[int, Sequence[isa.Instruction]]] = None
               ) -> BlockProvingResult:
     geometry = geometry or testing_geometry()
     source = source or InMemoryDataSource()
@@ -63,6 +63,10 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
         decommitter=SimpleDecommitter(), event_sink=InMemoryEventSink(),
         precompiles=DefaultPrecompilesProcessor(), tracer=tracer,
         geometry=geometry)
+    if contracts:
+        from .vm.interpreter import deploy_contract
+        for addr, instrs in contracts.items():
+            deploy_contract(tools, addr, instrs)
     vm = create_vm(tools, BlockProperties(block_number=1), entry_address,
                    code_page=0)
     cycles = run_vm(vm, list(code), cycle_limit)
@@ -80,20 +84,41 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
     from .ops import poseidon2 as _p2
     from .witness.recursion import (RecursionQueueSimulator, RecursionRequest)
     real_payloads = {
+        1: (artifacts.main_vm.instances, None,
+            geometry.cycles_per_vm_snapshot),
         2: (artifacts.decommitts_sorter.instances,
             artifacts.decommitts_sorter.challenges,
             geometry.cycles_per_code_decommitter_sorter),
+        3: (artifacts.code_decommitter.instances, None,
+            geometry.cycles_per_code_decommitter),
         4: (artifacts.log_demuxer.instances, None,
             geometry.cycles_per_log_demuxer),
+        5: (artifacts.keccak_rounds.instances,
+            (artifacts.keccak_rounds.challenges,
+             artifacts.keccak_rounds.gammas),
+            geometry.cycles_per_keccak256_circuit),
+        6: (artifacts.sha256_rounds.instances,
+            (artifacts.sha256_rounds.challenges,
+             artifacts.sha256_rounds.gammas),
+            geometry.cycles_per_sha256_circuit),
+        7: (artifacts.ecrecover, None,
+            geometry.cycles_per_ecrecover_circuit),
         8: (artifacts.ram_permutation.instances,
             artifacts.ram_permutation.challenges,
             geometry.cycles_per_ram_permutation),
+        10: (artifacts.storage_application.instances, None,
+             geometry.cycles_per_storage_application),
+        9: (artifacts.storage_sorter.instances,
+            artifacts.storage_sorter.challenges,
+            geometry.cycles_per_storage_sorter),
         11: (artifacts.events_sorter.instances,
              artifacts.events_sorter.challenges,
              geometry.cycles_per_events_or_l1_messages_sorter),
         12: (artifacts.l1_messages_sorter.instances,
              artifacts.l1_messages_sorter.challenges,
              geometry.cycles_per_events_or_l1_messages_sorter),
+        13: (artifacts.linear_hasher.instances, None,
+             geometry.limit_for_l1_messages_pudata_hasher),
     }
     for ctype, (insts, challenges, cap) in real_payloads.items():
         rq = RecursionQueueSimulator()
@@ -123,78 +148,68 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
         {t: m.queue for t, m in makers.items()},
         {t: a.num_instances for t, a in artifacts.per_circuit.items()})
 
+    # per-type dispatch: (prove, verify) closures over the instance payload
+    # and its binding challenges — types 4 (no challenges) and 11/12 (shared
+    # gate set, domain-tagged challenges) normalize through the lambdas
+    real_dispatch = {
+        1: (lambda w, c, s: ly.prove_main_vm_instance(w, c[1], s),
+            lambda w, c, p: ly.verify_main_vm_instance(w, c[1], p)),
+        2: (lambda w, c, s: ly.prove_decommitts_instance(w, c[0], c[1], s),
+            lambda w, c, p: ly.verify_decommitts_instance(w, c[0], c[1], p)),
+        3: (lambda w, c, s: ly.prove_code_decommitter_instance(w, c[1], s),
+            lambda w, c, p: ly.verify_code_decommitter_instance(w, c[1], p)),
+        4: (lambda w, c, s: ly.prove_demux_instance(w, c[1], s),
+            lambda w, c, p: ly.verify_demux_instance(w, c[1], p)),
+        5: (lambda w, c, s: ly.prove_keccak_instance(w, c[0], c[1], s),
+            lambda w, c, p: ly.verify_keccak_instance(w, c[0], c[1], p)),
+        6: (lambda w, c, s: ly.prove_sha256_instance(w, c[0], c[1], s),
+            lambda w, c, p: ly.verify_sha256_instance(w, c[0], c[1], p)),
+        7: (lambda w, c, s: ly.prove_ecrecover_invocation(
+                w.invocations[0], s),
+            lambda w, c, p: ly.verify_ecrecover_invocation(
+                w.invocations[0], p)),
+        8: (lambda w, c, s: ly.prove_ram_instance(w, c[0], c[1], s),
+            lambda w, c, p: ly.verify_ram_instance(w, c[0], c[1], p)),
+        10: (lambda w, c, s: ly.prove_storage_application_query(w, s),
+             lambda w, c, p: ly.verify_storage_application_query(w, p)),
+        9: (lambda w, c, s: ly.prove_storage_instance(w, c[0], c[1], s),
+            lambda w, c, p: ly.verify_storage_instance(w, c[0], c[1], p)),
+        11: (lambda w, c, s: ly.prove_events_instance(
+                 w, c[0], c[1], s, circuit_type=11),
+             lambda w, c, p: ly.verify_events_instance(
+                 w, c[0], c[1], p, circuit_type=11)),
+        12: (lambda w, c, s: ly.prove_events_instance(
+                 w, c[0], c[1], s, circuit_type=12),
+             lambda w, c, p: ly.verify_events_instance(
+                 w, c[0], c[1], p, circuit_type=12)),
+        13: (lambda w, c, s: ly.prove_hasher_instance(w, c[1], s),
+             lambda w, c, p: ly.verify_hasher_instance(w, c[1], p)),
+    }
+
     def prove_fn(task: sch.ProofTask, deps):
         real = (prove_mode == "full" or
                 (prove_mode == "spot" and task.kind == "base"
                  and task.circuit_type in spot_types))
         if real and task.kind == "base":
+            # witness->column synthesis from the decomposer's instance
+            # payload: the proven columns ARE the block's trace (every base
+            # type has a real gate set; the round-1 flagship stand-in with
+            # random witnesses is gone)
             ctype = task.circuit_type
-            if ctype in ly.REAL_BASE_CIRCUITS:
-                # witness->column synthesis from the decomposer's instance
-                # payload: the proven columns ARE the block's trace
-                if ctype == 8:
-                    ram = artifacts.ram_permutation
-                    if task.index < len(ram.instances):
-                        inst_w = ram.instances[task.index]
-                        cap = geometry.cycles_per_ram_permutation
-                        proof = ly.prove_ram_instance(inst_w, ram.challenges,
-                                                      cap, source)
-                        assert ly.verify_ram_instance(inst_w, ram.challenges,
-                                                      cap, proof), \
-                            "verify-after-prove failed"
-                        return {"kind": task.kind, "real": True,
-                                "circuit_type": ctype,
-                                "public_inputs": proof.public_inputs}
-                elif ctype in (11, 12):
-                    art = (artifacts.events_sorter if ctype == 11
-                           else artifacts.l1_messages_sorter)
-                    if task.index < len(art.instances):
-                        inst_w = art.instances[task.index]
-                        cap = geometry.cycles_per_events_or_l1_messages_sorter
-                        proof = ly.prove_events_instance(
-                            inst_w, art.challenges, cap, source,
-                            circuit_type=ctype)
-                        assert ly.verify_events_instance(
-                            inst_w, art.challenges, cap, proof,
-                            circuit_type=ctype), "verify-after-prove failed"
-                        return {"kind": task.kind, "real": True,
-                                "circuit_type": ctype,
-                                "public_inputs": proof.public_inputs}
-                elif ctype == 2:
-                    art = artifacts.decommitts_sorter
-                    if task.index < len(art.instances):
-                        inst_w = art.instances[task.index]
-                        cap = geometry.cycles_per_code_decommitter_sorter
-                        proof = ly.prove_decommitts_instance(
-                            inst_w, art.challenges, cap, source)
-                        assert ly.verify_decommitts_instance(
-                            inst_w, art.challenges, cap, proof), \
-                            "verify-after-prove failed"
-                        return {"kind": task.kind, "real": True,
-                                "circuit_type": ctype,
-                                "public_inputs": proof.public_inputs}
-                elif ctype == 4:
-                    art = artifacts.log_demuxer
-                    if task.index < len(art.instances):
-                        inst_w = art.instances[task.index]
-                        cap = geometry.cycles_per_log_demuxer
-                        proof = ly.prove_demux_instance(inst_w, cap, source)
-                        assert ly.verify_demux_instance(inst_w, cap, proof), \
-                            "verify-after-prove failed"
-                        return {"kind": task.kind, "real": True,
-                                "circuit_type": ctype,
-                                "public_inputs": proof.public_inputs}
-                # empty argument: no decomposer instance to prove
-                return {"kind": task.kind, "circuit_type": ctype,
-                        "index": task.index, "ndeps": len(deps),
-                        "real": False, "empty": True}
-            sd = ly.create_base_layer_setup_data(ctype, source)
-            witness = fl.flagship_witness(sd.ir, seed=task.index)
-            proof = ly.prove_base_layer_circuit(ctype, witness, source)
-            assert ly.verify_base_layer_proof(ctype, proof), \
-                "verify-after-prove failed"
-            return {"kind": task.kind, "real": True,
-                    "public_inputs": proof.public_inputs}
+            instances, challenges, cap = real_payloads[ctype]
+            if task.index < len(instances):
+                inst_w = instances[task.index]
+                prove, verify = real_dispatch[ctype]
+                proof = prove(inst_w, (challenges, cap), source)
+                assert verify(inst_w, (challenges, cap), proof), \
+                    "verify-after-prove failed"
+                return {"kind": task.kind, "real": True,
+                        "circuit_type": ctype,
+                        "public_inputs": proof.public_inputs}
+            # empty argument: no decomposer instance to prove
+            return {"kind": task.kind, "circuit_type": ctype,
+                    "index": task.index, "ndeps": len(deps),
+                    "real": False, "empty": True}
         return {"kind": task.kind, "circuit_type": task.circuit_type,
                 "index": task.index, "ndeps": len(deps), "real": False}
 

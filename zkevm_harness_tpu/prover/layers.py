@@ -29,7 +29,17 @@ from ..circuits import flagship as fl
 from ..circuits import log_demux_circuit as dcirc
 from ..circuits import poseidon2_circuit as p2c
 from ..circuits import queue_circuit as qc
+from ..circuits import decommitter_circuit as cdcirc
+from ..circuits import ecrecover_circuit as eccirc
+from ..circuits import ffarith as ffmod
+from ..circuits import keccak_circuit as kcirc
+from ..circuits import main_vm_circuit as mvcirc
+from ..circuits import storage_application_circuit as sappcirc
+from ..circuits import linear_hasher_circuit as lhcirc
+from ..circuits import narrow_region as nrr_mod
 from ..circuits import ram_permutation_circuit as rcirc
+from ..circuits import sha256_circuit as shcirc
+from ..circuits import storage_sorter_circuit as sscirc
 from ..circuits.types import (BASE_LAYER_PROOF_CONFIG,
                               RECURSION_LAYER_PROOF_CONFIG, BaseLayerCircuitType,
                               ProofSystemConfig)
@@ -66,11 +76,19 @@ def _queue_factory(log_n: int) -> CircuitFactory:
 _TEST_LOG_N = 8
 BASE_REGISTRY: Dict[int, CircuitFactory] = {
     int(t): _flagship_factory(_TEST_LOG_N, 16) for t in BaseLayerCircuitType
-    if t not in (BaseLayerCircuitType.CODE_DECOMMITTMENTS_SORTER,
+    if t not in (BaseLayerCircuitType.MAIN_VM,
+                 BaseLayerCircuitType.CODE_DECOMMITTMENTS_SORTER,
+                 BaseLayerCircuitType.CODE_DECOMMITTER,
                  BaseLayerCircuitType.LOG_DEMUXER,
+                 BaseLayerCircuitType.KECCAK_ROUND_FUNCTION,
+                 BaseLayerCircuitType.SHA256_ROUND_FUNCTION,
+                 BaseLayerCircuitType.ECRECOVER,
                  BaseLayerCircuitType.RAM_PERMUTATION,
+                 BaseLayerCircuitType.STORAGE_SORTER,
+                 BaseLayerCircuitType.STORAGE_APPLICATION,
                  BaseLayerCircuitType.EVENTS_SORTER,
-                 BaseLayerCircuitType.L1_MESSAGES_SORTER)
+                 BaseLayerCircuitType.L1_MESSAGES_SORTER,
+                 BaseLayerCircuitType.L1_MESSAGES_HASHER)
 }
 RECURSION_REGISTRY: Dict[int, CircuitFactory] = {
     1: _queue_factory(_TEST_LOG_N),     # scheduler stand-in
@@ -375,11 +393,459 @@ def verify_demux_instance(inst_w, capacity: int, proof, vk=None) -> bool:
     return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
 
 
-REAL_BASE_CIRCUITS = {int(BaseLayerCircuitType.CODE_DECOMMITTMENTS_SORTER),
+def storage_geometry_for_capacity(capacity: int) -> sscirc.StorageGeometry:
+    """Smallest storage-sorter trace covering `capacity` elements per
+    instance (3 narrow regions, 96 rows per element, one emission-lag
+    slot)."""
+    log_n = 8
+    while True:
+        n = 1 << log_n
+        slots_needed = capacity + 1
+        ept = (n // nrr_mod.ROWS_PER_PERMUTATION) // nrr_mod.CHUNKS
+        tiles = max(1, -(-slots_needed // max(1, ept)))
+        geo = sscirc.StorageGeometry(log_n, tiles)
+        if geo.capacity >= capacity and geo.capacity + 2 <= n:
+            return geo
+        log_n += 1
+
+
+def storage_setup_data(capacity: int,
+                       psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
+                       source=None
+                       ) -> Tuple[SetupData, sscirc.StorageGeometry]:
+    geo = storage_geometry_for_capacity(capacity)
+    key = ("base_storage", geo.log_n, geo.tiles)
+    if key not in _SETUP_CACHE:
+        ir = sscirc.storage_ir(geo.log_n, geo.tiles)
+        cfg = _engine_config(psc)
+        setup = sscirc.storage_setup(ir, geo, cfg)
+        _SETUP_CACHE[key] = SetupData(ir=ir, setup=setup, vk=setup.vk(),
+                                      config=cfg)
+    sd = _SETUP_CACHE[key]
+    if source is not None:
+        source.set_base_layer_vk(sd.vk,
+                                 int(BaseLayerCircuitType.STORAGE_SORTER))
+    return sd, geo
+
+
+def prove_storage_instance(inst_w, challenges, capacity: int, source=None):
+    """Prove ONE StorageCircuitInstance from the decomposer."""
+    sd, geo = storage_setup_data(capacity, source=source)
+    inst = sscirc.instance_inputs(inst_w, challenges)
+    witness = sscirc.storage_witness(sd.ir, geo, inst)
+    proof = pk.prove(sd.ir, sd.setup, witness, sd.config)
+    expected = sscirc.instance_public_inputs(geo, inst_w, challenges)
+    assert [int(v) for v in proof.public_inputs] == \
+        [int(v) % pk.gl.P for v in expected], "instance PI mismatch"
+    return proof
+
+
+def verify_storage_instance(inst_w, challenges, capacity: int, proof,
+                            vk=None) -> bool:
+    sd, geo = storage_setup_data(capacity)
+    expected = sscirc.instance_public_inputs(geo, inst_w, challenges)
+    if [int(v) for v in proof.public_inputs] != \
+            [int(v) % pk.gl.P for v in expected]:
+        return False
+    return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
+
+
+def keccak_geometry_for_capacity(capacity: int) -> kcirc.KeccakGeometry:
+    """Smallest keccak trace covering `capacity` keccak-f invocations
+    (32 rows each)."""
+    log_n = 7
+    while (1 << log_n) // kcirc.ROWS_PER_INVOCATION < capacity:
+        log_n += 1
+    return kcirc.KeccakGeometry(log_n)
+
+
+def keccak_setup_data(capacity: int,
+                      psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
+                      source=None) -> Tuple[SetupData, kcirc.KeccakGeometry]:
+    geo = keccak_geometry_for_capacity(capacity)
+    key = ("base_keccak", geo.log_n)
+    if key not in _SETUP_CACHE:
+        ir = kcirc.keccak_ir(geo.log_n)
+        cfg = _engine_config(psc)
+        setup = kcirc.keccak_setup(ir, geo, cfg)
+        _SETUP_CACHE[key] = SetupData(ir=ir, setup=setup, vk=setup.vk(),
+                                      config=cfg)
+    sd = _SETUP_CACHE[key]
+    if source is not None:
+        source.set_base_layer_vk(
+            sd.vk, int(BaseLayerCircuitType.KECCAK_ROUND_FUNCTION))
+    return sd, geo
+
+
+def prove_keccak_instance(inst_w, challenges_gammas, capacity: int,
+                          source=None):
+    """Prove ONE RoundFunctionInstanceWitness (type 5) from the decomposer."""
+    sd, geo = keccak_setup_data(capacity, source=source)
+    ch, gm = challenges_gammas
+    inst = kcirc.instance_inputs(inst_w.invocations, ch, gm, inst_w.acc_in,
+                                 inst_w.cnt_in)
+    witness = kcirc.keccak_witness(sd.ir, geo, inst)
+    proof = pk.prove(sd.ir, sd.setup, witness, sd.config)
+    expected = kcirc.instance_public_inputs(geo, inst_w, challenges_gammas)
+    assert [int(v) for v in proof.public_inputs] == \
+        [int(v) % pk.gl.P for v in expected], "instance PI mismatch"
+    return proof
+
+
+def verify_keccak_instance(inst_w, challenges_gammas, capacity: int, proof,
+                           vk=None) -> bool:
+    sd, geo = keccak_setup_data(capacity)
+    expected = kcirc.instance_public_inputs(geo, inst_w, challenges_gammas)
+    if [int(v) for v in proof.public_inputs] != \
+            [int(v) % pk.gl.P for v in expected]:
+        return False
+    return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
+
+
+def sha256_geometry_for_capacity(capacity: int) -> shcirc.Sha256Geometry:
+    """Smallest sha256 trace covering `capacity` compressions (66 rows
+    each)."""
+    log_n = 8
+    while (1 << log_n) // shcirc.ROWS_PER_INVOCATION < capacity:
+        log_n += 1
+    return shcirc.Sha256Geometry(log_n)
+
+
+def sha256_setup_data(capacity: int,
+                      psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
+                      source=None) -> Tuple[SetupData, shcirc.Sha256Geometry]:
+    geo = sha256_geometry_for_capacity(capacity)
+    key = ("base_sha256", geo.log_n)
+    if key not in _SETUP_CACHE:
+        ir = shcirc.sha256_ir(geo.log_n)
+        cfg = _engine_config(psc)
+        setup = shcirc.sha256_setup(ir, geo, cfg)
+        _SETUP_CACHE[key] = SetupData(ir=ir, setup=setup, vk=setup.vk(),
+                                      config=cfg)
+    sd = _SETUP_CACHE[key]
+    if source is not None:
+        source.set_base_layer_vk(
+            sd.vk, int(BaseLayerCircuitType.SHA256_ROUND_FUNCTION))
+    return sd, geo
+
+
+def prove_sha256_instance(inst_w, challenges_gammas, capacity: int,
+                          source=None):
+    """Prove ONE RoundFunctionInstanceWitness (type 6) from the decomposer."""
+    sd, geo = sha256_setup_data(capacity, source=source)
+    ch, gm = challenges_gammas
+    inst = shcirc.instance_inputs(inst_w.invocations, ch, gm, inst_w.acc_in,
+                                  inst_w.cnt_in)
+    witness = shcirc.sha256_witness(sd.ir, geo, inst)
+    proof = pk.prove(sd.ir, sd.setup, witness, sd.config)
+    expected = shcirc.instance_public_inputs(geo, inst_w, challenges_gammas)
+    assert [int(v) for v in proof.public_inputs] == \
+        [int(v) % pk.gl.P for v in expected], "instance PI mismatch"
+    return proof
+
+
+def verify_sha256_instance(inst_w, challenges_gammas, capacity: int, proof,
+                           vk=None) -> bool:
+    sd, geo = sha256_setup_data(capacity)
+    expected = shcirc.instance_public_inputs(geo, inst_w, challenges_gammas)
+    if [int(v) for v in proof.public_inputs] != \
+            [int(v) % pk.gl.P for v in expected]:
+        return False
+    return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
+
+
+def hasher_geometry_for_capacity(capacity: int) -> lhcirc.HasherGeometry:
+    """Smallest hasher trace covering the keccak-f blocks of `capacity`
+    serialized L1 messages (88 bytes each, one pad block)."""
+    max_blocks = -(-(88 * capacity + 1) // 136)
+    log_n = 5
+    while (1 << log_n) // lhcirc.ROWS_PER_INVOCATION < max_blocks:
+        log_n += 1
+    return lhcirc.HasherGeometry(log_n)
+
+
+def hasher_setup_data(capacity: int,
+                      psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
+                      source=None) -> Tuple[SetupData, lhcirc.HasherGeometry]:
+    geo = hasher_geometry_for_capacity(capacity)
+    key = ("base_hasher", geo.log_n)
+    if key not in _SETUP_CACHE:
+        ir = lhcirc.hasher_ir(geo.log_n)
+        cfg = _engine_config(psc)
+        setup = lhcirc.hasher_setup(ir, geo, cfg)
+        _SETUP_CACHE[key] = SetupData(ir=ir, setup=setup, vk=setup.vk(),
+                                      config=cfg)
+    sd = _SETUP_CACHE[key]
+    if source is not None:
+        source.set_base_layer_vk(
+            sd.vk, int(BaseLayerCircuitType.L1_MESSAGES_HASHER))
+    return sd, geo
+
+
+def prove_hasher_instance(inst, capacity: int, source=None):
+    """Prove ONE HasherInstanceInputs (type 13): in-circuit keccak256 of
+    the serialized L1-message stream."""
+    sd, geo = hasher_setup_data(capacity, source=source)
+    witness = lhcirc.hasher_witness(sd.ir, geo, inst)
+    proof = pk.prove(sd.ir, sd.setup, witness, sd.config)
+    expected = lhcirc.expected_public_inputs(geo, inst)
+    assert [int(v) for v in proof.public_inputs] == \
+        [int(v) % pk.gl.P for v in expected], "instance PI mismatch"
+    return proof
+
+
+def verify_hasher_instance(inst, capacity: int, proof, vk=None) -> bool:
+    sd, geo = hasher_setup_data(capacity)
+    expected = lhcirc.expected_public_inputs(geo, inst)
+    if [int(v) for v in proof.public_inputs] != \
+            [int(v) % pk.gl.P for v in expected]:
+        return False
+    return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
+
+
+def code_decommitter_geometry_for_capacity(capacity: int
+                                           ) -> cdcirc.DecommitterGeometry:
+    """Smallest decommitter trace covering the sha256 blocks of `capacity`
+    32-byte bytecode words (+ padding block)."""
+    max_blocks = -(-(32 * capacity + 9) // 64)
+    log_n = 7
+    while (1 << log_n) // cdcirc.ROWS_PER_INVOCATION < max_blocks:
+        log_n += 1
+    return cdcirc.DecommitterGeometry(log_n)
+
+
+def code_decommitter_setup_data(
+        capacity: int, psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
+        source=None) -> Tuple[SetupData, cdcirc.DecommitterGeometry]:
+    geo = code_decommitter_geometry_for_capacity(capacity)
+    key = ("base_code_decommitter", geo.log_n)
+    if key not in _SETUP_CACHE:
+        ir = cdcirc.decommitter_ir(geo.log_n)
+        cfg = _engine_config(psc)
+        setup = cdcirc.decommitter_setup(ir, geo, cfg)
+        _SETUP_CACHE[key] = SetupData(ir=ir, setup=setup, vk=setup.vk(),
+                                      config=cfg)
+    sd = _SETUP_CACHE[key]
+    if source is not None:
+        source.set_base_layer_vk(
+            sd.vk, int(BaseLayerCircuitType.CODE_DECOMMITTER))
+    return sd, geo
+
+
+def prove_code_decommitter_instance(inst, capacity: int, source=None):
+    """Prove ONE DecommitterInstanceInputs (type 3): in-circuit sha256 of
+    one fresh bytecode."""
+    sd, geo = code_decommitter_setup_data(capacity, source=source)
+    witness = cdcirc.decommitter_witness(sd.ir, geo, inst)
+    proof = pk.prove(sd.ir, sd.setup, witness, sd.config)
+    expected = cdcirc.expected_public_inputs(geo, inst)
+    assert [int(v) for v in proof.public_inputs] == \
+        [int(v) % pk.gl.P for v in expected], "instance PI mismatch"
+    return proof
+
+
+def verify_code_decommitter_instance(inst, capacity: int, proof,
+                                     vk=None) -> bool:
+    sd, geo = code_decommitter_setup_data(capacity)
+    expected = cdcirc.expected_public_inputs(geo, inst)
+    if [int(v) for v in proof.public_inputs] != \
+            [int(v) % pk.gl.P for v in expected]:
+        return False
+    return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
+
+
+def main_vm_geometry_for_capacity(capacity: int,
+                                  limb_bits: int = 8) -> mvcirc.VmGeometry:
+    """Smallest MainVM trace covering `capacity` cycles per instance
+    (and the 2^limb_bits range table)."""
+    log_n = max(limb_bits, 4)
+    while (1 << log_n) < capacity:
+        log_n += 1
+    return mvcirc.VmGeometry(log_n, limb_bits=limb_bits, num_limbs=16)
+
+
+def main_vm_setup_data(capacity: int,
+                       psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
+                       source=None) -> Tuple[SetupData, mvcirc.VmGeometry]:
+    geo = main_vm_geometry_for_capacity(capacity)
+    key = ("base_main_vm", geo.log_n, geo.limb_bits)
+    if key not in _SETUP_CACHE:
+        ir = mvcirc.main_vm_ir(geo)
+        cfg = _engine_config(psc)
+        setup = mvcirc.main_vm_setup(ir, geo, cfg)
+        _SETUP_CACHE[key] = SetupData(ir=ir, setup=setup, vk=setup.vk(),
+                                      config=cfg)
+    sd = _SETUP_CACHE[key]
+    if source is not None:
+        source.set_base_layer_vk(sd.vk, int(BaseLayerCircuitType.MAIN_VM))
+    return sd, geo
+
+
+def prove_main_vm_instance(inst, capacity: int, source=None):
+    """Prove ONE VmCircuitInstance (type 1): the block's actual per-cycle
+    execution trace."""
+    sd, geo = main_vm_setup_data(capacity, source=source)
+    witness = mvcirc.main_vm_witness(sd.ir, geo, inst)
+    proof = pk.prove(sd.ir, sd.setup, witness, sd.config)
+    expected = mvcirc.expected_public_inputs(geo, inst)
+    assert [int(v) for v in proof.public_inputs] == \
+        [int(v) % pk.gl.P for v in expected], "instance PI mismatch"
+    return proof
+
+
+def verify_main_vm_instance(inst, capacity: int, proof, vk=None) -> bool:
+    sd, geo = main_vm_setup_data(capacity)
+    expected = mvcirc.expected_public_inputs(geo, inst)
+    if [int(v) for v in proof.public_inputs] != \
+            [int(v) % pk.gl.P for v in expected]:
+        return False
+    return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof, sd.config)
+
+
+def _ecrecover_program():
+    key = ("ecrecover_prog",)
+    if key not in _SETUP_CACHE:
+        curve = eccirc.secp256k1_params(limb_bits=8)
+        _SETUP_CACHE[key] = eccirc.build_ecrecover_program(curve)
+    return _SETUP_CACHE[key]
+
+
+def ecrecover_setup_data(psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
+                         source=None):
+    """Type-7 setup: one full secp256k1 recovery program per proof
+    (production scale: ~37k rows at u8 limbs; proving runs on TPU)."""
+    eprog = _ecrecover_program()
+    key = ("base_ecrecover", eprog.layout.log_n)
+    if key not in _SETUP_CACHE:
+        cfg = _engine_config(psc)
+        ir, setup = ffmod.ff_setup(eprog.layout, cfg)
+        _SETUP_CACHE[key] = SetupData(ir=ir, setup=setup, vk=setup.vk(),
+                                      config=cfg)
+    sd = _SETUP_CACHE[key]
+    if source is not None:
+        source.set_base_layer_vk(sd.vk, int(BaseLayerCircuitType.ECRECOVER))
+    return sd, eprog
+
+
+def _lift_r_point(r: int, v: int) -> int:
+    """y of the lifted R = (r, y) with parity v on secp256k1."""
+    p = eccirc.SECP_P
+    y = pow((r * r * r + 7) % p, (p + 1) // 4, p)
+    assert y * y % p == (r * r * r + 7) % p, "r is not an x-coordinate"
+    return y if (y & 1) == (int(v) & 1) else p - y
+
+
+def prove_ecrecover_invocation(inv, source=None):
+    """Prove ONE EcrecoverInvocation (type 7) at full secp256k1 scale."""
+    sd, eprog = ecrecover_setup_data(source=source)
+    h = int.from_bytes(inv.msg_hash, "big") % eccirc.SECP_N
+    ry = _lift_r_point(inv.r, inv.v)
+    witness = eccirc.ecrecover_witness(
+        eprog, sd.ir, h, inv.r % eccirc.SECP_N, inv.s % eccirc.SECP_N,
+        inv.recovered_point, ry)
+    proof = pk.prove(sd.ir, sd.setup, witness, sd.config)
+    expected = eccirc.expected_public_inputs(
+        eprog, h, inv.r % eccirc.SECP_N, inv.s % eccirc.SECP_N,
+        inv.recovered_point)
+    assert [int(x) for x in proof.public_inputs] == \
+        [int(x) % pk.gl.P for x in expected], "instance PI mismatch"
+    return proof
+
+
+def verify_ecrecover_invocation(inv, proof, vk=None) -> bool:
+    sd, eprog = ecrecover_setup_data()
+    h = int.from_bytes(inv.msg_hash, "big") % eccirc.SECP_N
+    expected = eccirc.expected_public_inputs(
+        eprog, h, inv.r % eccirc.SECP_N, inv.s % eccirc.SECP_N,
+        inv.recovered_point)
+    if [int(x) for x in proof.public_inputs] != \
+            [int(x) % pk.gl.P for x in expected]:
+        return False
+    return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof,
+                     sd.config)
+
+
+def storage_application_setup_data(
+        psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG, source=None
+        ) -> Tuple[SetupData, sappcirc.PathGeometry]:
+    """Type-10 setup: one depth-256 Blake2s path per proof (production
+    scale: 3084 rows x ~2.9k columns; proving runs on TPU)."""
+    geo = sappcirc.PathGeometry(depth=256)
+    key = ("base_storage_app", geo.log_n)
+    if key not in _SETUP_CACHE:
+        ir = sappcirc.path_ir(geo)
+        cfg = _engine_config(psc)
+        setup = sappcirc.path_setup(ir, geo, cfg)
+        _SETUP_CACHE[key] = SetupData(ir=ir, setup=setup, vk=setup.vk(),
+                                      config=cfg)
+    sd = _SETUP_CACHE[key]
+    if source is not None:
+        source.set_base_layer_vk(
+            sd.vk, int(BaseLayerCircuitType.STORAGE_APPLICATION))
+    return sd, geo
+
+
+def prove_storage_application_path(inst, source=None):
+    """Prove ONE PathInstanceInputs (type 10): a depth-256 Blake2s Merkle
+    opening of the state tree."""
+    sd, geo = storage_application_setup_data(source=source)
+    witness = sappcirc.path_witness(sd.ir, geo, inst)
+    proof = pk.prove(sd.ir, sd.setup, witness, sd.config)
+    expected = sappcirc.expected_public_inputs(geo, inst)
+    assert [int(x) for x in proof.public_inputs] == \
+        [int(x) % pk.gl.P for x in expected], "instance PI mismatch"
+    return proof
+
+
+@dataclasses.dataclass
+class StorageApplicationQueryProof:
+    """Read+write path proofs for one storage query (the reference proves
+    both directions of the tree update inside one instance)."""
+    read: object
+    write: object
+
+    @property
+    def public_inputs(self):
+        return list(self.read.public_inputs) + list(self.write.public_inputs)
+
+
+def prove_storage_application_query(pair, source=None
+                                    ) -> StorageApplicationQueryProof:
+    read_inst, write_inst = pair
+    return StorageApplicationQueryProof(
+        read=prove_storage_application_path(read_inst, source),
+        write=prove_storage_application_path(write_inst))
+
+
+def verify_storage_application_query(pair, qproof) -> bool:
+    read_inst, write_inst = pair
+    return (verify_storage_application_path(read_inst, qproof.read)
+            and verify_storage_application_path(write_inst, qproof.write))
+
+
+def verify_storage_application_path(inst, proof, vk=None) -> bool:
+    sd, geo = storage_application_setup_data()
+    expected = sappcirc.expected_public_inputs(geo, inst)
+    if [int(x) for x in proof.public_inputs] != \
+            [int(x) % pk.gl.P for x in expected]:
+        return False
+    return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof,
+                     sd.config)
+
+
+REAL_BASE_CIRCUITS = {int(BaseLayerCircuitType.MAIN_VM),
+                      int(BaseLayerCircuitType.CODE_DECOMMITTMENTS_SORTER),
+                      int(BaseLayerCircuitType.CODE_DECOMMITTER),
                       int(BaseLayerCircuitType.LOG_DEMUXER),
+                      int(BaseLayerCircuitType.KECCAK_ROUND_FUNCTION),
+                      int(BaseLayerCircuitType.SHA256_ROUND_FUNCTION),
+                      int(BaseLayerCircuitType.ECRECOVER),
                       int(BaseLayerCircuitType.RAM_PERMUTATION),
+                      int(BaseLayerCircuitType.STORAGE_SORTER),
+                      int(BaseLayerCircuitType.STORAGE_APPLICATION),
                       int(BaseLayerCircuitType.EVENTS_SORTER),
-                      int(BaseLayerCircuitType.L1_MESSAGES_SORTER)}
+                      int(BaseLayerCircuitType.L1_MESSAGES_SORTER),
+                      int(BaseLayerCircuitType.L1_MESSAGES_HASHER)}
 
 
 def real_base_instance_public_inputs(ctype: int, inst_w, challenges,
@@ -398,10 +864,39 @@ def real_base_instance_public_inputs(ctype: int, inst_w, challenges,
     if ctype == int(BaseLayerCircuitType.RAM_PERMUTATION):
         return rcirc.instance_public_inputs(
             ram_geometry_for_capacity(capacity), inst_w, challenges)
+    if ctype == int(BaseLayerCircuitType.STORAGE_SORTER):
+        return sscirc.instance_public_inputs(
+            storage_geometry_for_capacity(capacity), inst_w, challenges)
     if ctype in (int(BaseLayerCircuitType.EVENTS_SORTER),
                  int(BaseLayerCircuitType.L1_MESSAGES_SORTER)):
         return ecirc.instance_public_inputs(
             events_geometry_for_capacity(capacity), inst_w, challenges)
+    if ctype == int(BaseLayerCircuitType.KECCAK_ROUND_FUNCTION):
+        return kcirc.instance_public_inputs(
+            keccak_geometry_for_capacity(capacity), inst_w, challenges)
+    if ctype == int(BaseLayerCircuitType.SHA256_ROUND_FUNCTION):
+        return shcirc.instance_public_inputs(
+            sha256_geometry_for_capacity(capacity), inst_w, challenges)
+    if ctype == int(BaseLayerCircuitType.L1_MESSAGES_HASHER):
+        return lhcirc.expected_public_inputs(
+            hasher_geometry_for_capacity(capacity), inst_w)
+    if ctype == int(BaseLayerCircuitType.CODE_DECOMMITTER):
+        return cdcirc.expected_public_inputs(
+            code_decommitter_geometry_for_capacity(capacity), inst_w)
+    if ctype == int(BaseLayerCircuitType.MAIN_VM):
+        return mvcirc.expected_public_inputs(
+            main_vm_geometry_for_capacity(capacity), inst_w)
+    if ctype == int(BaseLayerCircuitType.ECRECOVER):
+        inv = inst_w.invocations[0]
+        h = int.from_bytes(inv.msg_hash, "big") % eccirc.SECP_N
+        return eccirc.expected_public_inputs(
+            _ecrecover_program(), h, inv.r % eccirc.SECP_N,
+            inv.s % eccirc.SECP_N, inv.recovered_point)
+    if ctype == int(BaseLayerCircuitType.STORAGE_APPLICATION):
+        geo = sappcirc.PathGeometry(depth=256)
+        read_inst, write_inst = inst_w
+        return (sappcirc.expected_public_inputs(geo, read_inst)
+                + sappcirc.expected_public_inputs(geo, write_inst))
     raise KeyError(ctype)
 
 

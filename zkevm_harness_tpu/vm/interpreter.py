@@ -88,9 +88,11 @@ def run_vm(vm: VmState, code: List[isa.Instruction], cycle_limit: int) -> int:
             vm.frame.pc = popped.exception_handler
         else:
             vm.frame.ergs_remaining -= ERGS_PER_CYCLE
+            tracer.add_execution_record(cycle, instr)
             _execute(vm, instr, cycle)
         vm.monotonic_cycle_counter += 1
         vm.timestamp += 2  # each cycle opens a fresh timestamp pair
+    tracer.record_final_state(_snapshot_repr(vm))
     return vm.monotonic_cycle_counter
 
 
@@ -100,6 +102,8 @@ def _snapshot_repr(vm: VmState):
         "pc": vm.frame.pc,
         "callstack_depth": len(vm.callstack),
         "timestamp": vm.timestamp,
+        "flags": (vm.flags.eq, vm.flags.lt, vm.flags.gt),
+        "code_page": vm.frame.code_page,
     }
 
 
@@ -282,7 +286,21 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
         tracer.start_new_execution_context(cycle)
 
     elif isinstance(instr, isa.Precompile):
-        data = bytes(_val(vm, instr.data) .to_bytes(32, "big"))
+        if instr.data_words == 1:
+            data = bytes(_val(vm, instr.data).to_bytes(32, "big"))
+        else:
+            # heap-sourced input: read data_words consecutive words (each
+            # read lands in the memory queue like any other heap access)
+            base_addr = _val(vm, instr.data)
+            page = f.base_memory_page
+            chunks = []
+            for i in range(instr.data_words):
+                value, _ = mem.read(page, base_addr + i)
+                tracer.add_memory_query(cycle, MemoryQuery(
+                    vm.timestamp, MemoryLocation(page, base_addr + i),
+                    value, rw_flag=False))
+                chunks.append(int(value).to_bytes(32, "big"))
+            data = b"".join(chunks)
         result = vm.tools.precompiles.process(instr.address, data)
         q = LogQuery(vm.timestamp, vm.tx_number_in_block, AUX_BYTE_PRECOMPILE,
                      0, instr.address, 0, 0, 0, rw_flag=False)

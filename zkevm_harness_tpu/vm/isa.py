@@ -100,6 +100,9 @@ class Precompile(Instruction):
     address: int
     data: Operand
     dst: int
+    # >1: `data` is a heap address; the call reads this many consecutive
+    # 32-byte heap words as its input (ecrecover reads 4: h||v||r||s)
+    data_words: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

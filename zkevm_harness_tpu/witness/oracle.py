@@ -68,6 +68,14 @@ class BlockArtifacts:
     l1_messages_sorter: "EventsCircuitArtifacts" = None
     log_demuxer: "DemuxCircuitArtifacts" = None
     decommitts_sorter: "DecommittsCircuitArtifacts" = None
+    storage_sorter: "StorageCircuitArtifacts" = None
+    keccak_rounds: "RoundFunctionCircuitArtifacts" = None
+    sha256_rounds: "RoundFunctionCircuitArtifacts" = None
+    linear_hasher: "LinearHasherCircuitArtifacts" = None
+    code_decommitter: "CodeDecommitterCircuitArtifacts" = None
+    main_vm: "VmCircuitArtifacts" = None
+    ecrecover: List = None  # [EcrecoverInstanceWitness]
+    storage_application: "StorageApplicationCircuitArtifacts" = None
 
 
 def _instances_for(count: int, capacity: int) -> int:
@@ -145,30 +153,70 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
         g.cycles_per_events_or_l1_messages_sorter, circuit_type=12)
     demux_art = compute_log_demux_artifacts(
         [q for _, q in log_entries], g.cycles_per_log_demuxer)
-    from ..witness.sorters import compute_decommitts_circuit_artifacts
+    from ..witness.sorters import (compute_decommitts_circuit_artifacts,
+                                   compute_storage_circuit_artifacts)
     decommitts_art = compute_decommitts_circuit_artifacts(
         list(tracer.decommittment_queries),
         g.cycles_per_code_decommitter_sorter)
+    storage_art = compute_storage_circuit_artifacts(
+        storage_qs, g.cycles_per_storage_sorter)
+    from ..witness.precompile_circuits import (
+        compute_keccak_circuit_artifacts, compute_sha256_circuit_artifacts)
+    keccak_art = compute_keccak_circuit_artifacts(
+        [data for (_, q, data, _r) in tracer.precompile_calls
+         if q.address == DefaultPrecompilesProcessor.KECCAK_ADDRESS],
+        g.cycles_per_keccak256_circuit)
+    sha256_art = compute_sha256_circuit_artifacts(
+        [data for (_, q, data, _r) in tracer.precompile_calls
+         if q.address == DefaultPrecompilesProcessor.SHA256_ADDRESS],
+        g.cycles_per_sha256_circuit)
+    from ..witness.linear_hasher import compute_hasher_circuit_artifacts
+    hasher_art = compute_hasher_circuit_artifacts(
+        dedup_l1, g.limit_for_l1_messages_pudata_hasher)
+    from ..witness.decommitter import compute_code_decommitter_artifacts
+    code_dec_art = compute_code_decommitter_artifacts(
+        [q for _, q in tracer.decommittment_queries if q.is_fresh],
+        tracer.decommitted_bytecodes)
+    from ..prover.layers import main_vm_geometry_for_capacity
+    from ..witness.main_vm import compute_main_vm_artifacts
+    main_vm_art = compute_main_vm_artifacts(
+        tracer, main_vm_geometry_for_capacity(g.cycles_per_vm_snapshot),
+        g.cycles_per_vm_snapshot)
+    from ..witness.ecrecover_witness import ecrecover_decompose
+    ecrecover_art = ecrecover_decompose(
+        [data for (_, q, data, _r) in tracer.precompile_calls
+         if q.address == DefaultPrecompilesProcessor.ECRECOVER_ADDRESS],
+        g.cycles_per_ecrecover_circuit)
+    from ..witness.storage_application import (
+        compute_storage_application_artifacts)
+    from ..witness.tree import SparseStorageTree
+    storage_app_art = compute_storage_application_artifacts(
+        SparseStorageTree(), dedup_storage, g.cycles_per_storage_application)
     counts = {
         BaseLayerCircuitType.MAIN_VM:
-            (tracer.cycle_counter, g.cycles_per_vm_snapshot),
+            (len(main_vm_art.instances) * g.cycles_per_vm_snapshot,
+             g.cycles_per_vm_snapshot),
         BaseLayerCircuitType.CODE_DECOMMITTMENTS_SORTER:
             (len(tracer.decommittment_queries), g.cycles_per_code_decommitter_sorter),
         BaseLayerCircuitType.CODE_DECOMMITTER:
-            (len(tracer.decommittment_queries), g.cycles_per_code_decommitter),
+            (len(code_dec_art.instances) * g.cycles_per_code_decommitter,
+             g.cycles_per_code_decommitter),
         BaseLayerCircuitType.LOG_DEMUXER:
             (len(demux_art.instances) * g.cycles_per_log_demuxer,
              g.cycles_per_log_demuxer),
         BaseLayerCircuitType.KECCAK_ROUND_FUNCTION:
-            (len(demuxed["keccak"]), g.cycles_per_keccak256_circuit),
+            (len(keccak_art.instances) * g.cycles_per_keccak256_circuit,
+             g.cycles_per_keccak256_circuit),
         BaseLayerCircuitType.SHA256_ROUND_FUNCTION:
-            (len(demuxed["sha256"]), g.cycles_per_sha256_circuit),
+            (len(sha256_art.instances) * g.cycles_per_sha256_circuit,
+             g.cycles_per_sha256_circuit),
         BaseLayerCircuitType.ECRECOVER:
             (len(demuxed["ecrecover"]), g.cycles_per_ecrecover_circuit),
         BaseLayerCircuitType.RAM_PERMUTATION:
             (len(tracer.memory_queries), g.cycles_per_ram_permutation),
         BaseLayerCircuitType.STORAGE_SORTER:
-            (len(storage_qs), g.cycles_per_storage_sorter),
+            (len(storage_art.instances) * g.cycles_per_storage_sorter,
+             g.cycles_per_storage_sorter),
         BaseLayerCircuitType.STORAGE_APPLICATION:
             (len(dedup_storage), g.cycles_per_storage_application),
         # events/L1 sorters: instance counts come from the decomposer's
@@ -208,4 +256,8 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
         deduplicated_l1_messages=dedup_l1, per_circuit=per_circuit,
         recursion_queues=recursion_queues, ram_permutation=ram_art,
         events_sorter=ev_art, l1_messages_sorter=l1_art,
-        log_demuxer=demux_art, decommitts_sorter=decommitts_art)
+        log_demuxer=demux_art, decommitts_sorter=decommitts_art,
+        storage_sorter=storage_art, keccak_rounds=keccak_art,
+        sha256_rounds=sha256_art, linear_hasher=hasher_art,
+        code_decommitter=code_dec_art, main_vm=main_vm_art,
+        ecrecover=ecrecover_art, storage_application=storage_app_art)

@@ -52,6 +52,50 @@ class StorageApplicationInstanceWitness:
     queries: List[StorageApplicationQueryWitness]
 
 
+def path_circuit_instances(qw: "StorageApplicationQueryWitness"):
+    """Bridge one query witness into (read, write) circuit payloads for
+    circuits/storage_application_circuit.py — the read path proves the
+    pre-state leaf under the pre-root, the write path proves the post
+    leaf under the post-root with the SAME siblings."""
+    from ..circuits.storage_application_circuit import PathInstanceInputs
+    from .tree import DEPTH, index_to_int
+    idx = index_to_int(qw.index)
+    bits = [(idx >> level) & 1 for level in range(DEPTH)]
+    read_inst = PathInstanceInputs(
+        leaf_preimage=(qw.leaf_before[0].to_bytes(8, "big")
+                       + qw.leaf_before[1]),
+        path_bits=bits, siblings=list(qw.read_path))
+    write_inst = PathInstanceInputs(
+        leaf_preimage=(qw.leaf_after[0].to_bytes(8, "big")
+                       + qw.leaf_after[1]),
+        path_bits=bits, siblings=list(qw.read_path))
+    return read_inst, write_inst
+
+
+@dataclasses.dataclass
+class StorageApplicationCircuitArtifacts:
+    """Per-query circuit payloads (type 10) + the root chain they prove."""
+    instances: List  # [(read PathInstanceInputs, write PathInstanceInputs)]
+    initial_root: bytes
+    final_root: bytes
+    query_witnesses: List["StorageApplicationInstanceWitness"]
+
+
+def compute_storage_application_artifacts(
+        tree: "SparseStorageTree", dedup_queries: Sequence[LogQuery],
+        capacity: int) -> StorageApplicationCircuitArtifacts:
+    initial_root = tree.root
+    insts = decompose_into_storage_application_witnesses(
+        tree, dedup_queries, capacity)
+    pairs = []
+    for iw in insts:
+        for qw in iw.queries:
+            pairs.append(path_circuit_instances(qw))
+    return StorageApplicationCircuitArtifacts(
+        instances=pairs, initial_root=initial_root, final_root=tree.root,
+        query_witnesses=insts)
+
+
 def decompose_into_storage_application_witnesses(
         tree: SparseStorageTree, dedup_queries: Sequence[LogQuery],
         capacity: int) -> List[StorageApplicationInstanceWitness]:

@@ -75,6 +75,9 @@ class WitnessTracer:
         self.memory_queries: List[Tuple[int, MemoryQuery]] = []
         self.decommittment_queries: List[Tuple[int, DecommittmentQuery]] = []
         self.decommitted_bytecodes: Dict[int, List[int]] = {}
+        self.cycle_states: List[object] = []
+        self.cycle_instructions: List[Tuple[int, object]] = []
+        self.final_state: object = None
         self.precompile_calls: List[Tuple[int, LogQuery, bytes, bytes]] = []
         self.refunds: List[Tuple[int, LogQuery, int]] = []
         self.callstack_with_aux_data = CallstackWithAuxData()
@@ -87,7 +90,19 @@ class WitnessTracer:
         if self.cycle_counter % self.cycles_per_vm_snapshot == 0:
             self.vm_snapshots.append(VmSnapshot(self.cycle_counter,
                                                 vm_state_repr))
+        # full per-cycle state log: the MainVM circuit's row witness
+        # (the reference's VmWitnessOracle equivalently replays per-cycle
+        # state, oracle.rs:1164-1420)
+        self.cycle_states.append(vm_state_repr)
         self.cycle_counter += 1
+
+    def add_execution_record(self, cycle: int, instr: object):
+        """Record the decoded instruction executed at `cycle`."""
+        self.cycle_instructions.append((cycle, instr))
+
+    def record_final_state(self, vm_state_repr: object):
+        """State after the last executed cycle (the MainVM exit boundary)."""
+        self.final_state = vm_state_repr
 
     def add_memory_query(self, cycle: int, query: MemoryQuery):
         self.memory_queries.append((cycle, query))
