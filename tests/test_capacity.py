@@ -25,3 +25,18 @@ def test_emit_geometry_module_roundtrip(tmp_path):
     ns = {}
     exec(src, ns)
     assert ns["GEOMETRY"] == cfg
+
+
+def test_native_models_derive_from_real_circuits():
+    """The de-circularized estimator: capacities come from THIS framework's
+    gate-set row costs, not from back-solving the reference's numbers."""
+    from zkevm_harness_tpu.circuits import capacity as cap
+    g = cap.generate_geometry_config(cap.native_cost_models())
+    # MainVM is one row per cycle: capacity == the usable row budget - fixed
+    assert g.cycles_per_vm_snapshot == cap.USABLE_ROWS - 2
+    # keccak at 32 rows per permutation
+    assert g.cycles_per_keccak256_circuit == cap.USABLE_ROWS // 32
+    # every capacity is at least 1 and the config constructs
+    import dataclasses
+    for f in dataclasses.fields(g):
+        assert getattr(g, f.name) >= 1

@@ -70,6 +70,43 @@ def calibrated_cost_models() -> Dict[str, LinearCostModel]:
             for name, cap in targets.items()}
 
 
+def native_cost_models() -> Dict[str, LinearCostModel]:
+    """Row costs DERIVED from this framework's own gate sets — the
+    de-circularized estimator (each real circuit declares how many trace
+    rows one item costs; fixed rows cover FSM/boundary slots):
+
+      - MainVM: one row per cycle (circuits/main_vm_circuit.py)
+      - sorters / demux: region-tiled rows per element
+        (circuits/{storage_sorter,events_sorter,log_demux,...}_circuit.py)
+      - keccak: 32 rows per permutation; sha256: 66 per compression
+      - code decommitter: 66 rows per 2 bytecode words (one sha256
+        compression hashes 64 bytes)
+      - ecrecover: ~110 ffarith rows per scalar bit x 256 + decomposition
+        (circuits/ecrecover_circuit.py builds ~37k rows per recovery)
+      - storage application: 12 rows per blake2s compression x 514
+        compressions per query (two depth-256 paths + two leaf hashes)
+      - L1 hasher: 32 rows per keccak-f block of 88 serialized bytes
+    """
+    from . import narrow_region as nrr
+    rows_per_narrow = nrr.ROWS_PER_PERMUTATION / max(nrr.CHUNKS, 1)
+    return {
+        "cycles_per_vm_snapshot": LinearCostModel(2, 1.0),
+        "cycles_per_code_decommitter_sorter": LinearCostModel(64, 32.0),
+        "cycles_per_log_demuxer": LinearCostModel(64, rows_per_narrow),
+        "cycles_per_storage_sorter": LinearCostModel(96, 3 * rows_per_narrow),
+        "cycles_per_events_or_l1_messages_sorter":
+            LinearCostModel(96, 3 * rows_per_narrow),
+        "cycles_per_ram_permutation": LinearCostModel(64, 2 * rows_per_narrow),
+        "cycles_per_code_decommitter": LinearCostModel(66, 33.0),
+        "cycles_per_storage_application": LinearCostModel(0, 12 * 514.0),
+        "cycles_per_keccak256_circuit": LinearCostModel(0, 32.0),
+        "cycles_per_sha256_circuit": LinearCostModel(0, 66.0),
+        "cycles_per_ecrecover_circuit": LinearCostModel(0, 37000.0),
+        "limit_for_l1_messages_pudata_hasher":
+            LinearCostModel(32, 32.0 * 88 / 136),
+    }
+
+
 def generate_geometry_config(
         cost_models: Dict[str, Callable[[int], int]]) -> GeometryConfig:
     """Run all estimators (geometry_config_generator parity)."""
