@@ -50,8 +50,8 @@ NREGS = 15
 # opcode classes (stage A)
 OP_NOP, OP_ADD, OP_SUB, OP_JUMP, OP_JEQ = 0, 1, 2, 3, 4
 OP_HEAPW, OP_HEAPR, OP_STOW, OP_STOR = 5, 6, 7, 8
-OP_EVT, OP_EVTL1, OP_EXT = 9, 10, 11
-NOPS = 12
+OP_EVT, OP_EVTL1, OP_NCALL, OP_EXT = 9, 10, 11, 12
+NOPS = 13
 _LOG_OPS = (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1)
 _MEM_OPS = (OP_HEAPW, OP_HEAPR)
 
@@ -215,13 +215,16 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         # --- pc / ts chains -------------------------------------------------
         pc, tgt, eqf = W("PC"), W("TGT"), W("EQF")
         pc_seq = alg.add_int(pc, 1)
-        pc_next = alg.add(alg.mul(op[OP_JUMP], tgt),
+        # near calls enter their target (the return point is the parent
+        # frame's pc+1, restored by the — still EXT — matching Ret)
+        s_jmp = alg.add(op[OP_JUMP], op[OP_NCALL])
+        pc_next = alg.add(alg.mul(s_jmp, tgt),
                           alg.add(alg.mul(op[OP_JEQ],
                                           alg.add(alg.mul(eqf, tgt),
                                                   alg.mul(_one_minus(alg, eqf),
                                                           pc_seq))),
                                   alg.mul(_one_minus(alg,
-                                                     alg.add(op[OP_JUMP],
+                                                     alg.add(s_jmp,
                                                              op[OP_JEQ])),
                                           pc_seq)))
         out.append(alg.mul(notwrap, alg.mul(v, alg.mul(

@@ -16,8 +16,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..circuits.main_vm_circuit import (NREGS, OP_ADD, OP_EVT, OP_EVTL1,
                                         OP_EXT, OP_HEAPR, OP_HEAPW, OP_JEQ,
-                                        OP_JUMP, OP_NOP, OP_STOR, OP_STOW,
-                                        OP_SUB, VmGeometry)
+                                        OP_JUMP, OP_NCALL, OP_NOP, OP_STOR,
+                                        OP_STOW, OP_SUB, VmGeometry)
 from ..ops import goldilocks as gl
 from ..vm import isa
 from .tracer import WitnessTracer
@@ -124,6 +124,8 @@ def decode_cycle_rows(tracer: WitnessTracer) -> List[VmRow]:
             k0, e0, v0 = _operand(instr.key, regs)
             row = VmRow(op=OP_STOR, dst=int(instr.dst), s0_kind=k0,
                         s0_val=e0, v0=v0, res=log_reads.get(cyc, 0), **base)
+        elif isinstance(instr, isa.NearCall):
+            row = VmRow(op=OP_NCALL, tgt=int(instr.target), **base)
         elif isinstance(instr, isa.Event):
             k0, e0, v0 = _operand(instr.key, regs)
             k1, e1, v1 = _operand(instr.value, regs)
