@@ -74,3 +74,14 @@ def test_tampered_element_breaks_acc_pi(rig):
     good = e4.expected_public_inputs(prog, inst)
     bad = e4.expected_public_inputs(prog, bad_inst)
     assert good[3] != bad[3]  # fp acc_out diverges
+
+
+def test_typed_layer_surface():
+    """prove_eip4844/verify_eip4844 over the behavioral witness chain
+    (mini-blob: the production call passes n_elements=4096)."""
+    from zkevm_harness_tpu.prover import layers as ly
+    proof = ly.prove_eip4844(ELEMENTS, X, n_elements=N, limb_bits=8)
+    assert ly.verify_eip4844(ELEMENTS, X, proof, n_elements=N, limb_bits=8)
+    forged = [(ELEMENTS[0] + 1) % R] + ELEMENTS[1:]
+    assert not ly.verify_eip4844(forged, X, proof, n_elements=N,
+                                 limb_bits=8)

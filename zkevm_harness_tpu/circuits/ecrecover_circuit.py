@@ -30,7 +30,7 @@ u16 limbs / 2^16 range table).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from ..ops import goldilocks as gl
 from . import ffarith as ff

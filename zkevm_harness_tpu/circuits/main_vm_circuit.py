@@ -37,7 +37,7 @@ production uses u16 x 16 (full u256) at 2^16+ rows.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -18,7 +18,7 @@ Ties the full pipeline together (SURVEY stacks 3.1/3.2):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 from .circuits.types import GeometryConfig, testing_geometry
 from .prover import layers as ly
@@ -75,11 +75,10 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
     # -- L2: witness artifacts --------------------------------------------
     artifacts = orc.create_artifacts_from_tracer(tracer, geometry)
 
-    # recursion queues for the REAL base circuits carry REAL public-input
-    # commitments (Poseidon2 digest of the instance's expected PIs — the
-    # exact digest leaf circuits recompute in-circuit from the child proof;
-    # circuits/leaf_circuit.py). Stand-in types keep index placeholders
-    # until their gate sets land.
+    # recursion queues carry REAL public-input commitments for every base
+    # type (Poseidon2 digest of the instance's expected PIs — the exact
+    # digest leaf circuits recompute in-circuit from the child proof;
+    # circuits/leaf_circuit.py).
     from .ops import goldilocks as _gl
     from .ops import poseidon2 as _p2
     from .witness.recursion import (RecursionQueueSimulator, RecursionRequest)

@@ -833,6 +833,54 @@ def verify_storage_application_path(inst, proof, vk=None) -> bool:
                      sd.config)
 
 
+def create_eip4844_setup_data(n_elements: int = 4096, limb_bits: int = 8,
+                              psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
+                              source=None):
+    """EIP-4844 typed surface (prover_utils.rs eip4844 analogue): setup for
+    the blob-fold circuit at `n_elements` chunks."""
+    key = ("eip4844", n_elements, limb_bits)
+    if key not in _SETUP_CACHE:
+        from ..circuits import eip4844_circuit as e4
+        prog = e4.build_eip4844_program(n_elements, limb_bits=limb_bits)
+        cfg = _engine_config(psc)
+        ir, setup = ffmod.ff_setup(prog.layout, cfg)
+        sd = SetupData(ir=ir, setup=setup, vk=setup.vk(), config=cfg)
+        _SETUP_CACHE[key] = (sd, prog)
+    sd, prog = _SETUP_CACHE[key]
+    if source is not None and hasattr(source, "set_eip4844_vk"):
+        source.set_eip4844_vk(sd.vk)
+    return sd, prog
+
+
+def prove_eip4844(elements, x: int, n_elements: int = 4096,
+                  limb_bits: int = 8, source=None):
+    """Prove the blob-opening fold for one blob (reference: prove_eip4844,
+    src/prover_utils.rs eip4844 surface)."""
+    from ..circuits import eip4844_circuit as e4
+    sd, prog = create_eip4844_setup_data(n_elements, limb_bits,
+                                         source=source)
+    inst = e4.instance_inputs(elements, x)
+    witness = e4.eip4844_witness(prog, sd.ir, inst)
+    proof = pk.prove(sd.ir, sd.setup, witness, sd.config)
+    expected = e4.expected_public_inputs(prog, inst)
+    assert [int(v) for v in proof.public_inputs] == \
+        [int(v) % pk.gl.P for v in expected], "instance PI mismatch"
+    return proof
+
+
+def verify_eip4844(elements, x: int, proof, n_elements: int = 4096,
+                   limb_bits: int = 8, vk=None) -> bool:
+    from ..circuits import eip4844_circuit as e4
+    sd, prog = create_eip4844_setup_data(n_elements, limb_bits)
+    inst = e4.instance_inputs(elements, x)
+    expected = e4.expected_public_inputs(prog, inst)
+    if [int(v) for v in proof.public_inputs] != \
+            [int(v) % pk.gl.P for v in expected]:
+        return False
+    return pk.verify(sd.ir, vk if vk is not None else sd.vk, proof,
+                     sd.config)
+
+
 REAL_BASE_CIRCUITS = {int(BaseLayerCircuitType.MAIN_VM),
                       int(BaseLayerCircuitType.CODE_DECOMMITTMENTS_SORTER),
                       int(BaseLayerCircuitType.CODE_DECOMMITTER),
