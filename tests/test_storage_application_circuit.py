@@ -82,3 +82,31 @@ def test_forged_sibling_changes_root(rig):
                         + SIBLINGS[1:])
     assert sac.expected_public_inputs(GEO, forged)[-256:] != \
         sac.expected_public_inputs(GEO, inst)[-256:]
+
+
+def test_oracle_path_satisfies_at_depth_256():
+    """End-to-end type-10 binding: a traced block's storage write becomes a
+    depth-256 path instance whose circuit witness satisfies exactly and
+    whose root PIs equal the oracle's tree roots."""
+    from zkevm_harness_tpu import harness
+    from zkevm_harness_tpu.vm import isa
+    I = isa.imm
+    res = harness.run_block(
+        [isa.StorageWrite(I(5), I(777)), isa.Ret()], prove_mode="dry")
+    art = res.artifacts.storage_application
+    assert len(art.instances) == 1
+    read_inst, write_inst = art.instances[0]
+    geo = sac.PathGeometry(depth=256)
+    ir = sac.path_ir(geo)
+    W = sac.path_witness(ir, geo, write_inst)
+    Wint = np.asarray(W.lo, dtype=object) + \
+        (np.asarray(W.hi, dtype=object) << 32)
+    pis = sac.expected_public_inputs(geo, write_inst)
+    violations = satisfy.check_satisfied(
+        ir, Wint, sac._const_rows(geo).T,
+        pk.identity_permutation(ir.num_witness, geo.n), pis)
+    assert violations == [], violations[:5]
+    # the proven roots ARE the oracle's tree roots
+    assert sac.root_bytes(geo, pis) == art.final_root
+    read_pis = sac.expected_public_inputs(geo, read_inst)
+    assert sac.root_bytes(geo, read_pis) == art.initial_root

@@ -67,13 +67,15 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
         from .vm.interpreter import deploy_contract
         for addr, instrs in contracts.items():
             deploy_contract(tools, addr, instrs)
+    pre_state = dict(tools.storage.inner)  # post-predeploy, pre-execution
     vm = create_vm(tools, BlockProperties(block_number=1), entry_address,
                    code_page=0)
     cycles = run_vm(vm, list(code), cycle_limit)
     assert vm.finished, "block did not finish within the cycle limit"
 
     # -- L2: witness artifacts --------------------------------------------
-    artifacts = orc.create_artifacts_from_tracer(tracer, geometry)
+    artifacts = orc.create_artifacts_from_tracer(tracer, geometry,
+                                                 initial_storage=pre_state)
 
     # recursion queues carry REAL public-input commitments for every base
     # type (Poseidon2 digest of the instance's expected PIs — the exact

@@ -657,11 +657,14 @@ def verify_code_decommitter_instance(inst, capacity: int, proof,
 def main_vm_geometry_for_capacity(capacity: int,
                                   limb_bits: int = 8) -> mvcirc.VmGeometry:
     """Smallest MainVM trace covering `capacity` cycles per instance
-    (and the 2^limb_bits range table)."""
+    (and the 2^limb_bits range table). Registers are FULL u256: 32 u8
+    limbs here (CPU-testable range table); production uses 16 u16 limbs
+    at 2^16+ rows."""
     log_n = max(limb_bits, 4)
     while (1 << log_n) < capacity:
         log_n += 1
-    return mvcirc.VmGeometry(log_n, limb_bits=limb_bits, num_limbs=16)
+    return mvcirc.VmGeometry(log_n, limb_bits=limb_bits,
+                             num_limbs=256 // limb_bits)
 
 
 def main_vm_setup_data(capacity: int,

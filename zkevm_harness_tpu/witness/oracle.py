@@ -116,7 +116,11 @@ def dedup_events(events: List[LogQuery]) -> List[LogQuery]:
 
 
 def create_artifacts_from_tracer(tracer: WitnessTracer,
-                                 geometry: GeometryConfig) -> BlockArtifacts:
+                                 geometry: GeometryConfig,
+                                 initial_storage=None) -> BlockArtifacts:
+    """initial_storage: optional {(shard, address, key): value} pre-state
+    (predeployed contracts etc.) seeded into the storage-application tree
+    before the block's writes are applied."""
     # 1. full log queue through the Poseidon2 simulator
     log_entries = tracer.final_log_queue()
     log_queue = QueueSimulator()
@@ -156,7 +160,7 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
     from ..witness.sorters import (compute_decommitts_circuit_artifacts,
                                    compute_storage_circuit_artifacts)
     decommitts_art = compute_decommitts_circuit_artifacts(
-        list(tracer.decommittment_queries),
+        [q for _, q in tracer.decommittment_queries],
         g.cycles_per_code_decommitter_sorter)
     storage_art = compute_storage_circuit_artifacts(
         storage_qs, g.cycles_per_storage_sorter)
@@ -188,10 +192,16 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
          if q.address == DefaultPrecompilesProcessor.ECRECOVER_ADDRESS],
         g.cycles_per_ecrecover_circuit)
     from ..witness.storage_application import (
-        compute_storage_application_artifacts)
+        compute_storage_application_artifacts, storage_key_to_index)
     from ..witness.tree import SparseStorageTree
+    pre_tree = SparseStorageTree()
+    for (shard, address, key), value in sorted(
+            (initial_storage or {}).items()):
+        if shard == 0 and value:
+            pre_tree.insert_leaf(storage_key_to_index(address, key),
+                                 int(value).to_bytes(32, "big"))
     storage_app_art = compute_storage_application_artifacts(
-        SparseStorageTree(), dedup_storage, g.cycles_per_storage_application)
+        pre_tree, dedup_storage, g.cycles_per_storage_application)
     counts = {
         BaseLayerCircuitType.MAIN_VM:
             (len(main_vm_art.instances) * g.cycles_per_vm_snapshot,
