@@ -11,19 +11,29 @@ Reported as trace cells/sec (rows x columns per second, warm) so runs at
 different shapes stay comparable; falls back to smaller shapes only if the
 full one cannot run (the fallback is visible in the metric name).
 
+Each shape runs in its OWN subprocess: a device OOM poisons the client
+process and can wedge the remote-TPU tunnel, so fallbacks must start from
+a clean runtime (and wait for the tunnel to heal first).
+
 vs_baseline: the reference publishes no numbers and its Rust toolchain is
 not present in this image (BASELINE.md); the anchor is a 60 s CPU proof of
 a 2^20x130 instance (2.3M cells/s) pending a measured run.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 CPU_ANCHOR_CELLS_PER_SEC = float((1 << 20) * 130) / 60.0
 SHAPES = [(20, 130), (19, 130), (18, 32)]  # preferred first
+_CHILD_TIMEOUT_S = 4200  # first-ever compile of a big shape is many minutes
 
 
-def _run(log_n: int, width: int):
+def _run_shape_inline(log_n: int, width: int):
+    """Child-process entry: prove the shape twice (compile+warm), print
+    the warm cells/s on the last stdout line."""
     from zkevm_harness_tpu.circuits import flagship as fl
     from zkevm_harness_tpu.prover import plonkish as pk
 
@@ -37,17 +47,43 @@ def _run(log_n: int, width: int):
     proof = pk.prove(ir, setup, witness, cfg)
     dt = time.time() - t0
     assert pk.verify(ir, setup.vk(), proof, cfg), "proof must verify"
-    return (1 << log_n) * width / dt
+    print(f"CELLS_PER_SEC {(1 << log_n) * width / dt}", flush=True)
+
+
+def _tunnel_ready(deadline_s: float = 900.0) -> bool:
+    """Probe the TPU with a tiny op until it responds (an OOM can wedge
+    the tunnel for minutes); each probe is its own subprocess."""
+    t0 = time.time()
+    while time.time() - t0 < deadline_s:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax,jax.numpy as jnp;print(int((jnp.arange(8)**2).sum()))"],
+            capture_output=True, timeout=180, text=True)
+        if r.returncode == 0 and "140" in r.stdout:
+            return True
+        time.sleep(30)
+    return False
 
 
 def main():
     last_err = None
-    for log_n, width in SHAPES:
+    for i, (log_n, width) in enumerate(SHAPES):
+        if i > 0 and not _tunnel_ready():
+            last_err = "tunnel did not heal after previous shape"
+            break
         try:
-            cells_per_sec = _run(log_n, width)
-        except Exception as e:  # device-memory flakiness insurance
-            last_err = e
+            r = subprocess.run(
+                [sys.executable, __file__, "--shape", str(log_n), str(width)],
+                capture_output=True, timeout=_CHILD_TIMEOUT_S, text=True)
+        except subprocess.TimeoutExpired as e:
+            last_err = f"shape 2^{log_n}x{width} timed out"
             continue
+        if r.returncode != 0:
+            last_err = (r.stdout + r.stderr).strip().splitlines()[-1:] or "?"
+            continue
+        line = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("CELLS_PER_SEC")][-1]
+        cells_per_sec = float(line.split()[1])
         print(json.dumps({
             "metric": f"plonkish_prove_cells_per_sec_w{width}_2e{log_n}",
             "value": round(cells_per_sec, 1),
@@ -60,4 +96,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--shape":
+        _run_shape_inline(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()

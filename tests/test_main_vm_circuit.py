@@ -93,9 +93,10 @@ def test_proves_and_verifies(rig):
     assert [int(v) for v in proof.public_inputs] == \
         [int(v) % pk.gl.P for v in expected]
     assert pk.verify(rig["ir"], rig["setup"].vk(), proof, CFG)
-    # tampered exit-pc PI must be rejected
+    # tampered exit-pc PI must be rejected (PI order: ch, 4 gammas, 4
+    # accumulator in/out pairs, depth in/out, pc in/out at 15/16, ...)
     pis = list(proof.public_inputs)
-    pis[11] = (int(pis[11]) + 1) % pk.gl.P
+    pis[16] = (int(pis[16]) + 1) % pk.gl.P
     bad = dc.replace(proof, public_inputs=tuple(pis))
     assert not pk.verify(rig["ir"], rig["setup"].vk(), bad, CFG)
 
@@ -127,3 +128,129 @@ def test_multi_instance_accumulators_chain():
         assert a.exit_pc == b.rows[0].pc
         assert a.exit_regs == b.rows[0].regs
     assert art.instances[-1].acc_out == art.final_accs
+
+
+# ---------------------------------------------------------------------------
+# Stage B: near-call/ret stack argument
+# ---------------------------------------------------------------------------
+
+CALL_BLOCK = [
+    isa.BinOp("add", I(1), I(2), dst=1),         # 0: r1 = 3
+    isa.NearCall(target=5, exception_handler=4), # 1: push (ret_pc=2)
+    isa.BinOp("add", R(2), I(0), dst=3),         # 2: resume: r3 = r2
+    isa.Ret(),                                   # 3: root ret (EXT)
+    isa.Ret(panic=True),                         # 4: handler (unused)
+    isa.BinOp("add", R(1), I(10), dst=2),        # 5: callee: r2 = 13
+    isa.NearCall(target=8, exception_handler=7), # 6: nested push
+    isa.Ret(),                                   # 7: resume: near ret
+    isa.Ret(),                                   # 8: inner: near ret
+]
+
+
+def _trace(block, cycle_limit=100):
+    tracer = WitnessTracer(5)
+    tools = ProvingToolset(
+        storage=InMemoryStorage(), memory=SimpleMemory(),
+        decommitter=SimpleDecommitter(), event_sink=InMemoryEventSink(),
+        precompiles=DefaultPrecompilesProcessor(), tracer=tracer,
+        geometry=testing_geometry())
+    vm = create_vm(tools, BlockProperties(block_number=1), 0xAA, code_page=0)
+    run_vm(vm, block, cycle_limit)
+    assert vm.finished
+    return tracer
+
+
+@pytest.fixture(scope="module")
+def call_rig():
+    tracer = _trace(CALL_BLOCK)
+    art = wmv.compute_main_vm_artifacts(tracer, GEO, capacity=GEO.n)
+    inst = art.instances[0]
+    ir = mvc.main_vm_ir(GEO)
+    setup = mvc.main_vm_setup(ir, GEO, CFG)
+    W = mvc.main_vm_witness(ir, GEO, inst)
+    return dict(art=art, inst=inst, ir=ir, setup=setup, W=W)
+
+
+def test_near_call_rows_and_depth(call_rig):
+    rows = call_rig["inst"].rows
+    ops = [r.op for r in rows]
+    assert ops == [mvc.OP_ADD, mvc.OP_NCALL, mvc.OP_ADD, mvc.OP_NCALL,
+                   mvc.OP_RET, mvc.OP_RET, mvc.OP_ADD, mvc.OP_EXT]
+    assert [r.depth for r in rows] == [0, 0, 1, 1, 2, 1, 0, 0]
+    # returns restored the pushed return points
+    assert rows[4].pop_ret_pc == 7 and rows[5].pop_ret_pc == 2
+    # the block is balanced: stack accumulator back to its seed
+    assert call_rig["art"].final_accs[3] == 1
+    assert call_rig["inst"].depth_out == 0
+
+
+def test_near_call_block_satisfies_and_proves(call_rig):
+    inst, ir, W = call_rig["inst"], call_rig["ir"], call_rig["W"]
+    Wint = np.asarray(W.lo, dtype=object) + \
+        (np.asarray(W.hi, dtype=object) << 32)
+    pis = mvc.expected_public_inputs(GEO, inst)
+    violations = satisfy.check_satisfied(
+        ir, Wint, mvc._const_rows(GEO).T,
+        pk.identity_permutation(ir.num_witness, GEO.n), pis)
+    assert violations == [], violations[:8]
+    proof = pk.prove(ir, call_rig["setup"], W, CFG)
+    assert pk.verify(ir, call_rig["setup"].vk(), proof, CFG)
+
+
+def test_forged_return_pc_unsatisfiable(call_rig):
+    """A RET that resumes at the wrong pc cannot satisfy the stack unfold:
+    the pinned pc_next diverges from the tuple the NCALL folded."""
+    inst, ir = call_rig["inst"], call_rig["ir"]
+    rows = [dc.replace(r) for r in inst.rows]
+    # claim the outer ret resumed at pc 3 instead of the pushed 2
+    rows[5] = dc.replace(rows[5], pop_ret_pc=3)
+    forged = dc.replace(inst, rows=rows)
+    W = mvc.main_vm_witness(ir, GEO, forged)
+    Wint = np.asarray(W.lo, dtype=object) + \
+        (np.asarray(W.hi, dtype=object) << 32)
+    pis = mvc.expected_public_inputs(GEO, forged)
+    violations = satisfy.check_satisfied(
+        ir, Wint, mvc._const_rows(GEO).T,
+        pk.identity_permutation(ir.num_witness, GEO.n), pis)
+    assert violations, "forged return pc must violate a constraint"
+    # and the honest-boundary stack PI cannot be met either: the unfold
+    # of a mismatched tuple drags the accumulator off its seed
+    assert wmv.replay_accumulators(GEO, forged)[3] != 1
+
+
+def test_panic_ret_resumes_at_handler():
+    block = [
+        isa.NearCall(target=3, exception_handler=2),  # 0
+        isa.Ret(),                                    # 1 (never: panic path)
+        isa.Ret(),                                    # 2 handler -> root ret
+        isa.Ret(panic=True),                          # 3 callee panics
+    ]
+    tracer = _trace(block)
+    art = wmv.compute_main_vm_artifacts(tracer, GEO, capacity=GEO.n)
+    rows = art.instances[0].rows
+    assert [r.op for r in rows] == [mvc.OP_NCALL, mvc.OP_RETP, mvc.OP_EXT]
+    assert rows[1].pop_handler == 2
+    assert art.final_accs[3] == 1
+    ir = mvc.main_vm_ir(GEO)
+    inst = art.instances[0]
+    W = mvc.main_vm_witness(ir, GEO, inst)
+    Wint = np.asarray(W.lo, dtype=object) + \
+        (np.asarray(W.hi, dtype=object) << 32)
+    violations = satisfy.check_satisfied(
+        ir, Wint, mvc._const_rows(GEO).T,
+        pk.identity_permutation(ir.num_witness, GEO.n),
+        mvc.expected_public_inputs(GEO, inst))
+    assert violations == [], violations[:8]
+
+
+def test_stack_chains_across_instances():
+    tracer = _trace(CALL_BLOCK)
+    art = wmv.compute_main_vm_artifacts(tracer, GEO, capacity=3)
+    assert len(art.instances) == 3
+    # instance 1 starts mid-call: nonzero depth and a mid-fold stack acc
+    assert art.instances[1].depth_in == 1
+    assert art.instances[0].acc_out == art.instances[1].acc_in
+    # pops inside instance 1/2 unfold pushes from instance 0 via the
+    # scalar chain (modular-inverse unfolding, no saved-stack needed)
+    assert art.instances[-1].depth_out == 0
+    assert art.final_accs[3] == 1

@@ -149,10 +149,11 @@ def test_far_call_decommits_and_returns():
 
 def test_far_call_to_undeployed_fails():
     import pytest
+    from zkevm_harness_tpu.vm.interpreter import VmPanic, run_vm
+    # a root-frame far call to an undeployed address panics the VM
     code = [isa.FarCall(I(0xCC), 1), isa.Ret()]
     vm, tracer, tools = make_vm()
-    from zkevm_harness_tpu.vm.interpreter import run_vm
-    with pytest.raises(AssertionError):
+    with pytest.raises(VmPanic):
         run_vm(vm, code, 100)
 
 

@@ -21,14 +21,27 @@ the structured ISA (vm/interpreter.py), one ROW per cycle:
     accumulator over the decoded fields (pc, opcode id, operand selectors,
     immediates, jump target) — challenge-after-commit over the traced
     instruction stream;
-  - remaining opcodes (calls/ret/ptr ops/other BinOps) are EXT rows this
+  - NEAR-CALL/RET are proven via a fold/unfold STACK ACCUMULATOR (stage
+    B): an NCALL row folds <return pc, handler, depth> into AS under a
+    Fiat-Shamir gamma; every row that pops a local frame must unfold the
+    matching tuple (AS = AS'*gamma + tuple), with RET pinning the next pc
+    to the restored return point and RETP (panic) to the popped frame's
+    handler. The block-level balance requirement (AS back to its seed,
+    depth to 0 — asserted by the decomposer and exposed through the
+    boundary PIs) makes LIFO matching sound under Schwartz-Zippel; depth
+    tags prevent cross-level matches. Panic unwinds from non-Ret rows
+    (ergs exhaustion, invalid opcode, kernel/pointer violations) unfold
+    through the same SPOP flag while staying EXT for pc semantics.
+    (Reference: the callstack sponge simulator, circuit_encodings
+    callstack_entry.rs:181 + callstack_handler.rs.)
+  - remaining opcodes (far calls/ptr ops/other BinOps) are EXT rows this
     round: they participate in the code fingerprint but leave pc/regs/
-    flags oracle-provided (the panic/callstack semantics are the next
-    increment; the reference stages its vm gates the same way —
-    capacity-first, opcode-set-growing);
-  - public inputs: challenges, the three accumulator boundaries, pc/ts
-    boundaries, validity, and the FULL register file at the first and
-    last row (the snapshot FSM binding of oracle.rs:1164-1420).
+    flags oracle-provided (the reference stages its vm gates the same
+    way — capacity-first, opcode-set-growing);
+  - public inputs: challenges, the four accumulator boundaries, depth
+    boundaries, pc/ts boundaries, validity, and the FULL register file at
+    the first and last row (the snapshot FSM binding of
+    oracle.rs:1164-1420).
 
 Geometry: tests run u8 limbs x 16 (u128 registers, 2^8 range table);
 production uses u16 x 16 (full u256) at 2^16+ rows.
@@ -47,11 +60,12 @@ from ..prover import plonkish as pk
 P = gl.P
 NREGS = 15
 
-# opcode classes (stage A)
+# opcode classes (stage A + stage B near-call/ret)
 OP_NOP, OP_ADD, OP_SUB, OP_JUMP, OP_JEQ = 0, 1, 2, 3, 4
 OP_HEAPW, OP_HEAPR, OP_STOW, OP_STOR = 5, 6, 7, 8
-OP_EVT, OP_EVTL1, OP_NCALL, OP_EXT = 9, 10, 11, 12
-NOPS = 13
+OP_EVT, OP_EVTL1, OP_NCALL = 9, 10, 11
+OP_RET, OP_RETP, OP_EXT = 12, 13, 14
+NOPS = 15
 _LOG_OPS = (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1)
 _MEM_OPS = (OP_HEAPW, OP_HEAPR)
 
@@ -93,6 +107,11 @@ def _cols(geo: VmGeometry) -> Dict[str, int]:
     reg("IMM0", NL)
     reg("IMM1", NL)
     reg("TGT", 1)
+    reg("HDL", 1)     # instruction handler field (NCALL; code-stream data)
+    reg("RPC", 1)     # pop hint: the pushed return pc
+    reg("PHD", 1)     # pop hint: the popped frame's handler
+    reg("SPOP", 1)    # this row pops a local frame (stack argument)
+    reg("DEPTH", 1)   # near-call stack depth entering the row
     reg("V0", NL)
     reg("V1", NL)
     reg("RES", NL)
@@ -104,9 +123,11 @@ def _cols(geo: VmGeometry) -> Dict[str, int]:
     reg("GC", 1)      # code gamma
     reg("GL", 1)      # log gamma
     reg("GM", 1)      # mem gamma
+    reg("GS", 1)      # stack gamma
     reg("AC", 1)      # code accumulator
     reg("AL", 1)      # log accumulator
     reg("AM", 1)      # mem accumulator
+    reg("AS", 1)      # near-call stack accumulator (fold/unfold)
     reg("V", 1)       # row validity
     off["_width"] = w
     return off
@@ -142,10 +163,17 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         v = W("V")
         ext = op[OP_EXT]
 
+        spop = W("SPOP")
+
         # --- booleanity ---------------------------------------------------
-        for b in (op + dst + s0 + s1 + [s0i, s1i, v, W("EQF"), W("LTF")]
+        for b in (op + dst + s0 + s1 + [s0i, s1i, v, W("EQF"), W("LTF"),
+                                        spop]
                   + [W("CAR", j) for j in range(NL)]):
             out.append(alg.sub(alg.mul(b, b), b))
+        # pop/push exclusivity + RET/RETP rows must pop
+        out.append(alg.mul(spop, op[OP_NCALL]))
+        out.append(alg.mul(op[OP_RET], _one_minus(alg, spop)))
+        out.append(alg.mul(op[OP_RETP], _one_minus(alg, spop)))
         # exactly one opcode on valid rows, none on padding
         ssum = op[0]
         for k in range(1, NOPS):
@@ -215,8 +243,8 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         # --- pc / ts chains -------------------------------------------------
         pc, tgt, eqf = W("PC"), W("TGT"), W("EQF")
         pc_seq = alg.add_int(pc, 1)
-        # near calls enter their target (the return point is the parent
-        # frame's pc+1, restored by the — still EXT — matching Ret)
+        # near calls enter their target; the matching RET restores the
+        # return point through the stack argument below
         s_jmp = alg.add(op[OP_JUMP], op[OP_NCALL])
         pc_next = alg.add(alg.mul(s_jmp, tgt),
                           alg.add(alg.mul(op[OP_JEQ],
@@ -227,8 +255,13 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
                                                      alg.add(s_jmp,
                                                              op[OP_JEQ])),
                                           pc_seq)))
+        # sequential chain applies to non-EXT, non-RET/RETP rows (pops pin
+        # pc_next through the stack unfold instead)
+        pc_chained = _one_minus(alg, alg.add(ext,
+                                             alg.add(op[OP_RET],
+                                                     op[OP_RETP])))
         out.append(alg.mul(notwrap, alg.mul(v, alg.mul(
-            notext, alg.sub(Wn("PC"), pc_next)))))
+            pc_chained, alg.sub(Wn("PC"), pc_next)))))
         # padding rows carry pc so the boundary PI is pinned
         out.append(alg.mul(notwrap, alg.mul(_one_minus(alg, v),
                                             alg.sub(Wn("PC"), pc))))
@@ -241,7 +274,7 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         pch = [W("PCH", j) for j in range(NPOW)]
         for j in range(NPOW):
             out.append(alg.sub(Wn("PCH", j), pch[j]))
-        for nm in ("GC", "GL", "GM"):
+        for nm in ("GC", "GL", "GM", "GS"):
             out.append(alg.sub(Wn(nm), W(nm)))
         for j in range(NPOW - 1):
             out.append(alg.mul(first, alg.sub(pch[j + 1],
@@ -273,7 +306,8 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
             s1id = alg.add(s1id, alg.mul_int(s1[i], i + 1))
         code_fields = ([W("PC"), opid,
                         alg.add(dstid, alg.mul_int(s0id, 16)),
-                        alg.add(s1id, alg.mul_int(W("TGT"), 32))]
+                        alg.add(s1id, alg.mul_int(W("TGT"), 32)),
+                        W("HDL")]
                        + [W("IMM0", j) for j in range(NL)]
                        + [W("IMM1", j) for j in range(NL)])
         horner(v, "AC", "GC", code_fields)
@@ -295,24 +329,66 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         mem_fields = ([op[OP_HEAPW], W("TS")]
                       + [W("V0", j) for j in range(NL)] + mem_value)
         horner(s_mem, "AM", "GM", mem_fields)
+
+        # --- near-call stack argument (fold/unfold accumulator) ------------
+        # push (NCALL): AS' = AS*GS + <ret_pc, handler, depth>; a pop row
+        # must UNFOLD the matching tuple: AS = AS'*GS + <RPC, HDL, depth'>.
+        # With the block-level balance requirement (AS returns to its seed,
+        # DEPTH to zero) this is sound LIFO matching under Schwartz-Zippel:
+        # mismatched tuples cannot cancel. RET pins pc' to the restored
+        # return point, RETP to the popped frame's handler. Depth tags make
+        # cross-level matches fail. (Reference: callstack as sponge-hashed
+        # simulator state, circuit_encodings callstack_entry.rs:181.)
+        push = op[OP_NCALL]
+        depth, depth_n = W("DEPTH"), Wn("DEPTH")
+        as_, as_n = W("AS"), Wn("AS")
+        gs = W("GS")
+        t_push = alg.add(alg.mul(pch[0], alg.add_int(pc, 1)),
+                         alg.add(alg.mul(pch[1], W("HDL")),
+                                 alg.mul(pch[2], depth)))
+        out.append(alg.mul(notwrap, alg.mul(push, alg.sub(
+            as_n, alg.add(alg.mul(as_, gs), t_push)))))
+        out.append(alg.mul(notwrap, alg.mul(push, alg.sub(
+            depth_n, alg.add_int(depth, 1)))))
+        t_pop = alg.add(alg.mul(pch[0], W("RPC")),
+                        alg.add(alg.mul(pch[1], W("PHD")),
+                                alg.mul(pch[2], depth_n)))
+        out.append(alg.mul(notwrap, alg.mul(spop, alg.sub(
+            as_, alg.add(alg.mul(as_n, gs), t_pop)))))
+        out.append(alg.mul(notwrap, alg.mul(spop, alg.sub(
+            alg.add_int(depth_n, 1), depth))))
+        keep_s = _one_minus(alg, alg.add(push, spop))
+        out.append(alg.mul(notwrap, alg.mul(keep_s, alg.sub(as_n, as_))))
+        out.append(alg.mul(notwrap, alg.mul(keep_s,
+                                            alg.sub(depth_n, depth))))
+        # pop pc semantics
+        out.append(alg.mul(notwrap, alg.mul(op[OP_RET],
+                                            alg.sub(Wn("PC"), W("RPC")))))
+        out.append(alg.mul(notwrap, alg.mul(op[OP_RETP],
+                                            alg.sub(Wn("PC"), W("PHD")))))
         return out
 
     n_constraints = (
-        (NOPS + 3 * NREGS + 5 + NL)      # booleans
+        (NOPS + 3 * NREGS + 6 + NL)      # booleans (+spop)
+        + 3                               # pop/push exclusivity
         + 1 + 3                           # op sum + selector sums
         + 2 * NL                          # muxes
         + 2 * NL                          # add/sub chains
         + 5                               # flags
         + NREGS * NL                      # writeback
         + 4                               # pc (+padding carry), ts, validity
-        + NPOW + 3 + (NPOW - 1)           # fp constancy + chain
-        + 6)                              # 3 accumulators x (update+carry)
+        + NPOW + 4 + (NPOW - 1)           # fp constancy (4 gammas) + chain
+        + 6                               # 3 accumulators x (update+carry)
+        + 8)                              # stack push/pop/carry + pop pc
 
     pis: List[Tuple[int, int]] = [
         (off["PCH"], 0), (off["GC"], 0), (off["GL"], 0), (off["GM"], 0),
+        (off["GS"], 0),
         (off["AC"], 0), (off["AC"], n - 1),
         (off["AL"], 0), (off["AL"], n - 1),
         (off["AM"], 0), (off["AM"], n - 1),
+        (off["AS"], 0), (off["AS"], n - 1),
+        (off["DEPTH"], 0), (off["DEPTH"], n - 1),
         (off["PC"], 0), (off["PC"], n - 1),
         (off["TS"], 0), (off["TS"], n - 1),
         (off["V"], 0),
@@ -378,27 +454,35 @@ def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
         W[off["PCH"] + j, :] = pw
         pw = pw * ch % P
     for nm, val in (("GC", inst.gamma_code), ("GL", inst.gamma_log),
-                    ("GM", inst.gamma_mem)):
+                    ("GM", inst.gamma_mem), ("GS", inst.gamma_stack)):
         W[off[nm], :] = int(val) % P
 
-    accs = [int(a) % P for a in inst.acc_in]  # code, log, mem
+    accs = [int(a) % P for a in inst.acc_in]  # code, log, mem, stack
     gammas = [int(inst.gamma_code) % P, int(inst.gamma_log) % P,
-              int(inst.gamma_mem) % P]
+              int(inst.gamma_mem) % P, int(inst.gamma_stack) % P]
+    gs_inv = pow(gammas[3], P - 2, P)
     pows = [int(v) for v in
             [pow(ch, j + 1, P) for j in range(NPOW)]]
 
-    def fold(which, fields):
+    def fields_fold(fields):
         t = 0
         for j, f in enumerate(fields):
             t = (t + pows[j] * (int(f) % P)) % P
-        accs[which] = (accs[which] * gammas[which] + t) % P
+        return t
 
+    def fold(which, fields):
+        accs[which] = (accs[which] * gammas[which]
+                       + fields_fold(fields)) % P
+
+    depth = int(inst.depth_in)
     rows = inst.rows
     assert len(rows) <= n
     for r in range(n):
         W[off["AC"], r] = accs[0]
         W[off["AL"], r] = accs[1]
         W[off["AM"], r] = accs[2]
+        W[off["AS"], r] = accs[3]
+        W[off["DEPTH"], r] = depth if r < len(rows) else inst.depth_out
         if r < len(rows):
             row = rows[r]
             for i in range(NREGS):
@@ -420,6 +504,10 @@ def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
                 elif kind == "reg" and val:
                     W[off[selnm] + val - 1, r] = 1
             W[off["TGT"], r] = row.tgt
+            W[off["HDL"], r] = row.handler
+            W[off["RPC"], r] = row.pop_ret_pc
+            W[off["PHD"], r] = row.pop_handler
+            W[off["SPOP"], r] = 1 if row.spop else 0
             v0 = row.v0 & ((1 << (NL * L)) - 1)
             v1 = row.v1 & ((1 << (NL * L)) - 1)
             W[off["V0"]:off["V0"] + NL, r] = _limbs(v0, NL, L)
@@ -453,7 +541,7 @@ def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
             imm0 = row.s0_val if row.s0_kind == "imm" else 0
             imm1 = row.s1_val if row.s1_kind == "imm" else 0
             code_fields = ([row.pc, opid, dstid + 16 * s0id,
-                            s1id + 32 * row.tgt]
+                            s1id + 32 * row.tgt, row.handler]
                            + _limbs(imm0, NL, L) + _limbs(imm1, NL, L))
             fold(0, code_fields)
             if row.op in (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1):
@@ -464,6 +552,13 @@ def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
                 value = res if row.op == OP_HEAPR else v1
                 fold(2, [1 if row.op == OP_HEAPW else 0, row.ts]
                      + _limbs(v0, NL, L) + _limbs(value, NL, L))
+            if row.op == OP_NCALL:
+                fold(3, [row.pc + 1, row.handler, depth])
+                depth += 1
+            elif row.spop:
+                depth -= 1
+                t = fields_fold([row.pop_ret_pc, row.pop_handler, depth])
+                accs[3] = (accs[3] - t) * gs_inv % P
         else:
             # padding: carry the exit state
             for i in range(NREGS):
@@ -482,9 +577,11 @@ def expected_public_inputs(geo: VmGeometry, inst) -> List[int]:
     NL, L = geo.num_limbs, geo.limb_bits
     acc_out = replay_accumulators(geo, inst)
     out = [int(inst.challenge) % P, int(inst.gamma_code) % P,
-           int(inst.gamma_log) % P, int(inst.gamma_mem) % P]
+           int(inst.gamma_log) % P, int(inst.gamma_mem) % P,
+           int(inst.gamma_stack) % P]
     for a_in, a_out in zip(inst.acc_in, acc_out):
         out += [int(a_in) % P, int(a_out) % P]
+    out += [int(inst.depth_in), int(inst.depth_out)]
     first = inst.rows[0] if inst.rows else None
     out += [first.pc if first else inst.exit_pc,
             inst.exit_pc,

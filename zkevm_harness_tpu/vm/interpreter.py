@@ -1,15 +1,22 @@
-"""Structured-ISA interpreter for the out-of-circuit zkEVM.
+"""Interpreter for the out-of-circuit zkEVM, executing BINARY bytecode.
 
 Executes the instruction set in vm/isa.py against VmState, recording every
 memory/log/decommit/precompile query through the witness tracer — the role of
 the reference's cycle loop `vm.cycle(&mut tracer)` (src/external_calls.rs:192-208
 driving zk_evm, SURVEY L0/stack 3.2).
 
-Round-1 scope: a structured instruction object per code slot (the binary
-EraVM ISA decoder is the planned native component). Covered semantics:
-arithmetic + flags, heap read/write, storage read/write with refunds,
-events/L1 messages, near calls with frame rollback on panic, ret/panic
-propagation, precompile calls.
+Code is REAL bytecode: deployed contracts are assembled into 256-bit words
+(vm/encoding.py), the decommitter hashes those words (the same versioned
+hash the code-decommitter circuit re-computes in-circuit), and far calls
+DECODE the decommitted words back into instructions — structured objects
+never travel with the code (parity with zk_evm's on-the-fly decode of
+zkevm-assembly output, src/tests/run_manually.rs:24,169).
+
+Covered semantics: arithmetic + flags (add/sub/mul/div/bitwise/shifts),
+heap read/write with heap-growth ergs, storage read/write with refunds,
+events/L1 messages (kernel-only), near/far calls with frame rollback on
+panic, ret/panic propagation, fat-pointer family (read/add/shrink/pack),
+context/meta reads, per-opcode ergs costs, invalid-opcode panic.
 """
 
 from __future__ import annotations
@@ -17,7 +24,7 @@ from __future__ import annotations
 from typing import List, Optional
 
 from ..witness.tracer import WitnessTracer
-from ..vm import isa
+from ..vm import encoding, isa
 from ..vm.environment import (AUX_BYTE_EVENT, AUX_BYTE_L1_MESSAGE,
                               AUX_BYTE_PRECOMPILE, AUX_BYTE_STORAGE,
                               LogQuery, MemoryLocation, MemoryQuery)
@@ -38,35 +45,51 @@ def unpack_fat_pointer(value: int):
         value & 0xFFFFFFFF
 
 
-ERGS_PER_CYCLE = 1  # flat per-cycle cost (per-opcode table comes with the
-# binary ISA decoder)
+# Per-opcode ergs (zk_evm's opcode price table role; values are this VM's
+# calibration, not the reference's — the shape is what matters: storage
+# and frame-switching ops are priced above ALU ops, heap growth is paid
+# per fresh word below).
+ERGS_PER_CYCLE = 1  # base decode/issue cost, every cycle
+ERGS_COSTS = {
+    isa.StorageWrite: 10, isa.StorageRead: 4,
+    isa.Event: 5, isa.FarCall: 20, isa.FarCallData: 20,
+    isa.NearCall: 5, isa.Precompile: 10,
+}
+HEAP_GROWTH_ERGS_PER_WORD = 1
+
+KERNEL_SPACE_BOUND = 1 << 16  # addresses below run in kernel mode (EraVM)
 DEPLOYER_ADDRESS = 0x8002_0000  # address -> code-hash mapping lives here
-CODE_STORE: dict = {}  # code page id -> instruction list (structured ISA)
-_CONTRACT_CODE: dict = {}  # code hash -> instruction list
+CODE_STORE: dict = {}  # code page id -> decoded instruction list (cache)
 
 
 def deploy_contract(tools, address: int, instructions) -> int:
     """Predeploy a contract (save_predeployed_contracts parity,
-    src/tests/mod.rs:38-96): register its bytecode with the decommitter,
-    record the versioned hash in the deployer mapping, and stash the
-    structured instructions for execution after decommit. Returns the hash."""
+    src/tests/mod.rs:38-96): assemble the instructions into binary
+    bytecode words, register those words with the decommitter, and record
+    the versioned hash in the deployer mapping. Returns the hash. The
+    words ARE the code — execution decodes them after decommit."""
     from ..witness.decommitter import bytecode_hash
-    words = [i for i in range(len(instructions))]  # placeholder encoding
+    words = encoding.assemble(instructions)
     code_hash = bytecode_hash(words)
     tools.decommitter.populate([(code_hash, words)])
     tools.storage.write(0, DEPLOYER_ADDRESS, address, code_hash)
-    _CONTRACT_CODE[code_hash] = list(instructions)
     return code_hash
 
 
-def run_vm(vm: VmState, code: List[isa.Instruction], cycle_limit: int) -> int:
+def run_vm(vm: VmState, code: List[isa.Instruction], cycle_limit: int,
+           strict_kernel: bool = False) -> int:
     """Run until root frame returns or the cycle limit hits. Returns cycles.
 
-    `code` is the entry contract's instruction list (page 0); far-called
-    contracts' instructions come from CODE_STORE via their decommitted page.
+    `code` is the entry contract's instruction list (page 0) — it is
+    round-tripped through the binary encoding so execution always flows
+    through decoded bytecode; far-called contracts' code is decoded from
+    their decommitted words. `strict_kernel` enforces kernel-only opcodes
+    (events/L1 messages/precompiles — kernel_ops.rs semantics).
     """
     tracer: WitnessTracer = vm.tools.tracer
-    CODE_STORE[vm.frame.code_page] = list(code)
+    vm.strict_kernel = strict_kernel
+    CODE_STORE[vm.frame.code_page] = encoding.disassemble(
+        encoding.assemble(code))
     for _ in range(cycle_limit):
         if vm.finished:
             break
@@ -76,24 +99,40 @@ def run_vm(vm: VmState, code: List[isa.Instruction], cycle_limit: int) -> int:
         page_code = CODE_STORE[vm.frame.code_page]
         assert 0 <= pc < len(page_code), f"pc {pc} out of code"
         instr = page_code[pc]
-        # ergs metering: every cycle costs ERGS_PER_CYCLE; running dry inside
+        # ergs metering: base cost + per-opcode price; running dry inside
         # a call frame panics to the handler (limited_ergs.rs semantics)
-        if vm.frame.ergs_remaining < ERGS_PER_CYCLE:
-            if len(vm.callstack) == 1:
-                raise VmPanic("root frame out of ergs")
-            popped = vm.callstack.pop()
-            vm.tools.storage.finish_frame(True)
-            vm.tools.event_sink.finish_frame(True)
-            tracer.finish_execution_context(cycle, True)
-            vm.frame.pc = popped.exception_handler
+        cost = ERGS_PER_CYCLE + ERGS_COSTS.get(type(instr), 0)
+        if vm.frame.ergs_remaining < cost:
+            _unwind_panic(vm, cycle, "out of ergs")
         else:
-            vm.frame.ergs_remaining -= ERGS_PER_CYCLE
+            vm.frame.ergs_remaining -= cost
             tracer.add_execution_record(cycle, instr)
-            _execute(vm, instr, cycle)
+            try:
+                _execute(vm, instr, cycle)
+            except _SoftPanic as e:
+                _unwind_panic(vm, cycle, str(e))
         vm.monotonic_cycle_counter += 1
         vm.timestamp += 2  # each cycle opens a fresh timestamp pair
     tracer.record_final_state(_snapshot_repr(vm))
     return vm.monotonic_cycle_counter
+
+
+class _SoftPanic(Exception):
+    """In-VM panic: unwinds the current frame to its exception handler
+    (invalid opcode, fat-pointer violation, kernel-mode violation)."""
+
+
+def _unwind_panic(vm: VmState, cycle: int, reason: str):
+    """Pop the current frame with rollback; root-frame panics abort."""
+    if len(vm.callstack) == 1:
+        raise VmPanic(f"root frame panicked: {reason}")
+    popped = vm.callstack.pop()
+    vm.tools.storage.finish_frame(True)
+    vm.tools.event_sink.finish_frame(True)
+    vm.tools.tracer.finish_execution_context(cycle, True, frame_info={
+        "is_local": popped.is_local_call, "ret_pc": vm.frame.pc,
+        "handler": popped.exception_handler})
+    vm.frame.pc = popped.exception_handler
 
 
 def _snapshot_repr(vm: VmState):
@@ -113,12 +152,77 @@ def _val(vm: VmState, op: isa.Operand) -> int:
     return vm.reg_read(op.value).value
 
 
+def _require_kernel(vm: VmState, what: str):
+    """Kernel-only opcode gate (simple_tests/kernel_ops.rs semantics);
+    enforced when the VM runs with strict_kernel=True."""
+    if getattr(vm, "strict_kernel", False) and not vm.frame.is_kernel_mode:
+        raise _SoftPanic(f"{what} outside kernel mode")
+
+
+def _charge_heap_growth(vm: VmState, addr: int):
+    """Heap accesses past the frame's current bound pay growth ergs
+    (memory_growth.rs semantics); running dry mid-growth panics."""
+    f = vm.frame
+    if addr >= f.heap_bound:
+        grow = addr + 1 - f.heap_bound
+        cost = grow * HEAP_GROWTH_ERGS_PER_WORD
+        if f.ergs_remaining < cost:
+            raise _SoftPanic("out of ergs growing the heap")
+        f.ergs_remaining -= cost
+        f.heap_bound = addr + 1
+
+
 def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
     tracer: WitnessTracer = vm.tools.tracer
     mem = vm.tools.memory
     f = vm.frame
 
     if isinstance(instr, isa.Nop):
+        f.pc += 1
+
+    elif isinstance(instr, isa.Invalid):
+        # zero-padding slot: executing it is a frame panic (EraVM invalid
+        # opcode / jump-past-code semantics)
+        raise _SoftPanic("invalid opcode")
+
+    elif isinstance(instr, isa.Div):
+        a = _val(vm, instr.src0)
+        b = _val(vm, instr.src1)
+        if b == 0:
+            q = r = 0
+            vm.flags.eq = True
+            vm.flags.lt = vm.flags.gt = False
+        else:
+            q, r = divmod(a, b)
+            vm.flags.eq = q == 0
+            vm.flags.lt = False
+            vm.flags.gt = r != 0
+        vm.reg_write(instr.dst_quot, q)
+        vm.reg_write(instr.dst_rem, r)
+        f.pc += 1
+
+    elif isinstance(instr, isa.Context):
+        field = instr.field
+        if field == encoding.CTX_THIS:
+            v = f.this_address
+        elif field == encoding.CTX_SENDER:
+            v = f.msg_sender
+        elif field == encoding.CTX_CODE_ADDRESS:
+            v = f.code_address
+        elif field == encoding.CTX_ERGS_LEFT:
+            v = f.ergs_remaining
+        elif field == encoding.CTX_U128:
+            v = f.context_u128
+        elif field == encoding.CTX_SP:
+            v = f.sp
+        elif field == encoding.CTX_META:
+            # meta word: heap bound | aux heap bound | tx number | kernel
+            v = (f.heap_bound | (f.aux_heap_bound << 32)
+                 | (vm.tx_number_in_block << 64)
+                 | ((1 if f.is_kernel_mode else 0) << 96))
+        else:
+            raise _SoftPanic(f"unknown context field {field}")
+        vm.reg_write(instr.dst, v)
         f.pc += 1
 
     elif isinstance(instr, isa.BinOp):
@@ -160,6 +264,7 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
         addr = _val(vm, instr.addr)
         value = _val(vm, instr.src)
         page = f.base_memory_page
+        _charge_heap_growth(vm, addr)
         mem.write(page, addr, value)
         tracer.add_memory_query(cycle, MemoryQuery(
             vm.timestamp, MemoryLocation(page, addr), value, rw_flag=True))
@@ -168,6 +273,7 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
     elif isinstance(instr, isa.HeapRead):
         addr = _val(vm, instr.addr)
         page = f.base_memory_page
+        _charge_heap_growth(vm, addr)
         value, is_ptr = mem.read(page, addr)
         tracer.add_memory_query(cycle, MemoryQuery(
             vm.timestamp, MemoryLocation(page, addr), value, rw_flag=False,
@@ -195,6 +301,7 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
         f.pc += 1
 
     elif isinstance(instr, isa.Event):
+        _require_kernel(vm, "event")
         q = LogQuery(vm.timestamp, vm.tx_number_in_block,
                      AUX_BYTE_L1_MESSAGE if instr.to_l1 else AUX_BYTE_EVENT,
                      0, f.this_address, _val(vm, instr.key),
@@ -228,7 +335,9 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
         popped = vm.callstack.pop()
         vm.tools.storage.finish_frame(panicked)
         vm.tools.event_sink.finish_frame(panicked)
-        tracer.finish_execution_context(cycle, panicked)
+        tracer.finish_execution_context(cycle, panicked, frame_info={
+            "is_local": popped.is_local_call, "ret_pc": vm.frame.pc,
+            "handler": popped.exception_handler})
         if panicked:
             # resume the parent at the handler the popped frame recorded
             vm.frame.pc = popped.exception_handler
@@ -240,7 +349,8 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
 
     elif isinstance(instr, isa.PtrRead):
         reg = vm.reg_read(instr.ptr)
-        assert reg.is_pointer, "PtrRead through a non-pointer register"
+        if not reg.is_pointer:
+            raise _SoftPanic("PtrRead through a non-pointer register")
         page, start, length = unpack_fat_pointer(reg.value)
         off = _val(vm, instr.offset)
         if off < length:
@@ -253,6 +363,48 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
         vm.reg_write(instr.dst, value)
         f.pc += 1
 
+    elif isinstance(instr, isa.PtrAdd):
+        reg = vm.reg_read(instr.ptr)
+        if not reg.is_pointer:
+            raise _SoftPanic("PtrAdd on a non-pointer register")
+        page, start, length = unpack_fat_pointer(reg.value)
+        delta = _val(vm, instr.delta)
+        if delta > length:
+            raise _SoftPanic("PtrAdd advances past the pointer bound")
+        high = reg.value >> 128  # preserve packed metadata
+        vm.reg_write(instr.dst,
+                     (high << 128) | pack_fat_pointer(
+                         page, start + delta, length - delta),
+                     is_pointer=True)
+        f.pc += 1
+
+    elif isinstance(instr, isa.PtrShrink):
+        reg = vm.reg_read(instr.ptr)
+        if not reg.is_pointer:
+            raise _SoftPanic("PtrShrink on a non-pointer register")
+        page, start, length = unpack_fat_pointer(reg.value)
+        delta = _val(vm, instr.delta)
+        if delta > length:
+            raise _SoftPanic("PtrShrink underflows the pointer length")
+        high = reg.value >> 128
+        vm.reg_write(instr.dst,
+                     (high << 128) | pack_fat_pointer(
+                         page, start, length - delta),
+                     is_pointer=True)
+        f.pc += 1
+
+    elif isinstance(instr, isa.PtrPack):
+        reg = vm.reg_read(instr.ptr)
+        if not reg.is_pointer:
+            raise _SoftPanic("PtrPack on a non-pointer register")
+        high = _val(vm, instr.high)
+        if high & ((1 << 128) - 1):
+            raise _SoftPanic("PtrPack high half has low bits set")
+        vm.reg_write(instr.dst,
+                     high | (reg.value & ((1 << 128) - 1)),
+                     is_pointer=True)
+        f.pc += 1
+
     elif isinstance(instr, isa.FarCall):
         callee = _val(vm, instr.address)
         # deployer lookup: code hash for the callee address
@@ -261,11 +413,21 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
                      DEPLOYER_ADDRESS, callee, code_hash, code_hash,
                      rw_flag=False)
         tracer.add_log_query(cycle, q)
-        assert code_hash != 0, f"far call to undeployed address {callee:#x}"
-        dq, _words = vm.tools.decommitter.decommit(code_hash, mem, vm.timestamp)
+        if code_hash == 0:
+            raise _SoftPanic(f"far call to undeployed address {callee:#x}")
+        dq, words = vm.tools.decommitter.decommit(code_hash, mem,
+                                                  vm.timestamp)
         tracer.add_decommittment(
             cycle, dq, vm.tools.decommitter.known.get(code_hash))
-        CODE_STORE[dq.memory_page] = _CONTRACT_CODE[code_hash]
+        # execution decodes the DECOMMITTED bytecode words — the same words
+        # whose versioned hash the decommitter circuit proves in-circuit.
+        # Fresh decommits carry words (and overwrite any stale decode from
+        # a previous VM reusing the page id); repeated ones reuse the page
+        # this VM already decoded.
+        if words is not None:
+            CODE_STORE[dq.memory_page] = encoding.disassemble(words)
+        else:
+            assert dq.memory_page in CODE_STORE, "repeat decommit w/o code"
         heap_page = mem.new_page()
         new_frame = CallstackEntry(
             this_address=callee, msg_sender=f.this_address,
@@ -273,7 +435,7 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
             base_memory_page=heap_page, pc=0,
             exception_handler=instr.exception_handler,
             ergs_remaining=f.ergs_remaining, is_static=f.is_static,
-            is_kernel_mode=False, is_local_call=False,
+            is_kernel_mode=callee < KERNEL_SPACE_BOUND, is_local_call=False,
             context_u128=f.context_u128)
         f.pc += 1
         vm.callstack.append(new_frame)
@@ -286,6 +448,7 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
         tracer.start_new_execution_context(cycle)
 
     elif isinstance(instr, isa.Precompile):
+        _require_kernel(vm, "precompile call")
         if instr.data_words == 1:
             data = bytes(_val(vm, instr.data).to_bytes(32, "big"))
         else:

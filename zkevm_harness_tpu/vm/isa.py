@@ -143,3 +143,65 @@ class PtrRead(Instruction):
     ptr: int  # register holding the fat pointer
     offset: Operand
     dst: int
+
+
+@dataclasses.dataclass(frozen=True)
+class Invalid(Instruction):
+    """Zero-padding slot of the binary encoding; executing it panics
+    (EraVM invalid-opcode semantics, cf. simple_tests ptr_add.rs invalid
+    cases)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class Div(Instruction):
+    """Unsigned division: dst_quot = src0 / src1, dst_rem = src0 % src1.
+    Division by zero yields (0, 0) and sets the eq flag (EraVM div
+    semantics: the result is zeroed, flags mark the degenerate case)."""
+
+    src0: Operand
+    src1: Operand
+    dst_quot: int
+    dst_rem: int
+
+
+@dataclasses.dataclass(frozen=True)
+class PtrAdd(Instruction):
+    """Fat-pointer offset arithmetic (ptr_add family,
+    simple_tests/ptr_add.rs): dst = ptr with start advanced by `delta`
+    (and length shrunk); panics if `ptr` is not a pointer register or the
+    delta exceeds the remaining length."""
+
+    ptr: int
+    delta: Operand
+    dst: int
+
+
+@dataclasses.dataclass(frozen=True)
+class PtrShrink(Instruction):
+    """dst = ptr with length reduced by `delta` (panic on underflow)."""
+
+    ptr: int
+    delta: Operand
+    dst: int
+
+
+@dataclasses.dataclass(frozen=True)
+class PtrPack(Instruction):
+    """dst = ptr with the upper 128 bits replaced by `high`<<128 — the
+    EraVM ptr.pack used to smuggle metadata next to a pointer; the low
+    128 pointer bits must stay intact."""
+
+    ptr: int
+    high: Operand
+    dst: int
+
+
+@dataclasses.dataclass(frozen=True)
+class Context(Instruction):
+    """Read an execution-context field into a register (the zk_evm
+    context/meta opcode, simple_tests/context.rs): field ids in
+    vm/encoding.py (CTX_THIS, CTX_SENDER, CTX_CODE_ADDRESS,
+    CTX_ERGS_LEFT, CTX_U128, CTX_SP, CTX_META)."""
+
+    field: int
+    dst: int

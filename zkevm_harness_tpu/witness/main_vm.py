@@ -16,8 +16,9 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..circuits.main_vm_circuit import (NREGS, OP_ADD, OP_EVT, OP_EVTL1,
                                         OP_EXT, OP_HEAPR, OP_HEAPW, OP_JEQ,
-                                        OP_JUMP, OP_NCALL, OP_NOP, OP_STOR,
-                                        OP_STOW, OP_SUB, VmGeometry)
+                                        OP_JUMP, OP_NCALL, OP_NOP, OP_RET,
+                                        OP_RETP, OP_STOR, OP_STOW, OP_SUB,
+                                        VmGeometry)
 from ..ops import goldilocks as gl
 from ..vm import isa
 from .tracer import WitnessTracer
@@ -41,6 +42,11 @@ class VmRow:
     v0: int = 0
     v1: int = 0
     res: int = 0
+    handler: int = 0        # NCALL exception handler (instruction field)
+    spop: bool = False      # this row pops a local frame
+    pop_ret_pc: int = 0     # popped frame's pushed return pc
+    pop_handler: int = 0    # popped frame's exception handler
+    depth: int = 0          # near-call depth entering the row
 
 
 @dataclasses.dataclass
@@ -55,8 +61,11 @@ class VmCircuitInstance:
     gamma_code: int
     gamma_log: int
     gamma_mem: int
-    acc_in: Tuple[int, int, int]
-    acc_out: Tuple[int, int, int]
+    gamma_stack: int
+    acc_in: Tuple[int, int, int, int]
+    acc_out: Tuple[int, int, int, int]
+    depth_in: int = 0
+    depth_out: int = 0
 
 
 @dataclasses.dataclass
@@ -85,13 +94,35 @@ def decode_cycle_rows(tracer: WitnessTracer) -> List[VmRow]:
         if not q.rw_flag and not q.rollback:
             log_reads.setdefault(c, q.read_value)
     rows: List[VmRow] = []
+    near_depth = 0
     for cyc, state in enumerate(tracer.cycle_states):
         regs = [v for (v, _ptr) in state["registers"]]
         eqf, ltf, _ = state["flags"]
+        # near-call stack argument: any cycle that popped a LOCAL frame is
+        # a pop row (Ret instructions get proven pc semantics; other panic
+        # unwinds stay EXT but still unfold the stack accumulator)
+        pop = tracer.frame_pops.get(cyc)
+        local_pop = bool(pop and pop.get("is_local"))
         base = dict(pc=state["pc"], ts=state["timestamp"], regs=regs,
-                    flags=(bool(eqf), bool(ltf)))
+                    flags=(bool(eqf), bool(ltf)), depth=near_depth,
+                    spop=local_pop,
+                    pop_ret_pc=pop["ret_pc"] if local_pop else 0,
+                    pop_handler=pop["handler"] if local_pop else 0)
         instr = instrs.get(cyc)
         row = None
+        if local_pop:
+            near_depth -= 1
+        if isinstance(instr, isa.Ret) and local_pop:
+            rows.append(VmRow(
+                op=OP_RETP if pop["panicked"] else OP_RET, **base))
+            continue
+        if pop is not None and not isinstance(instr, isa.Ret):
+            # a panic unwind fired on this cycle (ergs metering, invalid
+            # opcode, kernel/pointer violation): the instruction's own
+            # side effects never executed — EXT row (the stack unfold
+            # still applies through spop for local frames)
+            rows.append(VmRow(op=OP_EXT, **base))
+            continue
         if isinstance(instr, isa.Nop):
             row = VmRow(op=OP_NOP, **base)
         elif isinstance(instr, isa.BinOp) and instr.op in ("add", "sub"):
@@ -125,7 +156,9 @@ def decode_cycle_rows(tracer: WitnessTracer) -> List[VmRow]:
             row = VmRow(op=OP_STOR, dst=int(instr.dst), s0_kind=k0,
                         s0_val=e0, v0=v0, res=log_reads.get(cyc, 0), **base)
         elif isinstance(instr, isa.NearCall):
-            row = VmRow(op=OP_NCALL, tgt=int(instr.target), **base)
+            row = VmRow(op=OP_NCALL, tgt=int(instr.target),
+                        handler=int(instr.exception_handler), **base)
+            near_depth += 1
         elif isinstance(instr, isa.Event):
             k0, e0, v0 = _operand(instr.key, regs)
             k1, e1, v1 = _operand(instr.value, regs)
@@ -161,7 +194,8 @@ def row_fingerprint_fields(geo: VmGeometry, row: VmRow):
             else (row.s1_val if row.s1_kind == "reg" else 0))
     imm0 = row.s0_val if row.s0_kind == "imm" else 0
     imm1 = row.s1_val if row.s1_kind == "imm" else 0
-    code = ([row.pc, opid, row.dst + 16 * s0id, s1id + 32 * row.tgt]
+    code = ([row.pc, opid, row.dst + 16 * s0id, s1id + 32 * row.tgt,
+             row.handler]
             + _limbs(imm0, NL, L) + _limbs(imm1, NL, L))
     log = mem = None
     if row.op in (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1):
@@ -176,14 +210,20 @@ def row_fingerprint_fields(geo: VmGeometry, row: VmRow):
 
 
 def replay_accumulators(geo: VmGeometry, inst: VmCircuitInstance
-                        ) -> Tuple[int, int, int]:
+                        ) -> Tuple[int, int, int, int]:
     NL = geo.num_limbs
     NPOW = 5 + 2 * NL
     ch = int(inst.challenge) % P
     pows = [pow(ch, j + 1, P) for j in range(NPOW)]
     accs = [int(a) % P for a in inst.acc_in]
     gammas = [int(inst.gamma_code) % P, int(inst.gamma_log) % P,
-              int(inst.gamma_mem) % P]
+              int(inst.gamma_mem) % P, int(inst.gamma_stack) % P]
+    gs_inv = pow(gammas[3], P - 2, P)
+
+    def tup_fold(fields):
+        return sum(pw * (int(f) % P) for pw, f in zip(pows, fields)) % P
+
+    depth = int(inst.depth_in)
     for row in inst.rows:
         code, log, mem = row_fingerprint_fields(geo, row)
         accs[0] = _fold(geo, accs[0], gammas[0], pows, code)
@@ -191,12 +231,21 @@ def replay_accumulators(geo: VmGeometry, inst: VmCircuitInstance
             accs[1] = _fold(geo, accs[1], gammas[1], pows, log)
         if mem is not None:
             accs[2] = _fold(geo, accs[2], gammas[2], pows, mem)
+        if row.op == OP_NCALL:
+            accs[3] = (accs[3] * gammas[3]
+                       + tup_fold([row.pc + 1, row.handler, depth])) % P
+            depth += 1
+        elif row.spop:
+            depth -= 1
+            t = tup_fold([row.pop_ret_pc, row.pop_handler, depth])
+            accs[3] = (accs[3] - t) * gs_inv % P
     return tuple(accs)
 
 
 def draw_vm_challenges(rows: Sequence[VmRow], geo: VmGeometry
-                       ) -> Tuple[int, int, int, int]:
-    """Fiat-Shamir challenges bound to the decoded cycle stream."""
+                       ) -> Tuple[int, int, int, int, int]:
+    """Fiat-Shamir challenges bound to the decoded cycle stream (including
+    the stack push/pop tuples the stack accumulator folds)."""
     from ..ops import poseidon2 as p2
     from ..prover.transcript import Transcript
     tr = Transcript(domain_tag=1)
@@ -207,22 +256,26 @@ def draw_vm_challenges(rows: Sequence[VmRow], geo: VmGeometry
         for extra in (log, mem):
             if extra is not None:
                 flat += [f % P for f in extra]
+        if row.spop:
+            flat += [1, row.pop_ret_pc % P, row.pop_handler % P,
+                     row.depth % P]
     digest = gl.to_ints(p2.hash_elements(gl.from_int(flat or [0])))
     tr.absorb_ints([int(v) for v in digest] + [len(rows)])
-    return (tr.challenge_base(), tr.challenge_base(),
+    return (tr.challenge_base(), tr.challenge_base(), tr.challenge_base(),
             tr.challenge_base(), tr.challenge_base())
 
 
 def compute_main_vm_artifacts(tracer: WitnessTracer, geo: VmGeometry,
                               capacity: int) -> VmCircuitArtifacts:
     rows = decode_cycle_rows(tracer)
-    ch, gc, glg, gm = draw_vm_challenges(rows, geo)
+    ch, gc, glg, gm, gst = draw_vm_challenges(rows, geo)
     chunks = [rows[i:i + capacity] for i in range(0, len(rows), capacity)] \
         or [[]]
     assert capacity <= geo.n, "instance capacity exceeds trace rows"
     fs = tracer.final_state
     instances: List[VmCircuitInstance] = []
-    accs = (1, 1, 1)
+    accs = (1, 1, 1, 1)
+    depth = 0
     for i, chunk in enumerate(chunks):
         nxt = (i + 1) * capacity
         if nxt < len(rows):
@@ -231,15 +284,25 @@ def compute_main_vm_artifacts(tracer: WitnessTracer, geo: VmGeometry,
             exit_state = fs
         exit_regs = [v for (v, _p) in exit_state["registers"]]
         eqf, ltf, _ = exit_state["flags"]
+        depth_out = depth + sum((1 if r.op == OP_NCALL else 0)
+                                - (1 if r.spop else 0) for r in chunk)
         inst = VmCircuitInstance(
             index=i, rows=list(chunk), exit_regs=exit_regs,
             exit_pc=exit_state["pc"], exit_ts=exit_state["timestamp"],
             exit_flags=(bool(eqf), bool(ltf)),
             challenge=ch, gamma_code=gc, gamma_log=glg, gamma_mem=gm,
-            acc_in=accs, acc_out=(0, 0, 0))
+            gamma_stack=gst, acc_in=accs, acc_out=(0, 0, 0, 0),
+            depth_in=depth, depth_out=depth_out)
         acc_out = replay_accumulators(geo, inst)
         inst.acc_out = acc_out
         accs = acc_out
+        depth = depth_out
         instances.append(inst)
+    # block-level balance: a finished block leaves the near-call stack
+    # empty, so the LIFO fold/unfold argument must return to its seed —
+    # THE soundness anchor for the per-row unfolds (mismatched tuples
+    # cannot cancel once the stack gamma is fixed by Fiat-Shamir)
+    assert depth == 0, "unbalanced near-call stack at block exit"
+    assert accs[3] == 1, "stack accumulator did not return to its seed"
     return VmCircuitArtifacts(instances=instances, challenge=ch,
-                              gammas=(gc, glg, gm), final_accs=accs)
+                              gammas=(gc, glg, gm, gst), final_accs=accs)

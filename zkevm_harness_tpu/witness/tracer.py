@@ -83,6 +83,9 @@ class WitnessTracer:
         self.callstack_with_aux_data = CallstackWithAuxData()
         self.vm_snapshots: List[VmSnapshot] = []
         self.cycle_counter = 0
+        # per-cycle frame-pop records for the MainVM stack argument:
+        # cycle -> {"panicked", "is_local", "ret_pc", "handler"}
+        self.frame_pops: Dict[int, dict] = {}
 
     # -- VmWitnessTracer surface (tracer.rs:221-407) -----------------------
 
@@ -130,8 +133,14 @@ class WitnessTracer:
     def start_new_execution_context(self, cycle: int):
         self.callstack_with_aux_data.push_frame()
 
-    def finish_execution_context(self, cycle: int, panicked: bool):
+    def finish_execution_context(self, cycle: int, panicked: bool,
+                                 frame_info: Optional[dict] = None):
+        """frame_info (when given) records the popped frame for the MainVM
+        near-call stack argument: is_local, the parent's resume pc, and the
+        popped frame's exception handler."""
         self.callstack_with_aux_data.pop_frame(cycle, panicked)
+        if frame_info is not None:
+            self.frame_pops[cycle] = dict(frame_info, panicked=panicked)
 
     # -- witness-side accessors -------------------------------------------
 
