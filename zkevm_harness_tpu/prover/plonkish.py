@@ -1363,10 +1363,10 @@ def _verify_inner(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
     return fri_verify(proof.fri, n_comm, shift, tr, fri_cfg, deep_at)
 
 
-def verify(*args, **kwargs) -> bool:
+def verify(*args, strict: bool = None, **kwargs) -> bool:
     """Structural-error-tolerant wrapper: a malformed proof (wrong lengths,
-    bad types, truncated openings) must REJECT, not crash the verifier."""
-    try:
-        return bool(_verify_inner(*args, **kwargs))
-    except (TypeError, ValueError, KeyError, IndexError, AssertionError):
-        return False
+    bad types, truncated openings) must REJECT, not crash the verifier.
+    `strict=True` (or env ZKEVM_VERIFY_STRICT=1) re-raises instead, so
+    internal invariant bugs cannot hide behind "proof rejected"."""
+    from .guard import tolerant_verify
+    return tolerant_verify(_verify_inner, *args, strict=strict, **kwargs)

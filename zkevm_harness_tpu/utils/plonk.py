@@ -366,7 +366,8 @@ def plonk_prove(setup: PlonkSetup, wire_values: Tuple[Sequence[int], ...],
 # Verifier
 # ---------------------------------------------------------------------------
 
-def plonk_verify(vk: PlonkVerificationKey, proof: PlonkProof) -> bool:
+def plonk_verify(vk: PlonkVerificationKey, proof: PlonkProof,
+                 strict: bool = None) -> bool:
     try:
         n = vk.n
         dom_omega = bn.fr_root_of_unity(n.bit_length() - 1)
@@ -440,5 +441,13 @@ def plonk_verify(vk: PlonkVerificationKey, proof: PlonkProof) -> bool:
                               proof.w_zeta_omega):
             return False
         return True
-    except (KeyError, TypeError, ValueError, IndexError):
+    except (KeyError, TypeError, ValueError, IndexError) as e:
+        # structural-error guard (prover/guard.py): reject malformed proofs
+        # observably; strict mode re-raises so internal bugs surface.
+        from ..prover import guard
+        from . import tracing
+        if guard.strict_default() if strict is None else strict:
+            raise
+        tracing.count("verify_structural_reject")
+        tracing.count(f"verify_structural_reject/{type(e).__name__}")
         return False
