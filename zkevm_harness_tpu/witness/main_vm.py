@@ -265,6 +265,91 @@ def draw_vm_challenges(rows: Sequence[VmRow], geo: VmGeometry
             tr.challenge_base(), tr.challenge_base())
 
 
+def crosscheck_query_binding(tracer: WitnessTracer, geo: VmGeometry,
+                             art: "VmCircuitArtifacts") -> None:
+    """Cross-circuit binding check: the host half of the scheduler glue.
+
+    The MainVM circuit proves Horner accumulators over the log/memory side
+    effects of the cycles it executes, while the RAM-permutation circuit
+    consumes `tracer.memory_queries` and the log-demuxer the forward log
+    queue. This re-derives the MainVM accumulator boundary PIs FROM THE
+    TRACED QUERY OBJECTS (never from the VmRow payloads) and asserts the
+    per-instance chain matches, so a MainVM proof cannot bind a different
+    (timestamp, key/address, written-value) stream than the queue circuits
+    prove over. Read VALUES are oracle-provided by construction — their
+    consistency is exactly what the RAM-permutation/storage-sorter circuits
+    establish; everything else (op kind, timestamp, address/key, written
+    value) must agree between the two derivations or this raises.
+    (Reference: closed-form-input observable queue states cross-checked by
+    the scheduler, src/witness/oracle.rs:185-206 + recursion_layer/
+    scheduler.rs; MainVM's EXT rows — fat-pointer and precompile reads —
+    are outside stage-A/B scope and excluded on both sides.)
+    """
+    from ..vm.environment import AUX_BYTE_EVENT, AUX_BYTE_L1_MESSAGE
+    NL, L = geo.num_limbs, geo.limb_bits
+    NPOW = 5 + 2 * NL
+    ch = int(art.challenge) % P
+    pows = [pow(ch, j + 1, P) for j in range(NPOW)]
+    _, g_log, g_mem, _ = (int(g) % P for g in art.gammas)
+
+    mem_by_cycle: Dict[int, List] = {}
+    for c, q in tracer.memory_queries:
+        mem_by_cycle.setdefault(c, []).append(q)
+    log_by_cycle: Dict[int, List] = {}
+    for c, q in tracer.callstack_with_aux_data.forward:
+        if not q.rollback:
+            log_by_cycle.setdefault(c, []).append(q)
+
+    def fold(acc: int, gamma: int, fields: Sequence[int]) -> int:
+        t = 0
+        for pw, f in zip(pows, fields):
+            t = (t + pw * (int(f) % P)) % P
+        return (acc * gamma + t) % P
+
+    acc_log = acc_mem = 1
+    cycle = 0
+    for inst in art.instances:
+        assert (acc_log, acc_mem) == (int(inst.acc_in[1]) % P,
+                                      int(inst.acc_in[2]) % P), \
+            "instance accumulator chain diverged from the traced queues"
+        for row in inst.rows:
+            if row.op in (OP_HEAPW, OP_HEAPR):
+                qs = mem_by_cycle.get(cycle, [])
+                assert len(qs) == 1, \
+                    f"cycle {cycle}: heap op must trace exactly one query"
+                q = qs[0]
+                assert bool(q.rw_flag) == (row.op == OP_HEAPW), \
+                    f"cycle {cycle}: rw flag mismatch vs traced query"
+                acc_mem = fold(acc_mem, g_mem,
+                               [1 if q.rw_flag else 0, q.timestamp]
+                               + _limbs(q.location.index, NL, L)
+                               + _limbs(q.value, NL, L))
+            elif row.op in (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1):
+                qs = log_by_cycle.get(cycle, [])
+                assert len(qs) == 1, \
+                    f"cycle {cycle}: log op must trace exactly one query"
+                q = qs[0]
+                if q.aux_byte == AUX_BYTE_EVENT:
+                    opid, value = OP_EVT + 1, q.written_value
+                elif q.aux_byte == AUX_BYTE_L1_MESSAGE:
+                    opid, value = OP_EVTL1 + 1, q.written_value
+                elif q.rw_flag:
+                    opid, value = OP_STOW + 1, q.written_value
+                else:
+                    opid, value = OP_STOR + 1, q.read_value
+                assert opid == row.op + 1, \
+                    f"cycle {cycle}: op kind mismatch vs traced query"
+                acc_log = fold(acc_log, g_log,
+                               [opid, q.timestamp] + _limbs(q.key, NL, L)
+                               + _limbs(value, NL, L))
+            cycle += 1
+        assert (acc_log, acc_mem) == (int(inst.acc_out[1]) % P,
+                                      int(inst.acc_out[2]) % P), \
+            "MainVM accumulator PIs do not bind the traced query stream"
+    assert (acc_log, acc_mem) == (int(art.final_accs[1]) % P,
+                                  int(art.final_accs[2]) % P)
+
+
 def compute_main_vm_artifacts(tracer: WitnessTracer, geo: VmGeometry,
                               capacity: int) -> VmCircuitArtifacts:
     rows = decode_cycle_rows(tracer)

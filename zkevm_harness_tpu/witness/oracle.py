@@ -183,9 +183,14 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
         tracer.decommitted_bytecodes)
     from ..prover.layers import main_vm_geometry_for_capacity
     from ..witness.main_vm import compute_main_vm_artifacts
-    main_vm_art = compute_main_vm_artifacts(
-        tracer, main_vm_geometry_for_capacity(g.cycles_per_vm_snapshot),
-        g.cycles_per_vm_snapshot)
+    from ..witness.main_vm import crosscheck_query_binding
+    _vm_geo = main_vm_geometry_for_capacity(g.cycles_per_vm_snapshot)
+    main_vm_art = compute_main_vm_artifacts(tracer, _vm_geo,
+                                            g.cycles_per_vm_snapshot)
+    # cross-circuit glue: the MainVM accumulator PIs must re-derive from the
+    # SAME traced query objects the RAM-permutation / log-demux circuits
+    # consume (witness/main_vm.crosscheck_query_binding docstring)
+    crosscheck_query_binding(tracer, _vm_geo, main_vm_art)
     from ..witness.ecrecover_witness import ecrecover_decompose
     ecrecover_art = ecrecover_decompose(
         [data for (_, q, data, _r) in tracer.precompile_calls
