@@ -59,10 +59,16 @@ def _tunnel_ready(deadline_s: float = 900.0) -> bool:
     the tunnel for minutes); each probe is its own subprocess."""
     t0 = time.time()
     while time.time() - t0 < deadline_s:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax,jax.numpy as jnp;print(int((jnp.arange(8)**2).sum()))"],
-            capture_output=True, timeout=180, text=True)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax,jax.numpy as jnp;print(int((jnp.arange(8)**2).sum()))"],
+                capture_output=True, timeout=180, text=True)
+        except subprocess.TimeoutExpired:
+            # a wedged tunnel hangs the probe — that's a failed probe, not a
+            # crash (round-2 bench died here: BENCH_r02.json rc=1)
+            time.sleep(30)
+            continue
         if r.returncode == 0 and "140" in r.stdout:
             return True
         time.sleep(30)

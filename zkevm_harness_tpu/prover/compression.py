@@ -11,11 +11,11 @@ Parity with src/proof_wrapper_utils/ (SURVEY L6, components 14-15):
   - `compress_stark_pi_to_snark_pi`: pack the 4 Goldilocks scheduler public
     inputs into one BN254 Fr as 56-bit chunks, high PI first (utils.rs:24-49).
 
-The per-mode compression circuits themselves are instances of the PLONKish
-engine verifying the previous layer's FRI proof in-circuit; until the
-verifier gadget lands, `prove_fn`/`verify_fn` are injected (the tests use
-model provers, the same way the reference tests use DevCSConfig
-satisfiability-only runs before real proving).
+The per-mode compression circuits are real in-circuit verifiers of the
+previous layer's FRI proof (prover/layers.py CompressionChain, built on
+circuits/verifier_circuit.py); `prove_fn`/`verify_fn` stay injectable so the
+orchestration can also run under satisfiability-only model provers, the same
+way the reference tests use DevCSConfig runs before real proving.
 """
 
 from __future__ import annotations

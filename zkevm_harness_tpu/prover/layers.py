@@ -1060,8 +1060,8 @@ def prove_leaf_queue_segment(task, cfg: Optional[pk.PlonkishConfig] = None):
 
     Requires a power-of-two item count (full ARITY chunks in production; the
     remainder chunk keeps metadata-only until selector-gated absorption
-    lands). The in-circuit verification of the 32 child proofs is the next
-    recursion increment (verifier gadget).
+    lands). This is the queue-statement HALF of a leaf only: the full leaf —
+    in-circuit verification of the child proofs — is circuits/leaf_circuit.py.
     """
     k = len(task.encodings)
     assert k >= 1 and k & (k - 1) == 0, "segment length must be a power of two"

@@ -279,7 +279,16 @@ def crosscheck_query_binding(tracer: WitnessTracer, geo: VmGeometry,
     prove over. Read VALUES are oracle-provided by construction — their
     consistency is exactly what the RAM-permutation/storage-sorter circuits
     establish; everything else (op kind, timestamp, address/key, written
-    value) must agree between the two derivations or this raises.
+    value) must agree between the two derivations or this raises ValueError
+    (explicit raise, not assert: the check must survive `python -O`).
+
+    LIMITATION: the fold binds (op/rw, timestamp, index/key, value) but NOT
+    location.page / log address / shard / tx_number — those are outside the
+    MainVM fingerprint today. Soundness therefore rests on the
+    constant-context invariant, enforced here: every folded heap query lives
+    on ONE memory page and every folded log query targets ONE
+    (address, shard, tx) context; a stream mixing contexts is rejected
+    rather than silently half-bound.
     (Reference: closed-form-input observable queue states cross-checked by
     the scheduler, src/witness/oracle.rs:185-206 + recursion_layer/
     scheduler.rs; MainVM's EXT rows — fat-pointer and precompile reads —
@@ -306,29 +315,49 @@ def crosscheck_query_binding(tracer: WitnessTracer, geo: VmGeometry,
             t = (t + pw * (int(f) % P)) % P
         return (acc * gamma + t) % P
 
+    def _req(cond: bool, msg: str) -> None:
+        if not cond:
+            raise ValueError(f"cross-binding check failed: {msg}")
+
     acc_log = acc_mem = 1
     cycle = 0
+    heap_page = None      # constant-context invariant (see docstring)
+    log_context = None
     for inst in art.instances:
-        assert (acc_log, acc_mem) == (int(inst.acc_in[1]) % P,
-                                      int(inst.acc_in[2]) % P), \
-            "instance accumulator chain diverged from the traced queues"
+        _req((acc_log, acc_mem) == (int(inst.acc_in[1]) % P,
+                                    int(inst.acc_in[2]) % P),
+             "instance accumulator chain diverged from the traced queues")
         for row in inst.rows:
             if row.op in (OP_HEAPW, OP_HEAPR):
                 qs = mem_by_cycle.get(cycle, [])
-                assert len(qs) == 1, \
-                    f"cycle {cycle}: heap op must trace exactly one query"
+                _req(len(qs) == 1,
+                     f"cycle {cycle}: heap op must trace exactly one query")
                 q = qs[0]
-                assert bool(q.rw_flag) == (row.op == OP_HEAPW), \
-                    f"cycle {cycle}: rw flag mismatch vs traced query"
+                _req(bool(q.rw_flag) == (row.op == OP_HEAPW),
+                     f"cycle {cycle}: rw flag mismatch vs traced query")
+                if heap_page is None:
+                    heap_page = int(q.location.page)
+                _req(int(q.location.page) == heap_page,
+                     f"cycle {cycle}: heap query on page {q.location.page} "
+                     f"!= {heap_page} — multi-context heap streams are not "
+                     "bound by the page-less MainVM fingerprint")
                 acc_mem = fold(acc_mem, g_mem,
                                [1 if q.rw_flag else 0, q.timestamp]
                                + _limbs(q.location.index, NL, L)
                                + _limbs(q.value, NL, L))
             elif row.op in (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1):
                 qs = log_by_cycle.get(cycle, [])
-                assert len(qs) == 1, \
-                    f"cycle {cycle}: log op must trace exactly one query"
+                _req(len(qs) == 1,
+                     f"cycle {cycle}: log op must trace exactly one query")
                 q = qs[0]
+                ctx = (int(q.address), int(q.shard_id),
+                       int(q.tx_number_in_block))
+                if log_context is None:
+                    log_context = ctx
+                _req(ctx == log_context,
+                     f"cycle {cycle}: log query context {ctx} != "
+                     f"{log_context} — multi-context log streams are not "
+                     "bound by the address-less MainVM fingerprint")
                 if q.aux_byte == AUX_BYTE_EVENT:
                     opid, value = OP_EVT + 1, q.written_value
                 elif q.aux_byte == AUX_BYTE_L1_MESSAGE:
@@ -337,17 +366,18 @@ def crosscheck_query_binding(tracer: WitnessTracer, geo: VmGeometry,
                     opid, value = OP_STOW + 1, q.written_value
                 else:
                     opid, value = OP_STOR + 1, q.read_value
-                assert opid == row.op + 1, \
-                    f"cycle {cycle}: op kind mismatch vs traced query"
+                _req(opid == row.op + 1,
+                     f"cycle {cycle}: op kind mismatch vs traced query")
                 acc_log = fold(acc_log, g_log,
                                [opid, q.timestamp] + _limbs(q.key, NL, L)
                                + _limbs(value, NL, L))
             cycle += 1
-        assert (acc_log, acc_mem) == (int(inst.acc_out[1]) % P,
-                                      int(inst.acc_out[2]) % P), \
-            "MainVM accumulator PIs do not bind the traced query stream"
-    assert (acc_log, acc_mem) == (int(art.final_accs[1]) % P,
-                                  int(art.final_accs[2]) % P)
+        _req((acc_log, acc_mem) == (int(inst.acc_out[1]) % P,
+                                    int(inst.acc_out[2]) % P),
+             "MainVM accumulator PIs do not bind the traced query stream")
+    _req((acc_log, acc_mem) == (int(art.final_accs[1]) % P,
+                                int(art.final_accs[2]) % P),
+         "final accumulators diverged from the traced queues")
 
 
 def compute_main_vm_artifacts(tracer: WitnessTracer, geo: VmGeometry,
