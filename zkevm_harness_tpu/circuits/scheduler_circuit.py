@@ -140,6 +140,109 @@ def scheduler_public_inputs(lay: SchedulerLayout, node_vk: Sequence[int],
     return [int(v) for v in digest]
 
 
+@dataclasses.dataclass
+class SchedulerMultiLayout:
+    """Scheduler over HETEROGENEOUS node children: one verifier slot per
+    base type, each with its OWN node IR/config/VK vars (the full-chain
+    shape, where every type's leaf — and hence node — circuit differs
+    because its inner base circuit differs)."""
+    builder: bd.CircuitBuilder
+    type_ids: List[int]
+    child_layouts: List[vc.VerifierLayout]
+    node_vk_vars: List[List[int]]
+    block_number_var: int
+    aux_vars: List[int]
+    prefix_lens: List[int]
+
+
+def synthesize_scheduler_multi(children: Sequence[Tuple[pk.PlonkishIR,
+                                                        pk.PlonkishConfig]],
+                               type_ids: Sequence[int], aux_len: int = 0,
+                               slots: int = 8
+                               ) -> Tuple[bd.CircuitBuilder,
+                                          SchedulerMultiLayout]:
+    """Block-level aggregation root over per-type node proofs of DIFFERENT
+    shapes. In-circuit statement, per type t:
+      - verify node proof t against its own (public, committed) node VK;
+      - its queue head capacity lanes are ZERO (queue consumed whole);
+      - absorb [t || node VK_t || node PI prefix_t (leaf VK_t + base VK_t)
+        || tail_t] into the block commitment.
+    The 4-lane Poseidon2 commitment is the circuit's only public output
+    (plus block number/aux bound inside it)."""
+    assert len(children) == len(type_ids)
+    b = bd.CircuitBuilder(slots=slots)
+    block_number_var = b.input()
+    aux_vars = b.inputs(aux_len)
+    node_vk_vars: List[List[int]] = []
+    child_layouts: List[vc.VerifierLayout] = []
+    prefix_lens: List[int] = []
+    for node_ir, node_cfg in children:
+        n_child_pis = len(node_ir.public_input_cells)
+        prefix_lens.append(n_child_pis - QUEUE_SUFFIX)
+        sh = vc.inner_shape(node_ir, node_cfg)
+        vk_vars = b.inputs(sh.cap_size * vc.DIGEST)
+        node_vk_vars.append(vk_vars)
+        lay = vc.synthesize_proof_check(b, node_ir, node_cfg,
+                                        vk_vars=vk_vars)
+        child_layouts.append(lay)
+
+    absorb = [block_number_var] + list(aux_vars)
+    for tid, lay, vk_vars, pl in zip(type_ids, child_layouts, node_vk_vars,
+                                     prefix_lens):
+        for k in range(4):  # queue consumed from the EMPTY state
+            b.assert_zero(lay.inner_pi_vars[pl + k])
+        absorb.append(b.constant(int(tid)))
+        absorb += vk_vars
+        absorb += lay.inner_pi_vars[:pl]       # leaf VK_t || base VK_t
+        absorb += lay.inner_pi_vars[pl + 4:]   # tail_t (12)
+    digest = vc.hash_row(b, absorb)
+    for v in digest:
+        b.mark_public(v)
+    return b, SchedulerMultiLayout(
+        builder=b, type_ids=list(type_ids), child_layouts=child_layouts,
+        node_vk_vars=node_vk_vars, block_number_var=block_number_var,
+        aux_vars=aux_vars, prefix_lens=prefix_lens)
+
+
+def scheduler_multi_assignments(lay: SchedulerMultiLayout,
+                                node_vks: Sequence[Sequence[int]],
+                                node_proofs: Sequence[pk.PlonkishProof],
+                                block_number: int,
+                                aux_values: Sequence[int] = ()
+                                ) -> Dict[int, int]:
+    assert len(node_proofs) == len(lay.child_layouts) == len(node_vks)
+    asg: Dict[int, int] = {lay.block_number_var: int(block_number) % P}
+    assert len(aux_values) == len(lay.aux_vars)
+    for var, val in zip(lay.aux_vars, aux_values):
+        asg[var] = int(val) % P
+    for child_lay, vk, proof in zip(lay.child_layouts, node_vks,
+                                    node_proofs):
+        asg.update(vc.verifier_assignments(child_lay, vk, proof))
+    return asg
+
+
+def scheduler_multi_public_inputs(lay: SchedulerMultiLayout,
+                                  node_vks: Sequence[Sequence[int]],
+                                  node_proofs: Sequence[pk.PlonkishProof],
+                                  block_number: int,
+                                  aux_values: Sequence[int] = ()
+                                  ) -> List[int]:
+    """The block commitment, recomputed host-side with the SAME
+    hash_elements chain the circuit replays."""
+    from ..ops import poseidon2 as p2
+    absorb = [int(block_number) % P]
+    absorb += [int(v) % P for v in aux_values]
+    for tid, vk, proof, pl in zip(lay.type_ids, node_vks, node_proofs,
+                                  lay.prefix_lens):
+        pis = [int(v) % P for v in proof.public_inputs]
+        absorb.append(int(tid))
+        absorb += [int(v) % P for v in vk]
+        absorb += pis[:pl]
+        absorb += pis[pl + 4:]
+    digest = gl.to_ints(p2.hash_elements(gl.from_int(absorb)))
+    return [int(v) for v in digest]
+
+
 def scheduler_aux_values(sched_wit) -> List[int]:
     """Flatten a SchedulerCircuitInstanceWitness's observable block data into
     the aux field-element vector (u32 limbs for the keccak byte hashes)."""

@@ -205,7 +205,7 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
                 assert verify(inst_w, (challenges, cap), proof), \
                     "verify-after-prove failed"
                 return {"kind": task.kind, "real": True,
-                        "circuit_type": ctype,
+                        "circuit_type": ctype, "proof": proof,
                         "public_inputs": proof.public_inputs}
             # empty argument: no decomposer instance to prove
             return {"kind": task.kind, "circuit_type": ctype,

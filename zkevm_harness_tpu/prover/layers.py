@@ -98,10 +98,41 @@ for _leaf in range(3, 16):
     RECURSION_REGISTRY[_leaf] = _poseidon_factory(_TEST_LOG_N)
 
 
+_ENGINE_OVERRIDE: Optional[pk.PlonkishConfig] = None
+
+
 def _engine_config(psc: ProofSystemConfig) -> pk.PlonkishConfig:
+    if _ENGINE_OVERRIDE is not None:
+        return _ENGINE_OVERRIDE
     return pk.PlonkishConfig(rate=psc.lde_factor, cap_size=psc.merkle_cap_size,
                              num_queries=max(8, psc.security_bits // 2),
                              final_fri_size=32)
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def engine_override(cfg: Optional[pk.PlonkishConfig]):
+    """Run setup/prove/verify under an explicit engine config (reduced FRI
+    parameters for CPU-scale full-chain tests; the reference's analogue is
+    running under DevCSConfig / testing proof configs). Setup-cache keys
+    include the active config, so overridden setups never collide with the
+    production-config cache entries."""
+    global _ENGINE_OVERRIDE
+    prev = _ENGINE_OVERRIDE
+    _ENGINE_OVERRIDE = cfg
+    try:
+        yield
+    finally:
+        _ENGINE_OVERRIDE = prev
+
+
+def _cfg_key() -> tuple:
+    c = _ENGINE_OVERRIDE
+    if c is None:
+        return ()
+    return (c.rate, c.cap_size, c.num_queries, c.final_fri_size)
 
 
 @dataclasses.dataclass
@@ -117,7 +148,7 @@ _SETUP_CACHE: Dict[Tuple[str, int], SetupData] = {}
 
 def _create_setup(layer: str, registry, circuit_type: int,
                   psc: ProofSystemConfig, source=None) -> SetupData:
-    key = (layer, circuit_type)
+    key = (layer, circuit_type) + _cfg_key()
     if key not in _SETUP_CACHE:
         factory = registry[circuit_type]
         ir = factory.make_ir()
@@ -191,7 +222,7 @@ def ram_setup_data(capacity: int,
                    psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
                    source=None) -> Tuple[SetupData, rcirc.RamGeometry]:
     geo = ram_geometry_for_capacity(capacity)
-    key = ("base_ram", geo.log_n, geo.tiles_per_queue)
+    key = ("base_ram", geo.log_n, geo.tiles_per_queue) + _cfg_key()
     if key not in _SETUP_CACHE:
         ir = rcirc.ram_ir(geo.log_n, geo.tiles_per_queue)
         cfg = _engine_config(psc)
@@ -251,7 +282,7 @@ def events_setup_data(capacity: int,
                       source=None, circuit_type: int = 11
                       ) -> Tuple[SetupData, ecirc.EventsGeometry]:
     geo = events_geometry_for_capacity(capacity)
-    key = ("base_events", geo.log_n, geo.tiles)
+    key = ("base_events", geo.log_n, geo.tiles) + _cfg_key()
     if key not in _SETUP_CACHE:
         ir = ecirc.events_ir(geo.log_n, geo.tiles)
         cfg = _engine_config(psc)
@@ -308,7 +339,7 @@ def decommitts_setup_data(capacity: int,
                           source=None
                           ) -> Tuple[SetupData, dscirc.DecommittsGeometry]:
     geo = decommitts_geometry_for_capacity(capacity)
-    key = ("base_decommitts", geo.log_n, geo.tiles_per_queue)
+    key = ("base_decommitts", geo.log_n, geo.tiles_per_queue) + _cfg_key()
     if key not in _SETUP_CACHE:
         ir = dscirc.decommitts_ir(geo.log_n, geo.tiles_per_queue)
         cfg = _engine_config(psc)
@@ -361,7 +392,7 @@ def demux_setup_data(capacity: int,
                      psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
                      source=None) -> Tuple[SetupData, dcirc.DemuxGeometry]:
     geo = demux_geometry_for_capacity(capacity)
-    key = ("base_demux", geo.log_n, geo.tiles)
+    key = ("base_demux", geo.log_n, geo.tiles) + _cfg_key()
     if key not in _SETUP_CACHE:
         ir = dcirc.demux_ir(geo.log_n, geo.tiles)
         cfg = _engine_config(psc)
@@ -414,7 +445,7 @@ def storage_setup_data(capacity: int,
                        source=None
                        ) -> Tuple[SetupData, sscirc.StorageGeometry]:
     geo = storage_geometry_for_capacity(capacity)
-    key = ("base_storage", geo.log_n, geo.tiles)
+    key = ("base_storage", geo.log_n, geo.tiles) + _cfg_key()
     if key not in _SETUP_CACHE:
         ir = sscirc.storage_ir(geo.log_n, geo.tiles)
         cfg = _engine_config(psc)
@@ -463,7 +494,7 @@ def keccak_setup_data(capacity: int,
                       psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
                       source=None) -> Tuple[SetupData, kcirc.KeccakGeometry]:
     geo = keccak_geometry_for_capacity(capacity)
-    key = ("base_keccak", geo.log_n)
+    key = ("base_keccak", geo.log_n) + _cfg_key()
     if key not in _SETUP_CACHE:
         ir = kcirc.keccak_ir(geo.log_n)
         cfg = _engine_config(psc)
@@ -515,7 +546,7 @@ def sha256_setup_data(capacity: int,
                       psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
                       source=None) -> Tuple[SetupData, shcirc.Sha256Geometry]:
     geo = sha256_geometry_for_capacity(capacity)
-    key = ("base_sha256", geo.log_n)
+    key = ("base_sha256", geo.log_n) + _cfg_key()
     if key not in _SETUP_CACHE:
         ir = shcirc.sha256_ir(geo.log_n)
         cfg = _engine_config(psc)
@@ -568,7 +599,7 @@ def hasher_setup_data(capacity: int,
                       psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
                       source=None) -> Tuple[SetupData, lhcirc.HasherGeometry]:
     geo = hasher_geometry_for_capacity(capacity)
-    key = ("base_hasher", geo.log_n)
+    key = ("base_hasher", geo.log_n) + _cfg_key()
     if key not in _SETUP_CACHE:
         ir = lhcirc.hasher_ir(geo.log_n)
         cfg = _engine_config(psc)
@@ -618,7 +649,7 @@ def code_decommitter_setup_data(
         capacity: int, psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
         source=None) -> Tuple[SetupData, cdcirc.DecommitterGeometry]:
     geo = code_decommitter_geometry_for_capacity(capacity)
-    key = ("base_code_decommitter", geo.log_n)
+    key = ("base_code_decommitter", geo.log_n) + _cfg_key()
     if key not in _SETUP_CACHE:
         ir = cdcirc.decommitter_ir(geo.log_n)
         cfg = _engine_config(psc)
@@ -671,7 +702,7 @@ def main_vm_setup_data(capacity: int,
                        psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
                        source=None) -> Tuple[SetupData, mvcirc.VmGeometry]:
     geo = main_vm_geometry_for_capacity(capacity)
-    key = ("base_main_vm", geo.log_n, geo.limb_bits)
+    key = ("base_main_vm", geo.log_n, geo.limb_bits) + _cfg_key()
     if key not in _SETUP_CACHE:
         ir = mvcirc.main_vm_ir(geo)
         cfg = _engine_config(psc)
@@ -718,7 +749,7 @@ def ecrecover_setup_data(psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG,
     """Type-7 setup: one full secp256k1 recovery program per proof
     (production scale: ~37k rows at u8 limbs; proving runs on TPU)."""
     eprog = _ecrecover_program()
-    key = ("base_ecrecover", eprog.layout.log_n)
+    key = ("base_ecrecover", eprog.layout.log_n) + _cfg_key()
     if key not in _SETUP_CACHE:
         cfg = _engine_config(psc)
         ir, setup = ffmod.ff_setup(eprog.layout, cfg)
@@ -774,7 +805,7 @@ def storage_application_setup_data(
     """Type-10 setup: one depth-256 Blake2s path per proof (production
     scale: 3084 rows x ~2.9k columns; proving runs on TPU)."""
     geo = sappcirc.PathGeometry(depth=256)
-    key = ("base_storage_app", geo.log_n)
+    key = ("base_storage_app", geo.log_n) + _cfg_key()
     if key not in _SETUP_CACHE:
         ir = sappcirc.path_ir(geo)
         cfg = _engine_config(psc)
@@ -841,7 +872,7 @@ def create_eip4844_setup_data(n_elements: int = 4096, limb_bits: int = 8,
                               source=None):
     """EIP-4844 typed surface (prover_utils.rs eip4844 analogue): setup for
     the blob-fold circuit at `n_elements` chunks."""
-    key = ("eip4844", n_elements, limb_bits)
+    key = ("eip4844", n_elements, limb_bits) + _cfg_key()
     if key not in _SETUP_CACHE:
         from ..circuits import eip4844_circuit as e4
         prog = e4.build_eip4844_program(n_elements, limb_bits=limb_bits)
@@ -948,6 +979,41 @@ def real_base_instance_public_inputs(ctype: int, inst_w, challenges,
         read_inst, write_inst = inst_w
         return (sappcirc.expected_public_inputs(geo, read_inst)
                 + sappcirc.expected_public_inputs(geo, write_inst))
+    raise KeyError(ctype)
+
+
+def base_setup_for_type(ctype: int, geometry) -> SetupData:
+    """The SetupData (inner ir/setup/vk/engine config) that
+    prove_*_instance uses for `ctype` at this geometry — the single
+    accessor the recursion layers need to verify base proofs in-circuit
+    (the reference passes base VKs into create_leaf_witnesses,
+    recursive_aggregation.rs:71-161)."""
+    g = geometry
+    if ctype == 1:
+        return main_vm_setup_data(g.cycles_per_vm_snapshot)[0]
+    if ctype == 2:
+        return decommitts_setup_data(g.cycles_per_code_decommitter_sorter)[0]
+    if ctype == 3:
+        return code_decommitter_setup_data(g.cycles_per_code_decommitter)[0]
+    if ctype == 4:
+        return demux_setup_data(g.cycles_per_log_demuxer)[0]
+    if ctype == 5:
+        return keccak_setup_data(g.cycles_per_keccak256_circuit)[0]
+    if ctype == 6:
+        return sha256_setup_data(g.cycles_per_sha256_circuit)[0]
+    if ctype == 7:
+        return ecrecover_setup_data()[0]
+    if ctype == 8:
+        return ram_setup_data(g.cycles_per_ram_permutation)[0]
+    if ctype == 9:
+        return storage_setup_data(g.cycles_per_storage_sorter)[0]
+    if ctype == 10:
+        return storage_application_setup_data()[0]
+    if ctype in (11, 12):
+        return events_setup_data(g.cycles_per_events_or_l1_messages_sorter,
+                                 circuit_type=ctype)[0]
+    if ctype == 13:
+        return hasher_setup_data(g.limit_for_l1_messages_pudata_hasher)[0]
     raise KeyError(ctype)
 
 
