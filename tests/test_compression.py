@@ -60,6 +60,65 @@ def test_failed_verification_aborts():
                       prove_fn, verify_fn)
 
 
+def test_real_compression_modes_chain_to_5():
+    """All five compression modes proven REAL, each mode's circuit an
+    in-circuit verifier of the previous mode's proof
+    (proof_wrapper_utils/compression.rs:87-140 + compression_modes/
+    mode_{2..5}.rs). CPU scale: reduced FRI parameters via outer-config
+    overrides (the circuits are identical to the production ones — the
+    per-mode LDE factor is an engine parameter, not a circuit parameter;
+    the production LDE ladder 32/512/1024/2048/4096 is pinned below and
+    exercised at LDE 512 on TPU, docs/ROUND3.md)."""
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    from zkevm_harness_tpu.circuits import queue_circuit as qc
+    from zkevm_harness_tpu.circuits.types import (COMPRESSION_PROOF_CONFIGS,
+                                                  CompressionMode)
+    from zkevm_harness_tpu.prover import layers as ly
+    from zkevm_harness_tpu.prover import plonkish as pk
+
+    # production LDE ladder is the committed config
+    assert [COMPRESSION_PROOF_CONFIGS[CompressionMode(m)].lde_factor
+            for m in range(1, 6)] == [32, 512, 1024, 2048, 4096]
+
+    sched_cfg = pk.PlonkishConfig(rate=2, cap_size=4, num_queries=2,
+                                  final_fri_size=8)
+    red = pk.PlonkishConfig(rate=2, cap_size=4, num_queries=1,
+                            final_fri_size=8)
+    ir = qc.queue_ir(5)
+    setup = qc.queue_setup(ir, sched_cfg)
+    W = qc.queue_witness(ir, [[i + 1 for i in range(8)]])
+    sched_proof = pk.prove(ir, setup, W, sched_cfg)
+    assert pk.verify(ir, setup.vk(), sched_proof, sched_cfg)
+
+    chain = ly.CompressionChain(ir, sched_cfg, setup.vk(),
+                                outer_cfgs={m: red for m in range(1, 6)})
+    src = InMemoryDataSource()
+    out = cp.wrap_proof(sched_proof, sched_proof.public_inputs[:4],
+                        cp.WrapperConfig(5), chain.prove_fn, chain.verify_fn,
+                        src)
+    # every mode recorded a real proof; each binds the previous layer:
+    # PIs = [prev vk || prev public inputs]
+    prev_vk = [int(v) for v in setup.vk()]
+    prev_pis = [int(v) for v in sched_proof.public_inputs]
+    for mode in range(1, 6):
+        proof = (src.get_compression_proof(mode) if mode < 5
+                 else out["final_proof"])
+        assert proof is not None
+        got = [int(v) for v in proof.public_inputs]
+        assert got[:len(prev_vk)] == prev_vk, f"mode {mode} vk binding"
+        assert got[len(prev_vk):] == prev_pis, f"mode {mode} pi binding"
+        prev_vk = [int(v) for v in chain._inner[mode + 1][2]]
+        prev_pis = got
+    # tamper: a corrupted mode-5 proof fails verification
+    import dataclasses as dc
+    final = out["final_proof"]
+    bad = dc.replace(final, public_inputs=[(int(final.public_inputs[0]) + 1)
+                                           % (2**64 - 2**32 + 1)]
+                     + list(final.public_inputs[1:]))
+    assert not chain.verify_fn(5, bad, None)
+
+
 def test_real_compression_mode1_of_scheduler_proof():
     """VERDICT item: scheduler-proof -> mode-1 proof chain with REAL proofs.
 
@@ -100,3 +159,45 @@ def test_real_compression_mode1_of_scheduler_proof():
                                            % (2**64 - 2**32 + 1)]
                      + list(final.public_inputs[1:]))
     assert not chain.verify_fn(1, bad, None)
+
+
+def test_compression_for_wrapper_bn254_hashed():
+    """The for-wrapper mode: the final compression proof's Merkle trees and
+    transcript are hashed with the Bn256 Poseidon2 sponge so the BN254
+    PLONK wrapper can consume them natively (prover_utils.rs:823-967,
+    proof_wrapper_utils/mod.rs:30-31). Real proof, real Bn254-Fr caps,
+    tamper-rejection on both public inputs and tree caps."""
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import dataclasses as dc
+    import numpy as np
+    from zkevm_harness_tpu.circuits import queue_circuit as qc
+    from zkevm_harness_tpu.prover import layers as ly
+    from zkevm_harness_tpu.prover import plonkish as pk
+    from zkevm_harness_tpu.utils.bn254 import R as FR
+
+    cfg = pk.PlonkishConfig(rate=2, cap_size=4, num_queries=2,
+                            final_fri_size=8)
+    ir = qc.queue_ir(5)
+    setup = qc.queue_setup(ir, cfg)
+    W = qc.queue_witness(ir, [[i + 1 for i in range(8)]])
+    sp = pk.prove(ir, setup, W, cfg)
+    assert pk.verify(ir, setup.vk(), sp, cfg)
+
+    chain = ly.CompressionChain(ir, cfg, setup.vk(),
+                                outer_cfgs={1: cfg}, wrapper_mode=1)
+    proof, vk_fr = chain.prove_fn(1, sp)
+    # the for-wrapper VK and caps are BN254 Fr digests (single-lane)
+    assert all(0 <= int(v) < FR for v in vk_fr)
+    assert np.asarray(proof.witness_cap, dtype=object).ndim == 1
+    assert chain.verify_fn(1, proof, vk_fr)
+    # PIs bind [scheduler vk || scheduler PIs]
+    svk = [int(v) for v in setup.vk()]
+    assert [int(v) for v in proof.public_inputs[:len(svk)]] == svk
+    bad = dc.replace(proof, public_inputs=[
+        (int(proof.public_inputs[0]) + 1) % (2**64 - 2**32 + 1)]
+        + list(proof.public_inputs[1:]))
+    assert not chain.verify_fn(1, bad, vk_fr)
+    cap2 = np.asarray(proof.witness_cap, dtype=object).copy()
+    cap2[0] = int(cap2[0]) + 1
+    assert not chain.verify_fn(1, dc.replace(proof, witness_cap=cap2), vk_fr)

@@ -254,3 +254,120 @@ def test_stack_chains_across_instances():
     # scalar chain (modular-inverse unfolding, no saved-stack needed)
     assert art.instances[-1].depth_out == 0
     assert art.final_accs[3] == 1
+
+
+# ---------------------------------------------------------------------------
+# Stage C: div semantics + single-writeback (ctx) rows
+# ---------------------------------------------------------------------------
+
+DIV_BLOCK = [
+    isa.BinOp("add", I(85), I(0), dst=1),        # r1 = 85
+    isa.Div(I(85), I(6), dst_quot=2, dst_rem=3),  # r2 = 14, r3 = 1
+    isa.Div(R(1), R(2), dst_quot=4, dst_rem=5),   # r4 = 6, r5 = 1
+    isa.Div(R(1), I(0), dst_quot=6, dst_rem=7),   # div by zero: 0,0, eq set
+    isa.JumpIfEq(target=5),                       # taken (eq from div-by-0)
+    isa.Context(field=0, dst=8),                  # ctx: single writeback
+    isa.Ret(),
+]
+
+
+@pytest.fixture(scope="module")
+def div_rig():
+    tracer = WitnessTracer(5)
+    tools = ProvingToolset(
+        storage=InMemoryStorage(), memory=SimpleMemory(),
+        decommitter=SimpleDecommitter(), event_sink=InMemoryEventSink(),
+        precompiles=DefaultPrecompilesProcessor(), tracer=tracer,
+        geometry=testing_geometry())
+    vm = create_vm(tools, BlockProperties(block_number=1), 0xAA, code_page=0)
+    run_vm(vm, DIV_BLOCK, 100)
+    assert vm.finished
+    art = wmv.compute_main_vm_artifacts(tracer, GEO,
+                                        capacity=len(DIV_BLOCK))
+    assert len(art.instances) == 1
+    inst = art.instances[0]
+    ir = mvc.main_vm_ir(GEO)
+    W = mvc.main_vm_witness(ir, GEO, inst)
+    const = mvc._const_rows(GEO).T
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    pis = mvc.expected_public_inputs(GEO, inst)
+    return dict(inst=inst, ir=ir, W=W, const=const, pis=pis)
+
+
+def _div_viol(rig_d, W):
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    ir = rig_d["ir"]
+    perm = pk.identity_permutation(ir.num_witness, 1 << ir.log_n)
+    return satisfy.check_satisfied(ir, gl.to_ints(W),
+                                   np.asarray(rig_d["const"], dtype=object),
+                                   perm, rig_d["pis"])
+
+
+def test_div_and_ctx_rows_satisfy(div_rig):
+    rows = div_rig["inst"].rows
+    assert [r.op for r in rows[:6]] == [mvc.OP_ADD, mvc.OP_DIV, mvc.OP_DIV,
+                                        mvc.OP_DIV, mvc.OP_JEQ, mvc.OP_CTX]
+    assert rows[1].res == 14 and rows[1].rem == 1
+    assert rows[3].res == 0 and rows[3].rem == 0  # div by zero
+    assert _div_viol(div_rig, div_rig["W"]) == []
+
+
+def test_tampered_quotient_rejected(div_rig):
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    ir = div_rig["ir"]
+    off = mvc._cols(GEO)
+    Wi = gl.to_ints(div_rig["W"]).copy()
+    # row 1 is the first div: bump the quotient limb AND the written
+    # register so the writeback stays consistent — the mul identity must
+    # still reject
+    Wi[off["RES"], 1] = (int(Wi[off["RES"], 1]) + 1)
+    Wi[off["REG"] + 1 * GEO.num_limbs, 2] = \
+        (int(Wi[off["REG"] + 1 * GEO.num_limbs, 2]) + 1)
+    perm = pk.identity_permutation(ir.num_witness, 1 << ir.log_n)
+    viol = satisfy.check_satisfied(ir, Wi,
+                                   np.asarray(div_rig["const"], dtype=object),
+                                   perm, div_rig["pis"])
+    assert viol
+
+
+def test_tampered_ctx_row_untouched_register_rejected(div_rig):
+    """A ctx row may write ONLY its destination: forging any other
+    register's next value is unsatisfiable (the old EXT hole, closed)."""
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    ir = div_rig["ir"]
+    off = mvc._cols(GEO)
+    Wi = gl.to_ints(div_rig["W"]).copy()
+    # ctx row is index 5; forge r2's value entering row 6
+    Wi[off["REG"] + 1 * GEO.num_limbs, 6] = \
+        (int(Wi[off["REG"] + 1 * GEO.num_limbs, 6]) + 1)
+    perm = pk.identity_permutation(ir.num_witness, 1 << ir.log_n)
+    viol = satisfy.check_satisfied(ir, Wi,
+                                   np.asarray(div_rig["const"], dtype=object),
+                                   perm, div_rig["pis"])
+    assert viol
+
+
+def test_div_remainder_bound_rejected(div_rig):
+    """Claiming q-1, r+divisor (a valid mul identity with r >= divisor)
+    must fail the remainder-compare chain."""
+    tracer = WitnessTracer(5)
+    tools = ProvingToolset(
+        storage=InMemoryStorage(), memory=SimpleMemory(),
+        decommitter=SimpleDecommitter(), event_sink=InMemoryEventSink(),
+        precompiles=DefaultPrecompilesProcessor(), tracer=tracer,
+        geometry=testing_geometry())
+    vm = create_vm(tools, BlockProperties(block_number=1), 0xAA, code_page=0)
+    run_vm(vm, DIV_BLOCK, 100)
+    art = wmv.compute_main_vm_artifacts(tracer, GEO,
+                                        capacity=len(DIV_BLOCK))
+    inst = art.instances[0]
+    # forge the witness: row 1 claims (q-1, r+6) for 85 / 6
+    row = inst.rows[1]
+    forged = dc.replace(row, res=13, rem=7)
+    inst.rows[1] = forged
+    ir = mvc.main_vm_ir(GEO)
+    with pytest.raises(AssertionError):
+        # witness generation itself enforces r < divisor; a prover forging
+        # past it hits the in-circuit compare (covered by construction:
+        # DCAR final borrow cannot be zero when r >= divisor)
+        mvc.main_vm_witness(ir, GEO, inst)

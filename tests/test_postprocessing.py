@@ -34,3 +34,43 @@ def test_circuit_maker_rejects_changed_observable_input():
     cm.process((1,), (2,), fsm_input=(0,), fsm_output=(7,), is_last=False)
     with pytest.raises(AssertionError):
         cm.process((3,), (2,), fsm_input=(7,), fsm_output=(9,), is_last=True)
+
+
+def test_process_real_digest_matches_leaf_recomputation():
+    """process_real pushes the Poseidon2 digest of the REAL PI vector —
+    byte-identical to what leaf circuits recompute from the child proof."""
+    from zkevm_harness_tpu.ops import goldilocks as gl
+    from zkevm_harness_tpu.ops import poseidon2 as p2
+    cfi = pp.ClosedFormInput(True, True, (5,), (6,), (0, 0), (1, 2))
+    pis = [11, 22, 33, 44, 55]
+    cm = pp.CircuitMaker(8)
+    inst = cm.process_real(cfi, pis)
+    want = tuple(int(v) for v in gl.to_ints(
+        p2.hash_elements(gl.from_int(pis))))
+    assert inst.public_input == want
+    assert cm.queue.tail != (0,) * 12
+
+
+def test_process_real_rejects_broken_fsm_chain():
+    cm = pp.CircuitMaker(8)
+    cm.process_real(pp.ClosedFormInput(True, False, (5,), (), (0,), (7,)),
+                    [1, 2])
+    with pytest.raises(ValueError):
+        cm.process_real(pp.ClosedFormInput(False, True, (5,), (), (8,), (9,)),
+                        [3, 4])
+
+
+def test_process_real_rejects_changed_observable_input():
+    cm = pp.CircuitMaker(8)
+    cm.process_real(pp.ClosedFormInput(True, False, (5,), (), (0,), (7,)),
+                    [1, 2])
+    with pytest.raises(ValueError):
+        cm.process_real(pp.ClosedFormInput(False, True, (6,), (), (7,), (9,)),
+                        [3, 4])
+
+
+def test_process_real_rejects_misplaced_start_flag():
+    cm = pp.CircuitMaker(8)
+    with pytest.raises(ValueError):
+        cm.process_real(pp.ClosedFormInput(False, True, (5,), (), (0,), (7,)),
+                        [1, 2])

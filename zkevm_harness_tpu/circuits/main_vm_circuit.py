@@ -60,12 +60,19 @@ from ..prover import plonkish as pk
 P = gl.P
 NREGS = 15
 
-# opcode classes (stage A + stage B near-call/ret)
+# opcode classes (stage A + stage B near-call/ret + stage C div/ctx)
 OP_NOP, OP_ADD, OP_SUB, OP_JUMP, OP_JEQ = 0, 1, 2, 3, 4
 OP_HEAPW, OP_HEAPR, OP_STOW, OP_STOR = 5, 6, 7, 8
 OP_EVT, OP_EVTL1, OP_NCALL = 9, 10, 11
 OP_RET, OP_RETP, OP_EXT = 12, 13, 14
-NOPS = 15
+# stage C: OP_CTX = single-writeback rows (Context/Precompile result
+# registers: the written VALUE is oracle data, but pc/flags/every OTHER
+# register are proven preserved — no more free-form register writes);
+# OP_DIV = full unsigned divmod semantics in-gates (v0 = q*v1 + r with
+# r < v1, or q = r = 0 with the eq flag when v1 == 0 — the reference
+# constrains mul/div through its ALU gadgets, vm_main.rs:29-110).
+OP_CTX, OP_DIV = 15, 16
+NOPS = 17
 _LOG_OPS = (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1)
 _MEM_OPS = (OP_HEAPW, OP_HEAPR)
 
@@ -116,6 +123,18 @@ def _cols(geo: VmGeometry) -> Dict[str, int]:
     reg("V1", NL)
     reg("RES", NL)
     reg("CAR", NL)
+    # div columns (stage C): remainder, second destination, mul-carry byte
+    # decomposition (conv carries < NL*2^L fit MCL + 2^L*MCH with both
+    # lookup-checked), remainder-compare difference + its borrow booleans,
+    # zero-divisor flag + inverse hint
+    reg("REM", NL)
+    reg("DST2", NREGS)
+    reg("MCL", 2 * NL - 2)
+    reg("MCH", 2 * NL - 2)
+    reg("DIF", NL)
+    reg("DCAR", NL)
+    reg("ZB", 1)
+    reg("ZINV", 1)
     reg("EQF", 1)     # flag state entering the row
     reg("LTF", 1)
     reg("SINV", 1)    # inverse hint for the zero-sum flag gadget
@@ -157,18 +176,22 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
 
         op = [W("OP", k) for k in range(NOPS)]
         dst = [W("DST", i) for i in range(NREGS)]
+        dst2 = [W("DST2", i) for i in range(NREGS)]
         s0 = [W("S0SEL", i) for i in range(NREGS)]
         s1 = [W("S1SEL", i) for i in range(NREGS)]
         s0i, s1i = W("S0IMM"), W("S1IMM")
         v = W("V")
         ext = op[OP_EXT]
+        dv = op[OP_DIV]
+        zb = W("ZB")
 
         spop = W("SPOP")
 
         # --- booleanity ---------------------------------------------------
-        for b in (op + dst + s0 + s1 + [s0i, s1i, v, W("EQF"), W("LTF"),
-                                        spop]
-                  + [W("CAR", j) for j in range(NL)]):
+        for b in (op + dst + dst2 + s0 + s1
+                  + [s0i, s1i, v, W("EQF"), W("LTF"), spop, zb]
+                  + [W("CAR", j) for j in range(NL)]
+                  + [W("DCAR", j) for j in range(NL)]):
             out.append(alg.sub(alg.mul(b, b), b))
         # pop/push exclusivity + RET/RETP rows must pop
         out.append(alg.mul(spop, op[OP_NCALL]))
@@ -210,35 +233,106 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
             out.append(alg.mul(op[OP_ADD], alg.sub(lhs_a, rhs_a)))
             out.append(alg.mul(op[OP_SUB], alg.sub(lhs_s, rhs_s)))
 
-        # --- flags (set by add/sub, carried otherwise) --------------------
+        # --- flags (set by add/sub/div, carried otherwise) -----------------
         binop = alg.add(op[OP_ADD], op[OP_SUB])
+        flagset = alg.add(binop, dv)
         ssum_res = W("RES", 0)
         for j in range(1, NL):
             ssum_res = alg.add(ssum_res, W("RES", j))
         # eq_new = 1 - S*SINV with S*eq_new == 0: S != 0 forces eq_new = 0,
-        # S == 0 forces eq_new = 1 (limbs are u(L) so S == 0 <=> RES == 0)
+        # S == 0 forces eq_new = 1 (limbs are u(L) so S == 0 <=> RES == 0);
+        # for div RES is the quotient, so eq == (q == 0) — matching the
+        # interpreter (incl. the div-by-zero case where q is forced 0)
         eq_new = _one_minus(alg, alg.mul(ssum_res, W("SINV")))
-        out.append(alg.mul(binop, alg.mul(ssum_res, eq_new)))
-        carry_flag = alg.mul(binop, alg.sub(Wn("EQF"), eq_new))
+        out.append(alg.mul(flagset, alg.mul(ssum_res, eq_new)))
+        carry_flag = alg.mul(flagset, alg.sub(Wn("EQF"), eq_new))
         out.append(alg.mul(notwrap, carry_flag))
         out.append(alg.mul(notwrap, alg.mul(binop,
                                             alg.sub(Wn("LTF"),
                                                     W("CAR", NL - 1)))))
-        keepf = _one_minus(alg, alg.add(binop, ext))
+        out.append(alg.mul(notwrap, alg.mul(dv, Wn("LTF"))))  # div: lt = 0
+        keepf = _one_minus(alg, alg.add(flagset, ext))
         out.append(alg.mul(notwrap, alg.mul(keepf,
                                             alg.sub(Wn("EQF"), W("EQF")))))
         out.append(alg.mul(notwrap, alg.mul(keepf,
                                             alg.sub(Wn("LTF"), W("LTF")))))
 
         # --- register writeback --------------------------------------------
+        # dst writes RES (quotient for div), dst2 (div only) writes REM;
+        # every unselected register is PRESERVED — single-writeback rows
+        # (OP_CTX: context/precompile results) leave only their one
+        # destination oracle-provided.
         notext = _one_minus(alg, ext)
         for i in range(NREGS):
+            out.append(alg.mul(dst[i], dst2[i]))  # disjoint destinations
             for j in range(NL):
-                upd = alg.add(alg.mul(dst[i], W("RES", j)),
-                              alg.mul(_one_minus(alg, dst[i]),
-                                      W("REG", i * NL + j)))
+                keep = _one_minus(alg, alg.add(dst[i], dst2[i]))
+                upd = alg.add(alg.add(alg.mul(dst[i], W("RES", j)),
+                                      alg.mul(dst2[i], W("REM", j))),
+                              alg.mul(keep, W("REG", i * NL + j)))
                 out.append(alg.mul(notwrap, alg.mul(
                     notext, alg.sub(Wn("REG", i * NL + j), upd))))
+
+        # --- div semantics (stage C) ---------------------------------------
+        # dst2 appears exactly on div rows (one register)
+        d2sum = dst2[0]
+        for i in range(1, NREGS):
+            d2sum = alg.add(d2sum, dst2[i])
+        out.append(alg.sub(d2sum, dv))
+        # div rows must select a quotient destination too
+        dsum = dst[0]
+        for i in range(1, NREGS):
+            dsum = alg.add(dsum, dst[i])
+        out.append(alg.mul(dv, alg.add_int(dsum, P - 1)))
+        # zero-divisor flag: S1 = sum(V1 limbs); zb == (S1 == 0)
+        s1sum = W("V1", 0)
+        for j in range(1, NL):
+            s1sum = alg.add(s1sum, W("V1", j))
+        out.append(alg.mul(dv, alg.mul(s1sum, zb)))
+        out.append(alg.mul(dv, alg.sub(zb, _one_minus(
+            alg, alg.mul(s1sum, W("ZINV"))))))
+        nzb = _one_minus(alg, zb)
+        dvnz = alg.mul(dv, nzb)
+        # multiplication identity: RES * V1 + REM == V0 over limbs, with
+        # carry decomposition mc_k = MCL_k + 2^L * MCH_k (both byte-checked)
+        for k in range(2 * NL - 1):
+            conv = None
+            for i in range(max(0, k - NL + 1), min(NL, k + 1)):
+                t = alg.mul(W("RES", i), W("V1", k - i))
+                conv = t if conv is None else alg.add(conv, t)
+            lhs = conv
+            if k < NL:
+                lhs = alg.add(lhs, W("REM", k))
+            if k > 0:
+                mc_prev = alg.add(W("MCL", k - 1),
+                                  alg.mul_int(W("MCH", k - 1), 1 << L))
+                lhs = alg.add(lhs, mc_prev)
+            rhs = None
+            if k < NL:
+                rhs = W("V0", k)
+            if k < 2 * NL - 2:
+                mc_k = alg.add(W("MCL", k),
+                               alg.mul_int(W("MCH", k), 1 << L))
+                t = alg.mul_int(mc_k, 1 << L)
+                rhs = t if rhs is None else alg.add(rhs, t)
+            diff = alg.sub(lhs, rhs) if rhs is not None else lhs
+            out.append(alg.mul(dvnz, diff))
+        # div-by-zero forces q = r = 0 (eq flag follows from eq_new)
+        for j in range(NL):
+            out.append(alg.mul(dv, alg.mul(zb, W("RES", j))))
+            out.append(alg.mul(dv, alg.mul(zb, W("REM", j))))
+        # remainder range: REM + DIF + 1 == V1 exactly (borrow chain with
+        # boolean DCAR, final carry zero) => REM < V1
+        for j in range(NL):
+            cin = W("DCAR", j - 1) if j else None
+            lhs = alg.add(W("REM", j), W("DIF", j))
+            if j == 0:
+                lhs = alg.add_int(lhs, 1)
+            if cin is not None:
+                lhs = alg.add(lhs, cin)
+            rhs = alg.add(W("V1", j), alg.mul_int(W("DCAR", j), 1 << L))
+            out.append(alg.mul(dvnz, alg.sub(lhs, rhs)))
+        out.append(alg.mul(dvnz, W("DCAR", NL - 1)))
 
         # --- pc / ts chains -------------------------------------------------
         pc, tgt, eqf = W("PC"), W("TGT"), W("EQF")
@@ -299,13 +393,18 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         for i in range(NREGS):
             t = alg.mul_int(dst[i], i + 1)
             dstid = t if dstid is None else alg.add(dstid, t)
+        dst2id = None
+        for i in range(NREGS):
+            t = alg.mul_int(dst2[i], i + 1)
+            dst2id = t if dst2id is None else alg.add(dst2id, t)
         s0id = alg.mul_int(s0i, NREGS + 1)
         s1id = alg.mul_int(s1i, NREGS + 1)
         for i in range(NREGS):
             s0id = alg.add(s0id, alg.mul_int(s0[i], i + 1))
             s1id = alg.add(s1id, alg.mul_int(s1[i], i + 1))
         code_fields = ([W("PC"), opid,
-                        alg.add(dstid, alg.mul_int(s0id, 16)),
+                        alg.add(alg.add(dstid, alg.mul_int(s0id, 16)),
+                                alg.mul_int(dst2id, 512)),
                         alg.add(s1id, alg.mul_int(W("TGT"), 32)),
                         W("HDL")]
                        + [W("IMM0", j) for j in range(NL)]
@@ -369,13 +468,17 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         return out
 
     n_constraints = (
-        (NOPS + 3 * NREGS + 6 + NL)      # booleans (+spop)
+        (NOPS + 4 * NREGS + 7 + 2 * NL)  # booleans (+spop+zb+dst2+dcar)
         + 3                               # pop/push exclusivity
         + 1 + 3                           # op sum + selector sums
         + 2 * NL                          # muxes
         + 2 * NL                          # add/sub chains
-        + 5                               # flags
-        + NREGS * NL                      # writeback
+        + 6                               # flags (+div lt-zero)
+        + NREGS * NL + NREGS              # writeback + dst/dst2 disjoint
+        + 2 + 2                           # dst2 sum, div dst sum, zb gadget
+        + (2 * NL - 1)                    # mul identity limbs
+        + 2 * NL                          # div-by-zero forcing
+        + NL + 1                          # remainder compare chain
         + 4                               # pc (+padding carry), ts, validity
         + NPOW + 4 + (NPOW - 1)           # fp constancy (4 gammas) + chain
         + 6                               # 3 accumulators x (update+carry)
@@ -402,7 +505,12 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
             pis.append((off["REG"] + i * NL + j, n - 1))
 
     table = np.arange(1 << L, dtype=object).reshape(-1, 1)
-    lookup_sets = tuple((0, (off["RES"] + j,)) for j in range(NL))
+    lookup_cols = ([off["RES"] + j for j in range(NL)]
+                   + [off["REM"] + j for j in range(NL)]
+                   + [off["DIF"] + j for j in range(NL)]
+                   + [off["MCL"] + k for k in range(2 * NL - 2)]
+                   + [off["MCH"] + k for k in range(2 * NL - 2)])
+    lookup_sets = tuple((0, (c,)) for c in lookup_cols)
 
     return pk.PlonkishIR(
         log_n=geo.log_n, num_witness=off["_width"], num_const=NUM_CONST,
@@ -530,6 +638,48 @@ def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
                     cin = cout
                 S = sum(res_l)
                 W[off["SINV"], r] = pow(S, P - 2, P) if S else 0
+            elif row.op == OP_DIV:
+                assert row.dst2, "div needs a remainder destination"
+                W[off["DST2"] + row.dst2 - 1, r] = 1
+                q, b_val, rm = int(row.res), v1, int(row.rem)
+                v0l, v1l = _limbs(v0, NL, L), _limbs(b_val, NL, L)
+                q_l, r_l2 = _limbs(q, NL, L), _limbs(rm, NL, L)
+                W[off["REM"]:off["REM"] + NL, r] = r_l2
+                S = sum(q_l)
+                W[off["SINV"], r] = pow(S, P - 2, P) if S else 0
+                S1 = sum(v1l)
+                W[off["ZB"], r] = 1 if S1 == 0 else 0
+                W[off["ZINV"], r] = pow(S1, P - 2, P) if S1 else 0
+                if b_val != 0:
+                    assert q * b_val + rm == v0 and rm < b_val
+                    # mul-identity carries
+                    mc_prev = 0
+                    for k in range(2 * NL - 1):
+                        conv = sum(q_l[i] * v1l[k - i]
+                                   for i in range(max(0, k - NL + 1),
+                                                  min(NL, k + 1)))
+                        lhs = conv + (r_l2[k] if k < NL else 0) + mc_prev
+                        base = v0l[k] if k < NL else 0
+                        if k < 2 * NL - 2:
+                            mc, rr = divmod(lhs - base, 1 << L)
+                            assert rr == 0 and 0 <= mc < (NL + 1) << L
+                            W[off["MCL"] + k, r] = mc & ((1 << L) - 1)
+                            W[off["MCH"] + k, r] = mc >> L
+                            mc_prev = mc
+                        else:
+                            assert lhs == base, "mul identity broke"
+                    # remainder compare: REM + DIF + 1 == V1
+                    dif = b_val - rm - 1
+                    dif_l = _limbs(dif, NL, L)
+                    W[off["DIF"]:off["DIF"] + NL, r] = dif_l
+                    cin = 1
+                    for j in range(NL):
+                        t = r_l2[j] + dif_l[j] + cin
+                        cout, rr = divmod(t - v1l[j], 1 << L)
+                        assert rr == 0 and cout in (0, 1)
+                        W[off["DCAR"] + j, r] = cout
+                        cin = cout
+                    assert cin == 0, "remainder compare overflowed"
             W[off["V"], r] = 1
             # fingerprints
             opid = row.op + 1
@@ -540,7 +690,7 @@ def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
                     else (row.s1_val if row.s1_kind == "reg" else 0))
             imm0 = row.s0_val if row.s0_kind == "imm" else 0
             imm1 = row.s1_val if row.s1_kind == "imm" else 0
-            code_fields = ([row.pc, opid, dstid + 16 * s0id,
+            code_fields = ([row.pc, opid, dstid + 16 * s0id + 512 * row.dst2,
                             s1id + 32 * row.tgt, row.handler]
                            + _limbs(imm0, NL, L) + _limbs(imm1, NL, L))
             fold(0, code_fields)

@@ -88,6 +88,7 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
                            contracts=None, cycle_limit: int = 10_000,
                            block_number: int = 1,
                            wrap: bool = True,
+                           for_wrapper: bool = False,
                            progress=None) -> FullChainResult:
     """Prove one block through every layer. Returns the assembled tower;
     raises if any link fails verification."""
@@ -201,8 +202,14 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
         outer_cfgs = ({m: compression_cfg
                        for m in range(1, compression_layers + 1)}
                       if compression_cfg is not None else None)
-        chain = ly.CompressionChain(scheduler.ir, scheduler.cfg,
-                                    scheduler.vk, outer_cfgs=outer_cfgs)
+        # `for_wrapper` hashes the FINAL mode's trees/transcript with the
+        # Bn256 Poseidon2 sponge (the reference always does; optional here
+        # because the host-side Bn254 hashing adds minutes at CPU test
+        # scale — test_compression covers the for-wrapper mode directly)
+        chain = ly.CompressionChain(
+            scheduler.ir, scheduler.cfg, scheduler.vk,
+            outer_cfgs=outer_cfgs,
+            wrapper_mode=compression_layers if for_wrapper else None)
         cfg = cmp.WrapperConfig(compression_layers=compression_layers)
         final = cmp.wrap_proof(sched_proof, sched_pi, cfg,
                                chain.prove_fn, chain.verify_fn,

@@ -77,13 +77,8 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
     artifacts = orc.create_artifacts_from_tracer(tracer, geometry,
                                                  initial_storage=pre_state)
 
-    # recursion queues carry REAL public-input commitments for every base
-    # type (Poseidon2 digest of the instance's expected PIs — the exact
-    # digest leaf circuits recompute in-circuit from the child proof;
-    # circuits/leaf_circuit.py).
-    from .ops import goldilocks as _gl
-    from .ops import poseidon2 as _p2
-    from .witness.recursion import (RecursionQueueSimulator, RecursionRequest)
+    # per-type instance payloads + binding challenges (the decomposer's
+    # output, consumed by both the CircuitMaker pass and real proving)
     real_payloads = {
         1: (artifacts.main_vm.instances, None,
             geometry.cycles_per_vm_snapshot),
@@ -121,28 +116,29 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
         13: (artifacts.linear_hasher.instances, None,
              geometry.limit_for_l1_messages_pudata_hasher),
     }
+    # -- CircuitMaker pass: REAL closed-form inputs + recursion queues -----
+    # Each instance carries its real observable/FSM data from the
+    # decomposer witness (witness/closed_form.py); the recursion-queue
+    # digest is the Poseidon2 hash of the instance's REAL public-input
+    # vector — the value the leaf circuit re-verifies in-circuit. The FSM
+    # continuation assertion is therefore a genuine cross-instance chain
+    # check (postprocessing/mod.rs:136-294 parity).
+    from .witness import closed_form as cf
+    makers: Dict[int, pp.CircuitMaker] = {}
     for ctype, (insts, challenges, cap) in real_payloads.items():
-        rq = RecursionQueueSimulator()
-        for inst_w in insts:
+        cm = pp.CircuitMaker(ctype)
+        for idx, inst_w in enumerate(insts):
             pis = ly.real_base_instance_public_inputs(ctype, inst_w,
                                                       challenges, cap)
-            digest = tuple(int(v) for v in _gl.to_ints(_p2.hash_elements(
-                _gl.from_int([int(p) % (2**64 - 2**32 + 1) for p in pis]))))
-            rq.push_request(RecursionRequest(ctype, digest))
-        artifacts.recursion_queues[ctype] = rq
-
-    # -- CircuitMaker pass: PI commitments + recursion queues -------------
-    makers: Dict[int, pp.CircuitMaker] = {}
-    for ctype, pca in artifacts.per_circuit.items():
-        cm = pp.CircuitMaker(ctype)
-        fsm = (0,)
-        for idx in range(pca.num_instances):
-            nxt_fsm = (idx + 1,)
-            cm.process(observable_input=(ctype,), observable_output=(idx,),
-                       fsm_input=fsm, fsm_output=nxt_fsm,
-                       is_last=(idx == pca.num_instances - 1))
-            fsm = nxt_fsm
+            cfi = cf.build_closed_form(ctype, inst_w, challenges,
+                                       is_first=(idx == 0),
+                                       is_last=(idx == len(insts) - 1))
+            cm.process_real(cfi, pis, witness_payload=inst_w)
         makers[ctype] = cm
+        artifacts.recursion_queues[ctype] = cm.queue
+        # reconcile the capacity-derived instance estimate with the
+        # decomposer's actual count (the decomposer is authoritative)
+        artifacts.per_circuit[ctype].num_instances = len(insts)
 
     # -- L5: proof DAG -----------------------------------------------------
     dag = sch.build_block_dag(

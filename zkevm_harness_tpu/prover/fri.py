@@ -105,7 +105,11 @@ def _pair_leaf_rows(cw: GF2) -> GF:
     return gl.stack([a.c0, a.c1, b.c0, b.c1], axis=-1)
 
 
-def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig) -> FriProof:
+def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig,
+              backend=None) -> FriProof:
+    """`backend` switches the layer-tree hasher + cap absorption to an
+    alternative hash backend (prover/hash_backend.Bn254Backend for the
+    compression-for-wrapper mode); None keeps Goldilocks Poseidon2."""
     n0 = codeword.shape[0]
     codewords = [codeword]
     trees: List[mk.MerkleTree] = []
@@ -125,12 +129,17 @@ def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig) -> FriP
             # commit the folded layer (pair leaves for the NEXT fold)
             rows = _pair_leaf_rows(cur)
             cap_sz = min(cfg.cap_size, rows.shape[0])
-            if jax.default_backend() == "cpu":
-                tree = mk.build_tree(mk.hash_leaves(rows), cap_sz)
+            if backend is not None:
+                tree = backend.commit_rows(gl.to_ints(rows), cap_sz)
+                trees.append(tree)
+                tr.absorb_fr(tree.cap)
             else:
-                tree = mk.commit(rows, cap_sz)
-            trees.append(tree)
-            tr.absorb_gf_device(tree.cap)  # no host fetch in the fold loop
+                if jax.default_backend() == "cpu":
+                    tree = mk.build_tree(mk.hash_leaves(rows), cap_sz)
+                else:
+                    tree = mk.commit(rows, cap_sz)
+                trees.append(tree)
+                tr.absorb_gf_device(tree.cap)  # no host fetch in the fold loop
 
     # final polynomial from the last codeword (coset intt + unscale)
     final_cw = codewords[-1]
@@ -148,7 +157,8 @@ def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig) -> FriP
 
     # caps fetched once, after the transcript no longer needs the device
     for tree in trees:
-        caps_np.append(gl.to_ints(tree.cap))
+        caps_np.append(np.asarray(tree.cap, dtype=object) if backend
+                       else gl.to_ints(tree.cap))
 
     # queries
     positions = tr.query_indices(cfg.num_queries, n0)
@@ -163,15 +173,20 @@ def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig) -> FriP
         leaf_idx = pos_r % np.uint32(n_r // 2)
         rows = _pair_leaf_rows(cw_r)
         leaves = gl.take(rows, jnp.asarray(leaf_idx), axis=0)
-        paths = mk.open_indices(tree, leaf_idx)
-        openings.append(FriLayerOpening(gl.to_ints(leaves), gl.to_ints(paths)))
+        if backend is not None:
+            openings.append(FriLayerOpening(
+                gl.to_ints(leaves), backend.open(tree, leaf_idx)))
+        else:
+            paths = mk.open_indices(tree, leaf_idx)
+            openings.append(FriLayerOpening(gl.to_ints(leaves),
+                                            gl.to_ints(paths)))
 
     return FriProof(caps=caps_np, final_poly=final_coeffs, openings=openings,
                     query_positions=positions)
 
 
 def fri_verify(proof: FriProof, n0: int, shift: int, tr: Transcript,
-               cfg: FriConfig, codeword0_at) -> bool:
+               cfg: FriConfig, codeword0_at, backend=None) -> bool:
     """Verify a FRI proof.
 
     `codeword0_at(position) -> (c0, c1)` returns the layer-0 (DEEP) value at
@@ -185,7 +200,12 @@ def fri_verify(proof: FriProof, n0: int, shift: int, tr: Transcript,
         alphas.append(tr.challenge_ext_ints())
         if r < cfg.folding_rounds - 1:
             cap = proof.caps[r]
-            tr.absorb_ints([int(v) for v in np.asarray(cap, dtype=object).ravel()])
+            if backend is not None:
+                tr.absorb_fr([int(v) for v in
+                              np.asarray(cap, dtype=object).ravel()])
+            else:
+                tr.absorb_ints([int(v) for v in
+                                np.asarray(cap, dtype=object).ravel()])
     for a, b in proof.final_poly:
         tr.absorb_ints([a, b])
     positions = tr.query_indices(cfg.num_queries, n0)
@@ -206,15 +226,24 @@ def fri_verify(proof: FriProof, n0: int, shift: int, tr: Transcript,
         pos_r = positions % np.uint32(n_r)
         leaf_idx = pos_r % np.uint32(n_r // 2)
         op = proof.openings[r - 1]
-        leaves_gf = gl.from_int(np.asarray(op.leaves, dtype=object))
-        paths_gf = gl.from_int(np.asarray(op.paths, dtype=object))
-        cap_gf = gl.from_int(np.asarray(proof.caps[r - 1], dtype=object))
-        digests = mk.hash_leaves(leaves_gf)
-        ok = mk.verify_paths(digests, leaf_idx, paths_gf, cap_gf,
-                             n_leaves=n_r // 2,
-                             cap_size=min(cfg.cap_size, n_r // 2))
-        if not bool(np.all(np.asarray(ok))):
-            return False
+        if backend is not None:
+            digests = backend.hash_rows(np.asarray(op.leaves, dtype=object))
+            if not backend.verify_paths(
+                    digests, [int(v) for v in leaf_idx],
+                    np.asarray(op.paths, dtype=object),
+                    [int(v) for v in
+                     np.asarray(proof.caps[r - 1], dtype=object).ravel()]):
+                return False
+        else:
+            leaves_gf = gl.from_int(np.asarray(op.leaves, dtype=object))
+            paths_gf = gl.from_int(np.asarray(op.paths, dtype=object))
+            cap_gf = gl.from_int(np.asarray(proof.caps[r - 1], dtype=object))
+            digests = mk.hash_leaves(leaves_gf)
+            ok = mk.verify_paths(digests, leaf_idx, paths_gf, cap_gf,
+                                 n_leaves=n_r // 2,
+                                 cap_size=min(cfg.cap_size, n_r // 2))
+            if not bool(np.all(np.asarray(ok))):
+                return False
 
     # 4. fold-consistency per query (exact ints)
     log_n0 = n0.bit_length() - 1

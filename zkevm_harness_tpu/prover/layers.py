@@ -1093,16 +1093,29 @@ class CompressionChain:
 
     def __init__(self, scheduler_ir: pk.PlonkishIR,
                  scheduler_cfg: pk.PlonkishConfig, scheduler_vk,
-                 outer_cfgs: Optional[Dict[int, pk.PlonkishConfig]] = None):
+                 outer_cfgs: Optional[Dict[int, pk.PlonkishConfig]] = None,
+                 wrapper_mode: Optional[int] = None):
+        """`wrapper_mode` routes that mode through the compression-FOR-
+        WRAPPER path (Bn256 Poseidon2 trees/transcript) — the reference's
+        final mode before the SNARK (WrapperConfig.get_final_compression_
+        type, proof_wrapper_utils/mod.rs:88-92)."""
         self._inner: Dict[int, Tuple] = {
             1: (scheduler_ir, scheduler_cfg, scheduler_vk)}
         self._outer_cfgs = outer_cfgs or {}
+        self._wrapper_mode = wrapper_mode
 
     def _outer(self, mode: int) -> Optional[pk.PlonkishConfig]:
         return self._outer_cfgs.get(mode)
 
     def prove_fn(self, mode: int, prev_proof):
         ir, cfg, vk = self._inner[mode]
+        if mode == self._wrapper_mode:
+            fw = create_compression_for_wrapper_setup_data(
+                mode, ir, cfg, self._outer(mode))
+            proof = prove_compression_for_wrapper_circuit(
+                mode, ir, cfg, vk, prev_proof, self._outer(mode))
+            self._inner[mode + 1] = (fw.sd.ir, fw.sd.config, fw.vk_fr)
+            return proof, fw.vk_fr
         cs = create_compression_layer_setup_data(mode, ir, cfg,
                                                  self._outer(mode))
         proof = prove_compression_layer_circuit(mode, ir, cfg, vk, prev_proof,
@@ -1112,9 +1125,99 @@ class CompressionChain:
 
     def verify_fn(self, mode: int, proof, vk) -> bool:
         ir, cfg, inner_vk = self._inner[mode]
+        if mode == self._wrapper_mode:
+            return verify_compression_for_wrapper_proof(
+                mode, ir, cfg, proof, vk, expected_inner_vk=inner_vk,
+                outer_cfg=self._outer(mode))
         return verify_compression_layer_proof(
             mode, ir, cfg, proof, vk, expected_inner_vk=inner_vk,
             outer_cfg=self._outer(mode))
+
+
+# -- compression FOR WRAPPER: Bn256-Poseidon2-hashed final mode -------------
+#
+# The reference's last compression step re-proves the same verifier circuit
+# with the FRI trees and transcript hashed by a Bn256 Poseidon2 sponge, so
+# the BN254 PLONK WrapperCircuit can consume the proof with native-field
+# hash gates (create/prove/verify_compression_for_wrapper_*,
+# src/prover_utils.rs:823-967; hasher types proof_wrapper_utils/mod.rs:30-31).
+
+@dataclasses.dataclass
+class ForWrapperSetup:
+    sd: SetupData          # ir + polynomial setup (hash-independent)
+    builder: object
+    layout: object
+    backend: object        # hash_backend.Bn254Backend
+    vk_fr: list            # Bn254 cap of the setup tree (THE for-wrapper VK)
+    setup_tree: object     # Bn254Tree over the setup LDE
+
+
+def for_wrapper_engine_config(mode: int) -> pk.PlonkishConfig:
+    from ..circuits.types import (COMPRESSION_FOR_WRAPPER_PROOF_CONFIGS,
+                                  CompressionMode)
+    return _engine_config(
+        COMPRESSION_FOR_WRAPPER_PROOF_CONFIGS[CompressionMode(mode)])
+
+
+def create_compression_for_wrapper_setup_data(
+        mode: int, inner_ir: pk.PlonkishIR, inner_cfg: pk.PlonkishConfig,
+        outer_cfg: Optional[pk.PlonkishConfig] = None) -> ForWrapperSetup:
+    from ..circuits import verifier_circuit as vc
+    from ..ops import ntt as nt
+    from . import hash_backend as hb
+    outer_cfg = outer_cfg or for_wrapper_engine_config(mode)
+    key = ("compression_fw", mode, inner_ir.log_n, inner_ir.num_witness,
+           inner_cfg.rate, inner_cfg.cap_size, inner_cfg.num_queries,
+           inner_cfg.final_fri_size, outer_cfg.rate, outer_cfg.num_queries)
+    if key not in _SETUP_CACHE:
+        b, lay = vc.synthesize_verifier(inner_ir, inner_cfg, slots=8)
+        built = b.finalize()
+        setup = built.setup(outer_cfg)
+        backend = hb.Bn254Backend()
+        setup_cols = pk.gl.concatenate(
+            [setup.const_cols, setup.sigma_cols, setup.table_cols], axis=0)
+        setup_lde = nt.coset_lde(setup_cols, outer_cfg.rate)
+        tree = backend.commit_rows(pk.gl.to_ints(setup_lde).T,
+                                   outer_cfg.cap_size)
+        sd = SetupData(ir=built.ir, setup=setup, vk=list(tree.cap),
+                       config=outer_cfg)
+        _SETUP_CACHE[key] = ForWrapperSetup(
+            sd=sd, builder=b, layout=lay, backend=backend,
+            vk_fr=list(tree.cap), setup_tree=tree)
+    return _SETUP_CACHE[key]
+
+
+def prove_compression_for_wrapper_circuit(
+        mode: int, inner_ir: pk.PlonkishIR, inner_cfg: pk.PlonkishConfig,
+        inner_vk, inner_proof,
+        outer_cfg: Optional[pk.PlonkishConfig] = None):
+    from ..circuits import verifier_circuit as vc
+    fw = create_compression_for_wrapper_setup_data(mode, inner_ir,
+                                                   inner_cfg, outer_cfg)
+    asg = vc.verifier_assignments(fw.layout, inner_vk, inner_proof)
+    witness = fw.builder.fill_witness(asg)
+    proof = pk.prove(fw.sd.ir, fw.sd.setup, witness, fw.sd.config,
+                     backend=fw.backend,
+                     backend_setup=(fw.vk_fr, fw.setup_tree))
+    expected = vc.verifier_public_inputs(inner_vk, inner_proof)
+    assert [int(v) for v in proof.public_inputs] == expected, \
+        "for-wrapper PI mismatch (inner vk + inner public inputs)"
+    return proof
+
+
+def verify_compression_for_wrapper_proof(
+        mode: int, inner_ir: pk.PlonkishIR, inner_cfg: pk.PlonkishConfig,
+        proof, vk=None, expected_inner_vk=None,
+        outer_cfg: Optional[pk.PlonkishConfig] = None) -> bool:
+    fw = create_compression_for_wrapper_setup_data(mode, inner_ir,
+                                                   inner_cfg, outer_cfg)
+    if expected_inner_vk is not None:
+        k = len(expected_inner_vk)
+        if [int(v) for v in proof.public_inputs[:k]] != \
+                [int(v) % pk.gl.P for v in expected_inner_vk]:
+            return False
+    return pk.verify(fw.sd.ir, vk if vk is not None else fw.vk_fr, proof,
+                     fw.sd.config, backend=fw.backend)
 
 
 # -- real leaf queue-segment proofs ----------------------------------------

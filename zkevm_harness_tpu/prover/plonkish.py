@@ -746,15 +746,21 @@ FORCE_LEAN = False  # test hook: run the lean-HBM streamed phases on CPU
 
 
 def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
-          cfg: PlonkishConfig = PlonkishConfig()) -> PlonkishProof:
+          cfg: PlonkishConfig = PlonkishConfig(), backend=None,
+          backend_setup=None) -> PlonkishProof:
     with tracing.span("plonkish.prove", log_n=ir.log_n,
                       num_witness=ir.num_witness):
         tracing.count("proofs")
-        return _prove_impl(ir, setup, witness, cfg)
+        return _prove_impl(ir, setup, witness, cfg, backend, backend_setup)
 
 
 def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
-                cfg: PlonkishConfig = PlonkishConfig()) -> PlonkishProof:
+                cfg: PlonkishConfig = PlonkishConfig(), backend=None,
+                backend_setup=None) -> PlonkishProof:
+    """`backend`/`backend_setup` switch the Merkle hasher + transcript to an
+    alternative hash backend (prover/hash_backend.Bn254Backend with its
+    (vk_fr, setup_tree) pair) — the compression-for-wrapper mode
+    (prover_utils.rs:900-967); None keeps the Goldilocks Poseidon2 path."""
     n = 1 << ir.log_n
     rate = cfg.rate
     n_comm = n * rate
@@ -772,10 +778,22 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     # 130-column MainVM shape fits a single chip. CPU keeps the retain-LDE
     # path (the extra NTT passes are slower than the memory saving);
     # FORCE_LEAN lets tests pin transcript-equality of the two paths.
-    lean = jax.default_backend() != "cpu" or FORCE_LEAN
+    lean = (jax.default_backend() != "cpu" or FORCE_LEAN) and backend is None
 
-    tr = Transcript()
-    tr.absorb_ints(setup.vk())
+    def _backend_commit(cols=None, coeffs=None):
+        """LDE (device, exact Goldilocks NTT) + host backend Merkle tree."""
+        lde_b = (nt.coset_lde(cols, rate) if cols is not None
+                 else _lde_from_coeffs(coeffs, n_comm))
+        tree_b = backend.commit_rows(gl.to_ints(lde_b).T, cfg.cap_size)
+        return lde_b, tree_b
+
+    if backend is not None:
+        assert backend_setup is not None, "for-wrapper mode needs its setup"
+        tr = backend.transcript()
+        tr.absorb_fr(backend_setup[0])
+    else:
+        tr = Transcript()
+        tr.absorb_ints(setup.vk())
 
     # public inputs (bound via transcript + composition terms; the reference
     # binds them via simulated closed-form-input commitments,
@@ -794,10 +812,14 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
 
     # -- stage 1: witness commitment --------------------------------------
     wit_coeffs = nt.intt(witness)
-    wit_lde, wit_tree = _commit_cols_jit(witness, rate, cfg.cap_size)
-    if lean:
-        wit_lde = None
-    tr.absorb_gf_device(wit_tree.cap)
+    if backend is not None:
+        wit_lde, wit_tree = _backend_commit(cols=witness)
+        tr.absorb_fr(wit_tree.cap)
+    else:
+        wit_lde, wit_tree = _commit_cols_jit(witness, rate, cfg.cap_size)
+        if lean:
+            wit_lde = None
+        tr.absorb_gf_device(wit_tree.cap)
 
     # -- stage 2: copy-permutation columns --------------------------------
     beta = tr.challenge_ext_ints()
@@ -822,11 +844,15 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         m_cols = gl.from_int(np.stack(m_cols_np))
         stage2 = gl.concatenate([stage2, m_cols], axis=0)
     s2_coeffs = nt.intt(stage2)
-    s2_lde, s2_tree = _commit_cols_jit(stage2, rate, cfg.cap_size)
-    if lean:
-        s2_lde = None
+    if backend is not None:
+        s2_lde, s2_tree = _backend_commit(cols=stage2)
+        tr.absorb_fr(s2_tree.cap)
+    else:
+        s2_lde, s2_tree = _commit_cols_jit(stage2, rate, cfg.cap_size)
+        if lean:
+            s2_lde = None
+        tr.absorb_gf_device(s2_tree.cap)
     del stage2  # evals recomputed from coeffs per coset
-    tr.absorb_gf_device(s2_tree.cap)
 
     # -- stage 2b: lookup helper columns (logup with inverses) ------------
     if has_lk:
@@ -837,11 +863,15 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         stage3 = _stage3_fn(ir)(witness, setup.table_cols, m_cols,
                                 theta_gf, beta_lk_gf)
         s3_coeffs = nt.intt(stage3)
-        s3_lde, s3_tree = _commit_cols_jit(stage3, rate, cfg.cap_size)
-        if lean:
-            s3_lde = None
+        if backend is not None:
+            s3_lde, s3_tree = _backend_commit(cols=stage3)
+            tr.absorb_fr(s3_tree.cap)
+        else:
+            s3_lde, s3_tree = _commit_cols_jit(stage3, rate, cfg.cap_size)
+            if lean:
+                s3_lde = None
+            tr.absorb_gf_device(s3_tree.cap)
         del stage3
-        tr.absorb_gf_device(s3_tree.cap)
     else:
         theta = beta_lk = None
         theta_gf = beta_lk_gf = gl.ext_zeros(())
@@ -918,11 +948,15 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         q_cols.append(q_coeff_c0[j * n:(j + 1) * n])
         q_cols.append(q_coeff_c1[j * n:(j + 1) * n])
     q_coeffs = gl.stack(q_cols, axis=0)
-    q_lde, q_tree = _commit_cols_from_coeffs(q_coeffs, n_comm,
-                                            cfg.cap_size)
-    if lean:
-        q_lde = None
-    tr.absorb_gf_device(q_tree.cap)
+    if backend is not None:
+        q_lde, q_tree = _backend_commit(coeffs=q_coeffs)
+        tr.absorb_fr(q_tree.cap)
+    else:
+        q_lde, q_tree = _commit_cols_from_coeffs(q_coeffs, n_comm,
+                                                 cfg.cap_size)
+        if lean:
+            q_lde = None
+        tr.absorb_gf_device(q_tree.cap)
 
     # -- stage 4: OOD evaluations -----------------------------------------
     z_pt = tr.challenge_ext_ints()
@@ -1023,7 +1057,7 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
             _oods_to_gf2(ood_setup), _oods_to_gf2(ood_quotient),
             z_gf, zw_gf, gpows, xs)
     fri_cfg = cfg.fri_config(n_comm)
-    fri_proof = fri_prove(deep, shift, tr, fri_cfg)
+    fri_proof = fri_prove(deep, shift, tr, fri_cfg, backend=backend)
 
     # -- stage 6: query openings ------------------------------------------
     h0 = n_comm // 2
@@ -1045,7 +1079,9 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         all_trees = [("witness", wit_lde, wit_tree),
                      ("stage2", s2_lde, s2_tree),
                      ("quotient", q_lde, q_tree),
-                     ("setup", setup_lde, setup.tree)]
+                     ("setup", setup_lde,
+                      backend_setup[1] if backend is not None
+                      else setup.tree)]
         if has_lk:
             all_trees.insert(2, ("stage3", s3_lde, s3_tree))
     for name, cols_or_coeffs, tree in all_trees:
@@ -1056,16 +1092,26 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         vals = gl.to_ints(GF(jnp.moveaxis(g.lo, 0, 1),
                              jnp.moveaxis(g.hi, 0, 1)))
         del lde_cols, g
-        pth = gl.to_ints(mk.open_indices(tree, idx_arr))
+        if backend is not None:
+            pth = backend.open(tree, idx_set)
+        else:
+            pth = gl.to_ints(mk.open_indices(tree, idx_arr))
         openings[name] = {int(i): [int(v) for v in vals[k]]
                           for k, i in enumerate(idx_set)}
         paths[name] = {int(i): pth[k] for k, i in enumerate(idx_set)}
 
-    wit_cap = gl.to_ints(wit_tree.cap)
-    s2_cap = gl.to_ints(s2_tree.cap)
-    q_cap = gl.to_ints(q_tree.cap)
-    s3_cap = (gl.to_ints(s3_tree.cap) if has_lk
-              else np.zeros((0, 4), dtype=object))
+    if backend is not None:
+        wit_cap = np.asarray(wit_tree.cap, dtype=object)
+        s2_cap = np.asarray(s2_tree.cap, dtype=object)
+        q_cap = np.asarray(q_tree.cap, dtype=object)
+        s3_cap = (np.asarray(s3_tree.cap, dtype=object) if has_lk
+                  else np.zeros((0,), dtype=object))
+    else:
+        wit_cap = gl.to_ints(wit_tree.cap)
+        s2_cap = gl.to_ints(s2_tree.cap)
+        q_cap = gl.to_ints(q_tree.cap)
+        s3_cap = (gl.to_ints(s3_tree.cap) if has_lk
+                  else np.zeros((0, 4), dtype=object))
     return PlonkishProof(
         public_inputs=public_inputs,
         witness_cap=wit_cap, stage2_cap=s2_cap, quotient_cap=q_cap,
@@ -1119,7 +1165,9 @@ def _lde_from_coeffs(coeffs: GF, n_comm: int) -> GF:
 # ---------------------------------------------------------------------------
 
 def _verify_inner(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
-           cfg: PlonkishConfig = PlonkishConfig()) -> bool:
+           cfg: PlonkishConfig = PlonkishConfig(), backend=None) -> bool:
+    """With `backend` set, `vk` is the backend-hashed setup cap (Fr list for
+    Bn254Backend) and all caps/paths are backend digests."""
     n = 1 << ir.log_n
     rate = cfg.rate
     n_comm = n * rate
@@ -1129,8 +1177,12 @@ def _verify_inner(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
     num_q_chunks = max(1, max_deg - 1)
     w_gen = gl.primitive_root_of_unity(ir.log_n)
 
-    tr = Transcript()
-    tr.absorb_ints(vk)
+    if backend is not None:
+        tr = backend.transcript()
+        tr.absorb_fr(vk)
+    else:
+        tr = Transcript()
+        tr.absorb_ints(vk)
     if len(proof.public_inputs) != len(ir.public_input_cells):
         return False
     # Geometry binding: every absorbed OOD list and every opened row must
@@ -1171,20 +1223,26 @@ def _verify_inner(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
         for i in keys:
             if len(proof.openings[name][i]) != width:
                 return False
+    def _absorb_cap(cap):
+        flat = [int(v) for v in np.asarray(cap, dtype=object).ravel()]
+        if backend is not None:
+            tr.absorb_fr(flat)
+        else:
+            tr.absorb_ints(flat)
+
     tr.absorb_ints([int(v) for v in proof.public_inputs])
-    tr.absorb_ints([int(v) for v in np.asarray(proof.witness_cap, dtype=object).ravel()])
+    _absorb_cap(proof.witness_cap)
     beta = tr.challenge_ext_ints()
     gamma = tr.challenge_ext_ints()
-    tr.absorb_ints([int(v) for v in np.asarray(proof.stage2_cap, dtype=object).ravel()])
+    _absorb_cap(proof.stage2_cap)
     has_lk = bool(ir.lookup_sets)
     n_tables = len(ir.lookup_tables)
     if has_lk:
         theta = tr.challenge_ext_ints()
         beta_lk = tr.challenge_ext_ints()
-        tr.absorb_ints([int(v) for v in
-                        np.asarray(proof.stage3_cap, dtype=object).ravel()])
+        _absorb_cap(proof.stage3_cap)
     alpha = tr.challenge_ext_ints()
-    tr.absorb_ints([int(v) for v in np.asarray(proof.quotient_cap, dtype=object).ravel()])
+    _absorb_cap(proof.quotient_cap)
     z_pt = tr.challenge_ext_ints()
     zw = fi.escale(z_pt, w_gen)
     for pair in (proof.ood_witness + proof.ood_witness_next + proof.ood_stage2
@@ -1307,8 +1365,9 @@ def _verify_inner(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
 
     # -- Merkle openings ---------------------------------------------------
     caps = {"witness": proof.witness_cap, "stage2": proof.stage2_cap,
-            "quotient": proof.quotient_cap, "setup": np.array(vk, dtype=object
-                                                              ).reshape(-1, 4)}
+            "quotient": proof.quotient_cap,
+            "setup": (np.array(vk, dtype=object) if backend is not None
+                      else np.array(vk, dtype=object).reshape(-1, 4))}
     tree_names = ["witness", "stage2", "quotient", "setup"]
     if has_lk:
         caps["stage3"] = proof.stage3_cap
@@ -1316,6 +1375,17 @@ def _verify_inner(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
     idx_list = sorted(proof.openings["witness"].keys())
     idx_arr = np.array(idx_list, dtype=np.uint32)
     for name in tree_names:
+        if backend is not None:
+            rows_np = np.array([proof.openings[name][i] for i in idx_list],
+                               dtype=object)
+            pth_np = np.stack([np.asarray(proof.paths[name][i], dtype=object)
+                               for i in idx_list])
+            if not backend.verify_paths(
+                    backend.hash_rows(rows_np), idx_list, pth_np,
+                    [int(v) for v in
+                     np.asarray(caps[name], dtype=object).ravel()]):
+                return False
+            continue
         rows = gl.from_int(np.array([proof.openings[name][i] for i in idx_list],
                                     dtype=object))
         pth = gl.from_int(np.stack([np.asarray(proof.paths[name][i], dtype=object)
@@ -1360,7 +1430,8 @@ def _verify_inner(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
         return acc
 
     fri_cfg = cfg.fri_config(n_comm)
-    return fri_verify(proof.fri, n_comm, shift, tr, fri_cfg, deep_at)
+    return fri_verify(proof.fri, n_comm, shift, tr, fri_cfg, deep_at,
+                      backend=backend)
 
 
 def verify(*args, strict: bool = None, **kwargs) -> bool:

@@ -14,11 +14,11 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from ..circuits.main_vm_circuit import (NREGS, OP_ADD, OP_EVT, OP_EVTL1,
-                                        OP_EXT, OP_HEAPR, OP_HEAPW, OP_JEQ,
-                                        OP_JUMP, OP_NCALL, OP_NOP, OP_RET,
-                                        OP_RETP, OP_STOR, OP_STOW, OP_SUB,
-                                        VmGeometry)
+from ..circuits.main_vm_circuit import (NREGS, OP_ADD, OP_CTX, OP_DIV,
+                                        OP_EVT, OP_EVTL1, OP_EXT, OP_HEAPR,
+                                        OP_HEAPW, OP_JEQ, OP_JUMP, OP_NCALL,
+                                        OP_NOP, OP_RET, OP_RETP, OP_STOR,
+                                        OP_STOW, OP_SUB, VmGeometry)
 from ..ops import goldilocks as gl
 from ..vm import isa
 from .tracer import WitnessTracer
@@ -42,6 +42,8 @@ class VmRow:
     v0: int = 0
     v1: int = 0
     res: int = 0
+    dst2: int = 0           # div remainder destination (1-based; 0 = none)
+    rem: int = 0            # div remainder value
     handler: int = 0        # NCALL exception handler (instruction field)
     spop: bool = False      # this row pops a local frame
     pop_ret_pc: int = 0     # popped frame's pushed return pc
@@ -155,6 +157,36 @@ def decode_cycle_rows(tracer: WitnessTracer) -> List[VmRow]:
             k0, e0, v0 = _operand(instr.key, regs)
             row = VmRow(op=OP_STOR, dst=int(instr.dst), s0_kind=k0,
                         s0_val=e0, v0=v0, res=log_reads.get(cyc, 0), **base)
+        elif isinstance(instr, isa.Div):
+            k0, e0, v0 = _operand(instr.src0, regs)
+            k1, e1, v1 = _operand(instr.src1, regs)
+            q, r = (0, 0) if v1 == 0 else divmod(v0, v1)
+            assert instr.dst_quot != instr.dst_rem, \
+                "div destinations must be distinct registers"
+            row = VmRow(op=OP_DIV, dst=int(instr.dst_quot),
+                        dst2=int(instr.dst_rem), s0_kind=k0, s0_val=e0,
+                        s1_kind=k1, s1_val=e1, v0=v0, v1=v1, res=q, rem=r,
+                        **base)
+        elif isinstance(instr, isa.Context):
+            # single-writeback row: the context VALUE is oracle data (the
+            # frame state is not circuit-tracked yet) but pc/flags/every
+            # other register are proven preserved; the field id is
+            # code-bound through tgt. The written value rides RES so the
+            # writeback gate binds exactly one register to it.
+            nxt = (tracer.cycle_states[cyc + 1]
+                   if cyc + 1 < len(tracer.cycle_states)
+                   else tracer.final_state)
+            res = nxt["registers"][int(instr.dst) - 1][0]
+            row = VmRow(op=OP_CTX, dst=int(instr.dst),
+                        tgt=int(instr.field), res=res, **base)
+        elif isinstance(instr, isa.Precompile):
+            # single-writeback row; the precompile address is code-bound
+            nxt = (tracer.cycle_states[cyc + 1]
+                   if cyc + 1 < len(tracer.cycle_states)
+                   else tracer.final_state)
+            res = nxt["registers"][int(instr.dst) - 1][0]
+            row = VmRow(op=OP_CTX, dst=int(instr.dst),
+                        tgt=int(instr.address) & 0xFFFF, res=res, **base)
         elif isinstance(instr, isa.NearCall):
             row = VmRow(op=OP_NCALL, tgt=int(instr.target),
                         handler=int(instr.exception_handler), **base)
@@ -194,8 +226,8 @@ def row_fingerprint_fields(geo: VmGeometry, row: VmRow):
             else (row.s1_val if row.s1_kind == "reg" else 0))
     imm0 = row.s0_val if row.s0_kind == "imm" else 0
     imm1 = row.s1_val if row.s1_kind == "imm" else 0
-    code = ([row.pc, opid, row.dst + 16 * s0id, s1id + 32 * row.tgt,
-             row.handler]
+    code = ([row.pc, opid, row.dst + 16 * s0id + 512 * row.dst2,
+             s1id + 32 * row.tgt, row.handler]
             + _limbs(imm0, NL, L) + _limbs(imm1, NL, L))
     log = mem = None
     if row.op in (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1):

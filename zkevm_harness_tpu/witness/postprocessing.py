@@ -102,6 +102,44 @@ class CircuitMaker:
         self.queue.push_request(RecursionRequest(self.circuit_type, pi))
         return inst
 
+    def process_real(self, cfi: ClosedFormInput,
+                     real_public_inputs: Sequence[int],
+                     witness_payload: object = None) -> CircuitInstance:
+        """Process one instance carrying its REAL closed-form data
+        (witness/closed_form.py) and its REAL proven public-input vector.
+
+        The chain checks (shared observable input, FSM continuation) run
+        over the real values; the recursion-queue digest is the Poseidon2
+        hash of the real PI vector — exactly the digest the leaf circuit
+        recomputes in-circuit from the child proof
+        (circuits/leaf_circuit.py), so the DAG's queue IS the queue the
+        recursion tower verifies."""
+        idx = len(self.instances)
+        if self._observable_input is None:
+            self._observable_input = tuple(cfi.observable_input)
+        else:
+            if tuple(cfi.observable_input) != self._observable_input:
+                raise ValueError("observable input must be shared across "
+                                 f"instances of type {self.circuit_type}")
+        if self._prev_fsm is not None and \
+                tuple(cfi.hidden_fsm_input) != self._prev_fsm:
+            raise ValueError(
+                f"FSM continuation broken at instance {idx} of type "
+                f"{self.circuit_type}: {cfi.hidden_fsm_input} != "
+                f"{self._prev_fsm}")
+        if bool(cfi.start_flag) != (idx == 0):
+            raise ValueError("start flag must mark exactly the first "
+                             "instance")
+        self._prev_fsm = tuple(cfi.hidden_fsm_output)
+        pis = [int(v) % P for v in real_public_inputs]
+        digest = p2.hash_elements(gl.from_int(pis))
+        pi = tuple(int(v) for v in gl.to_ints(digest))
+        inst = CircuitInstance(self.circuit_type, idx, cfi, pi,
+                               witness_payload)
+        self.instances.append(inst)
+        self.queue.push_request(RecursionRequest(self.circuit_type, pi))
+        return inst
+
     @property
     def first(self) -> Optional[CircuitInstance]:
         return self.instances[0] if self.instances else None
