@@ -35,6 +35,72 @@ SHAPES = [(20, 130), (19, 130), (18, 32)]  # preferred first
 _CHILD_TIMEOUT_S = 4200  # first-ever compile of a big shape is many minutes
 
 
+def _run_mainvm_inline():
+    """Child-process entry: prove ONE real MainVM instance (type 1) at the
+    production capacity 5585 (geometry_config.rs cycles_per_vm_snapshot)
+    from a traced block — the PRODUCT metric, not the synthetic flagship
+    (VERDICT r2 'the bench proves a synthetic circuit'). Prints witness-gen
+    time and warm prove cycles/s."""
+    import time as _t
+    from zkevm_harness_tpu.circuits import main_vm_circuit as mvc
+    from zkevm_harness_tpu.circuits.types import testing_geometry
+    from zkevm_harness_tpu.prover import plonkish as pk
+    from zkevm_harness_tpu.vm import isa
+    from zkevm_harness_tpu.vm.environment import (
+        DefaultPrecompilesProcessor, InMemoryEventSink, InMemoryStorage,
+        SimpleDecommitter, SimpleMemory)
+    from zkevm_harness_tpu.vm.interpreter import run_vm
+    from zkevm_harness_tpu.vm.state import (BlockProperties, ProvingToolset,
+                                            create_vm)
+    from zkevm_harness_tpu.witness import main_vm as wmv
+    from zkevm_harness_tpu.witness.tracer import WitnessTracer
+
+    I, R = isa.imm, isa.reg
+    # ~5600-cycle block: arithmetic + storage + events + heap + near calls
+    body = [
+        isa.BinOp("add", R(1), I(1), dst=1),
+        isa.BinOp("add", R(1), R(2), dst=2),
+        isa.Div(R(2), I(7), dst_quot=3, dst_rem=4),
+        isa.HeapWrite(I(3), R(2)),
+        isa.HeapRead(I(3), 5),
+        isa.StorageWrite(I(5), R(5)),
+        isa.Event(I(6), R(3)),
+        isa.BinOp("sub", R(2), R(3), dst=6),
+    ]
+    prog = []
+    for _ in range(697):  # 697*8 + tail ~= 5585 cycles
+        prog.extend(body)
+    prog += [isa.Nop()] * (5584 - len(prog)) + [isa.Ret()]
+    tracer = WitnessTracer(10_000)
+    tools = ProvingToolset(
+        storage=InMemoryStorage(), memory=SimpleMemory(),
+        decommitter=SimpleDecommitter(), event_sink=InMemoryEventSink(),
+        precompiles=DefaultPrecompilesProcessor(), tracer=tracer,
+        geometry=testing_geometry())
+    vm = create_vm(tools, BlockProperties(block_number=1), 0xAA, code_page=0)
+    cycles = run_vm(vm, prog, 10_000)
+    assert vm.finished and cycles >= 5585 - 16, cycles
+    t0 = time.time()
+    from zkevm_harness_tpu.prover import layers as ly
+    geo = ly.main_vm_geometry_for_capacity(5585)  # the layer-surface shape
+    art = wmv.compute_main_vm_artifacts(tracer, geo, capacity=5585)
+    inst = art.instances[0]
+    ir = mvc.main_vm_ir(geo)
+    W = mvc.main_vm_witness(ir, geo, inst)
+    t_wit = time.time() - t0
+    print(f"WITNESS_SECONDS {t_wit}", flush=True)
+    cfg = pk.PlonkishConfig(rate=2, cap_size=16, num_queries=50,
+                            final_fri_size=32)
+    setup = mvc.main_vm_setup(ir, geo, cfg)
+    proof = pk.prove(ir, setup, W, cfg)  # compile + warm cache
+    t0 = time.time()
+    proof = pk.prove(ir, setup, W, cfg)
+    dt = time.time() - t0
+    assert pk.verify(ir, setup.vk(), proof, cfg), "MainVM proof must verify"
+    print(f"MAINVM_CYCLES_PER_SEC {5585.0 / dt} width {ir.num_witness}",
+          flush=True)
+
+
 def _run_shape_inline(log_n: int, width: int):
     """Child-process entry: prove the shape twice (compile+warm), print
     the warm cells/s on the last stdout line."""
@@ -75,8 +141,32 @@ def _tunnel_ready(deadline_s: float = 900.0) -> bool:
     return False
 
 
+def _run_mainvm_child():
+    """Secondary metric: a REAL MainVM instance at capacity 5585 (the
+    product, not the flagship). Failure is non-fatal to the headline."""
+    try:
+        r = subprocess.run(
+            [sys.executable, __file__, "--mainvm"],
+            capture_output=True, timeout=_CHILD_TIMEOUT_S, text=True)
+    except subprocess.TimeoutExpired:
+        return {"error": "main_vm_real timed out"}
+    if r.returncode != 0:
+        tail = (r.stdout + r.stderr).strip().splitlines()[-1:]
+        return {"error": f"main_vm_real failed: {tail}"}
+    out = {}
+    for ln in r.stdout.splitlines():
+        if ln.startswith("WITNESS_SECONDS"):
+            out["main_vm_witness_seconds"] = round(float(ln.split()[1]), 2)
+        if ln.startswith("MAINVM_CYCLES_PER_SEC"):
+            out["main_vm_real_cycles_per_sec"] = round(float(ln.split()[1]),
+                                                       1)
+            out["main_vm_width"] = int(ln.split()[3])
+    return out
+
+
 def main():
     last_err = None
+    headline = None
     for i, (log_n, width) in enumerate(SHAPES):
         if i > 0 and not _tunnel_ready():
             last_err = "tunnel did not heal after previous shape"
@@ -85,7 +175,7 @@ def main():
             r = subprocess.run(
                 [sys.executable, __file__, "--shape", str(log_n), str(width)],
                 capture_output=True, timeout=_CHILD_TIMEOUT_S, text=True)
-        except subprocess.TimeoutExpired as e:
+        except subprocess.TimeoutExpired:
             last_err = f"shape 2^{log_n}x{width} timed out"
             continue
         if r.returncode != 0:
@@ -94,19 +184,27 @@ def main():
         line = [ln for ln in r.stdout.splitlines()
                 if ln.startswith("CELLS_PER_SEC")][-1]
         cells_per_sec = float(line.split()[1])
-        print(json.dumps({
+        headline = {
             "metric": f"plonkish_prove_cells_per_sec_w{width}_2e{log_n}",
             "value": round(cells_per_sec, 1),
             "unit": "cells/s",
             "vs_baseline": round(cells_per_sec / CPU_ANCHOR_CELLS_PER_SEC,
                                  3),
-        }))
-        return
-    raise SystemExit(f"all bench shapes failed: {last_err}")
+        }
+        break
+    if headline is None:
+        raise SystemExit(f"all bench shapes failed: {last_err}")
+    if _tunnel_ready():
+        headline["secondary"] = _run_mainvm_child()
+    else:
+        headline["secondary"] = {"error": "tunnel wedged before main_vm_real"}
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--shape":
         _run_shape_inline(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--mainvm":
+        _run_mainvm_inline()
     else:
         main()

@@ -21,6 +21,8 @@ context/meta reads, per-opcode ergs costs, invalid-opcode panic.
 
 from __future__ import annotations
 
+import dataclasses
+
 from typing import List, Optional
 
 from ..witness.tracer import WitnessTracer
@@ -131,7 +133,7 @@ def _unwind_panic(vm: VmState, cycle: int, reason: str):
     vm.tools.event_sink.finish_frame(True)
     vm.tools.tracer.finish_execution_context(cycle, True, frame_info={
         "is_local": popped.is_local_call, "ret_pc": vm.frame.pc,
-        "handler": popped.exception_handler})
+        "handler": popped.exception_handler, "frame": popped})
     vm.frame.pc = popped.exception_handler
 
 
@@ -324,7 +326,8 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
         vm.callstack.append(new_frame)
         vm.tools.storage.start_frame()
         vm.tools.event_sink.start_frame()
-        tracer.start_new_execution_context(cycle)
+        tracer.start_new_execution_context(
+            cycle, saved_frame=dataclasses.replace(f))
 
     elif isinstance(instr, isa.Ret):
         panicked = instr.panic
@@ -337,7 +340,7 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
         vm.tools.event_sink.finish_frame(panicked)
         tracer.finish_execution_context(cycle, panicked, frame_info={
             "is_local": popped.is_local_call, "ret_pc": vm.frame.pc,
-            "handler": popped.exception_handler})
+            "handler": popped.exception_handler, "frame": popped})
         if panicked:
             # resume the parent at the handler the popped frame recorded
             vm.frame.pc = popped.exception_handler
@@ -445,7 +448,8 @@ def _execute(vm: VmState, instr: isa.Instruction, cycle: int):
                 _val(vm, instr.calldata_len)), is_pointer=True)
         vm.tools.storage.start_frame()
         vm.tools.event_sink.start_frame()
-        tracer.start_new_execution_context(cycle)
+        tracer.start_new_execution_context(
+            cycle, saved_frame=dataclasses.replace(f))
 
     elif isinstance(instr, isa.Precompile):
         _require_kernel(vm, "precompile call")

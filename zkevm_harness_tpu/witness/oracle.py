@@ -76,6 +76,9 @@ class BlockArtifacts:
     main_vm: "VmCircuitArtifacts" = None
     ecrecover: List = None  # [EcrecoverInstanceWitness]
     storage_application: "StorageApplicationCircuitArtifacts" = None
+    # callstack sponge witnesses + per-frame log boundary states
+    # (witness/callstack_sim.py; oracle.rs:560-790 role)
+    callstack_witness: "CallstackSimResult" = None
 
 
 def _instances_for(count: int, capacity: int) -> int:
@@ -264,6 +267,9 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
     ram_art = compute_ram_circuit_snapshots(
         [q for _, q in tracer.memory_queries], g.cycles_per_ram_permutation)
 
+    from .callstack_sim import simulate_callstack
+    callstack_wit = simulate_callstack(tracer)
+
     return BlockArtifacts(
         log_queue=log_queue, demuxed=demuxed, memory_queue=memory_queue,
         sorted_memory_queue=sorted_memory_queue,
@@ -275,4 +281,5 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
         storage_sorter=storage_art, keccak_rounds=keccak_art,
         sha256_rounds=sha256_art, linear_hasher=hasher_art,
         code_decommitter=code_dec_art, main_vm=main_vm_art,
-        ecrecover=ecrecover_art, storage_application=storage_app_art)
+        ecrecover=ecrecover_art, storage_application=storage_app_art,
+        callstack_witness=callstack_wit)

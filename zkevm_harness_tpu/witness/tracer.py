@@ -86,6 +86,11 @@ class WitnessTracer:
         # per-cycle frame-pop records for the MainVM stack argument:
         # cycle -> {"panicked", "is_local", "ret_pc", "handler"}
         self.frame_pops: Dict[int, dict] = {}
+        # full context push/pop records for the callstack sponge simulator
+        # (witness/callstack_sim.py; oracle.rs:560-790 role): the SAVED
+        # parent frame at push, the popped frame + panic flag at pop
+        self.context_pushes: List[Tuple[int, object]] = []
+        self.context_pops: List[Tuple[int, object, bool]] = []
 
     # -- VmWitnessTracer surface (tracer.rs:221-407) -----------------------
 
@@ -130,8 +135,11 @@ class WitnessTracer:
                                 refund: int):
         self.refunds.append((cycle, query, refund))
 
-    def start_new_execution_context(self, cycle: int):
+    def start_new_execution_context(self, cycle: int,
+                                    saved_frame: object = None):
         self.callstack_with_aux_data.push_frame()
+        if saved_frame is not None:
+            self.context_pushes.append((cycle, saved_frame))
 
     def finish_execution_context(self, cycle: int, panicked: bool,
                                  frame_info: Optional[dict] = None):
@@ -141,6 +149,9 @@ class WitnessTracer:
         self.callstack_with_aux_data.pop_frame(cycle, panicked)
         if frame_info is not None:
             self.frame_pops[cycle] = dict(frame_info, panicked=panicked)
+        self.context_pops.append((cycle,
+                                  (frame_info or {}).get("frame"),
+                                  panicked))
 
     # -- witness-side accessors -------------------------------------------
 
