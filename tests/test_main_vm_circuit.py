@@ -371,3 +371,92 @@ def test_div_remainder_bound_rejected(div_rig):
         # past it hits the in-circuit compare (covered by construction:
         # DCAR final borrow cannot be zero when r >= divisor)
         mvc.main_vm_witness(ir, GEO, inst)
+
+
+# ---------------------------------------------------------------------------
+# Stage C: fat-pointer ops + pointer-tag register file
+# ---------------------------------------------------------------------------
+
+GEO256 = mvc.VmGeometry(log_n=8, limb_bits=8, num_limbs=32)  # full u256
+
+PTR_CALLEE = [
+    isa.PtrAdd(ptr=1, delta=I(1), dst=2),      # advance calldata ptr
+    isa.PtrRead(ptr=2, offset=I(0), dst=3),    # reads 43 (ctx row)
+    isa.PtrShrink(ptr=2, delta=I(1), dst=4),   # shrink to len 0
+    isa.PtrPack(ptr=2, high=I(7 << 128), dst=5),
+    isa.Ret(),
+]
+PTR_BLOCK = [
+    isa.HeapWrite(I(5), I(41)),
+    isa.HeapWrite(I(6), I(43)),
+    isa.FarCallData(I(0xBB), exception_handler=4,
+                    calldata_start=I(5), calldata_len=I(2)),
+    isa.Ret(),
+    isa.Ret(),  # handler
+]
+
+
+@pytest.fixture(scope="module")
+def ptr_rig():
+    from zkevm_harness_tpu.vm.interpreter import deploy_contract
+    tracer = WitnessTracer(5)
+    tools = ProvingToolset(
+        storage=InMemoryStorage(), memory=SimpleMemory(),
+        decommitter=SimpleDecommitter(), event_sink=InMemoryEventSink(),
+        precompiles=DefaultPrecompilesProcessor(), tracer=tracer,
+        geometry=testing_geometry())
+    deploy_contract(tools, 0xBB, PTR_CALLEE)
+    vm = create_vm(tools, BlockProperties(block_number=1), 0xAA, code_page=0)
+    run_vm(vm, PTR_BLOCK, 100)
+    assert vm.finished
+    art = wmv.compute_main_vm_artifacts(tracer, GEO256, capacity=64)
+    inst = art.instances[0]
+    ir = mvc.main_vm_ir(GEO256)
+    W = mvc.main_vm_witness(ir, GEO256, inst)
+    const = mvc._const_rows(GEO256).T
+    pis = mvc.expected_public_inputs(GEO256, inst)
+    return dict(inst=inst, ir=ir, W=W, const=const, pis=pis)
+
+
+def _ptr_viol(rig_d, Wi):
+    ir = rig_d["ir"]
+    perm = pk.identity_permutation(ir.num_witness, 1 << ir.log_n)
+    return satisfy.check_satisfied(ir, Wi,
+                                   np.asarray(rig_d["const"], dtype=object),
+                                   perm, rig_d["pis"])
+
+
+def test_ptr_ops_satisfy(ptr_rig):
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    ops = [r.op for r in ptr_rig["inst"].rows]
+    assert mvc.OP_PADD in ops and mvc.OP_PSHR in ops and mvc.OP_PPACK in ops
+    assert mvc.OP_CTX in ops  # the PtrRead row
+    assert _ptr_viol(ptr_rig, gl.to_ints(ptr_rig["W"])) == []
+    # the PtrRead row bound the read value through the register update
+    rd = next(r for r in ptr_rig["inst"].rows if r.op == mvc.OP_CTX)
+    assert rd.res == 43
+
+
+def test_ptr_tamper_length_rejected(ptr_rig):
+    """Forging the PtrAdd result's length segment breaks the borrow chain."""
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    off = mvc._cols(GEO256)
+    rows = ptr_rig["inst"].rows
+    r_idx = next(i for i, r in enumerate(rows) if r.op == mvc.OP_PADD)
+    Wi = gl.to_ints(ptr_rig["W"]).copy()
+    Wi[off["RES"], r_idx] = (int(Wi[off["RES"], r_idx]) + 1)
+    assert _ptr_viol(ptr_rig, Wi)
+
+
+def test_ptr_tamper_tag_rejected(ptr_rig):
+    """Claiming a non-pointer source register is tagged fails booleanity/
+    writeback; clearing the true tag fails the source check."""
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    off = mvc._cols(GEO256)
+    rows = ptr_rig["inst"].rows
+    r_idx = next(i for i, r in enumerate(rows) if r.op == mvc.OP_PADD)
+    Wi = gl.to_ints(ptr_rig["W"]).copy()
+    # clear the source pointer tag (r1) on the PADD row
+    assert int(Wi[off["PTRB"] + 0, r_idx]) == 1
+    Wi[off["PTRB"] + 0, r_idx] = 0
+    assert _ptr_viol(ptr_rig, Wi)

@@ -34,14 +34,20 @@ the structured ISA (vm/interpreter.py), one ROW per cycle:
     through the same SPOP flag while staying EXT for pc semantics.
     (Reference: the callstack sponge simulator, circuit_encodings
     callstack_entry.rs:181 + callstack_handler.rs.)
-  - remaining opcodes (far calls/ptr ops/other BinOps) are EXT rows this
-    round: they participate in the code fingerprint but leave pc/regs/
-    flags oracle-provided (the reference stages its vm gates the same
-    way — capacity-first, opcode-set-growing);
+  - stage C (round 3): DIV is fully proven (limb-convolution mul identity
+    with byte-decomposed carries + remainder bound); fat-pointer
+    PADD/PSHR/PPACK are proven over the page|start|length segments with a
+    pointer-tag register file (PTRB); Context/Precompile/PtrRead results
+    are CTX rows — value oracle-provided, but pc/flags/every OTHER
+    register proven preserved;
+  - remaining EXT rows are exactly the FRAME switches (far call/ret,
+    panic unwinds): their register file is oracle-provided pending the
+    far-call stack argument (witness side already simulated,
+    witness/callstack_sim.py);
   - public inputs: challenges, the four accumulator boundaries, depth
-    boundaries, pc/ts boundaries, validity, and the FULL register file at
-    the first and last row (the snapshot FSM binding of
-    oracle.rs:1164-1420).
+    boundaries, pc/ts boundaries, validity, the FULL register file and
+    its pointer tags at the first and last row (the snapshot FSM binding
+    of oracle.rs:1164-1420).
 
 Geometry: tests run u8 limbs x 16 (u128 registers, 2^8 range table);
 production uses u16 x 16 (full u256) at 2^16+ rows.
@@ -65,14 +71,20 @@ OP_NOP, OP_ADD, OP_SUB, OP_JUMP, OP_JEQ = 0, 1, 2, 3, 4
 OP_HEAPW, OP_HEAPR, OP_STOW, OP_STOR = 5, 6, 7, 8
 OP_EVT, OP_EVTL1, OP_NCALL = 9, 10, 11
 OP_RET, OP_RETP, OP_EXT = 12, 13, 14
-# stage C: OP_CTX = single-writeback rows (Context/Precompile result
-# registers: the written VALUE is oracle data, but pc/flags/every OTHER
-# register are proven preserved — no more free-form register writes);
+# stage C: OP_CTX = single-writeback rows (Context/Precompile/PtrRead
+# result registers: the written VALUE is oracle data, but pc/flags/every
+# OTHER register are proven preserved — no more free-form register writes);
 # OP_DIV = full unsigned divmod semantics in-gates (v0 = q*v1 + r with
 # r < v1, or q = r = 0 with the eq flag when v1 == 0 — the reference
-# constrains mul/div through its ALU gadgets, vm_main.rs:29-110).
-OP_CTX, OP_DIV = 15, 16
-NOPS = 17
+# constrains mul/div through its ALU gadgets, vm_main.rs:29-110);
+# OP_PADD/OP_PSHR/OP_PPACK = fat-pointer arithmetic in-gates over the
+# page|start|length segments with a pointer-tag register file (PTRB): the
+# source must be tagged pointer, delta <= length via borrow chains, the
+# result is tagged pointer (reference ptr.add/sub/pack,
+# zkevm_circuits ptr opcodes via vm_main.rs).
+OP_CTX, OP_DIV, OP_PADD, OP_PSHR, OP_PPACK = 15, 16, 17, 18, 19
+NOPS = 20
+_PTR_OPS = (OP_PADD, OP_PSHR, OP_PPACK)
 _LOG_OPS = (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1)
 _MEM_OPS = (OP_HEAPW, OP_HEAPR)
 
@@ -129,6 +141,7 @@ def _cols(geo: VmGeometry) -> Dict[str, int]:
     # zero-divisor flag + inverse hint
     reg("REM", NL)
     reg("DST2", NREGS)
+    reg("PTRB", NREGS)  # pointer-tag register file (fat-pointer discipline)
     reg("MCL", 2 * NL - 2)
     reg("MCH", 2 * NL - 2)
     reg("DIF", NL)
@@ -334,6 +347,69 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
             out.append(alg.mul(dvnz, alg.sub(lhs, rhs)))
         out.append(alg.mul(dvnz, W("DCAR", NL - 1)))
 
+        # --- fat-pointer ops (stage C) --------------------------------------
+        # layout (vm/interpreter.pack_fat_pointer): length bits 0..32,
+        # start 32..64, page 64..96, bits 96..128 zero, metadata >= 128
+        padd, pshr, ppck = op[OP_PADD], op[OP_PSHR], op[OP_PPACK]
+        ptrw = alg.add(alg.add(padd, pshr), ppck)
+        B32 = 32 // L
+        ptrb = [W("PTRB", i) for i in range(NREGS)]
+        for b in ptrb:
+            out.append(alg.sub(alg.mul(b, b), b))
+        # pointer source: the s0-selected register is tagged, never an imm
+        src_tag = None
+        for i in range(NREGS):
+            t = alg.mul(s0[i], ptrb[i])
+            src_tag = t if src_tag is None else alg.add(src_tag, t)
+        out.append(alg.mul(ptrw, alg.add_int(src_tag, P - 1)))
+        out.append(alg.mul(ptrw, s0i))
+        shr = alg.add(padd, pshr)
+        # delta fits 32 bits (interpreter requires delta <= length < 2^32)
+        for j in range(B32, NL):
+            out.append(alg.mul(shr, W("V1", j)))
+        # length' = length - delta: RES[len] + V1 + borrow == V0[len]
+        for j in range(B32):
+            cin = W("CAR", j - 1) if j else None
+            lhs = alg.add(W("RES", j), W("V1", j))
+            if cin is not None:
+                lhs = alg.add(lhs, cin)
+            rhs = alg.add(W("V0", j), alg.mul_int(W("CAR", j), 1 << L))
+            out.append(alg.mul(shr, alg.sub(lhs, rhs)))
+        out.append(alg.mul(shr, W("CAR", B32 - 1)))  # no underflow
+        # start' = start + delta (padd) / start (pshr)
+        for j in range(B32):
+            cin = W("DCAR", j - 1) if j else None
+            lhs = alg.add(W("V0", B32 + j), W("V1", j))
+            if cin is not None:
+                lhs = alg.add(lhs, cin)
+            rhs = alg.add(W("RES", B32 + j),
+                          alg.mul_int(W("DCAR", j), 1 << L))
+            out.append(alg.mul(padd, alg.sub(lhs, rhs)))
+            out.append(alg.mul(pshr, alg.sub(W("RES", B32 + j),
+                                             W("V0", B32 + j))))
+        out.append(alg.mul(padd, W("DCAR", B32 - 1)))  # no 32-bit overflow
+        # page preserved, bits 96..128 zero, metadata >= 128 preserved
+        for j in range(2 * B32, 3 * B32):
+            out.append(alg.mul(shr, alg.sub(W("RES", j), W("V0", j))))
+        for j in range(3 * B32, 4 * B32):
+            out.append(alg.mul(shr, W("RES", j)))
+        for j in range(4 * B32, NL):
+            out.append(alg.mul(shr, alg.sub(W("RES", j), W("V0", j))))
+        # ptr.pack: v1 low 128 bits must be zero; result = v1.hi | v0.lo
+        for j in range(4 * B32):
+            out.append(alg.mul(ppck, W("V1", j)))
+            out.append(alg.mul(ppck, alg.sub(W("RES", j), W("V0", j))))
+        for j in range(4 * B32, NL):
+            out.append(alg.mul(ppck, alg.sub(W("RES", j), W("V1", j))))
+        # pointer-tag writeback: ptr ops tag their destination, every other
+        # writing op clears it, unselected registers carry their tag (EXT
+        # frame rows excluded like the value file)
+        for i in range(NREGS):
+            keep = _one_minus(alg, alg.add(dst[i], dst2[i]))
+            upd = alg.add(alg.mul(dst[i], ptrw), alg.mul(keep, ptrb[i]))
+            out.append(alg.mul(notwrap, alg.mul(
+                notext, alg.sub(Wn("PTRB", i), upd))))
+
         # --- pc / ts chains -------------------------------------------------
         pc, tgt, eqf = W("PC"), W("TGT"), W("EQF")
         pc_seq = alg.add_int(pc, 1)
@@ -479,6 +555,7 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         + (2 * NL - 1)                    # mul identity limbs
         + 2 * NL                          # div-by-zero forcing
         + NL + 1                          # remainder compare chain
+        + 2 * NREGS + 3 * NL + 4 * (32 // L) + 4  # ptr ops + PTRB file
         + 4                               # pc (+padding carry), ts, validity
         + NPOW + 4 + (NPOW - 1)           # fp constancy (4 gammas) + chain
         + 6                               # 3 accumulators x (update+carry)
@@ -503,6 +580,11 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
     for i in range(NREGS):
         for j in range(NL):
             pis.append((off["REG"] + i * NL + j, n - 1))
+    # pointer-tag boundaries (snapshot FSM covers tags like values)
+    for i in range(NREGS):
+        pis.append((off["PTRB"] + i, 0))
+    for i in range(NREGS):
+        pis.append((off["PTRB"] + i, n - 1))
 
     table = np.arange(1 << L, dtype=object).reshape(-1, 1)
     lookup_cols = ([off["RES"] + j for j in range(NL)]
@@ -598,6 +680,8 @@ def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
                     _limbs(row.regs[i], NL, L)
             W[off["PC"], r] = row.pc
             W[off["TS"], r] = row.ts
+            for i, tag in enumerate(row.ptrs or (False,) * NREGS):
+                W[off["PTRB"] + i, r] = 1 if tag else 0
             W[off["EQF"], r] = 1 if row.flags[0] else 0
             W[off["LTF"], r] = 1 if row.flags[1] else 0
             W[off["OP"] + row.op, r] = 1
@@ -638,6 +722,30 @@ def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
                     cin = cout
                 S = sum(res_l)
                 W[off["SINV"], r] = pow(S, P - 2, P) if S else 0
+            elif row.op in (OP_PADD, OP_PSHR):
+                v1l = _limbs(v1, NL, L)
+                res_full = int(row.res)
+                res_lf = _limbs(res_full, NL, L)
+                v0l = _limbs(v0, NL, L)
+                B32 = 32 // L
+                # length borrow chain: RES[len] + V1 + b = V0[len]
+                cin = 0
+                for j in range(B32):
+                    t = res_lf[j] + v1l[j] + cin
+                    cout, rr = divmod(t - v0l[j], 1 << L)
+                    assert rr == 0 and cout in (0, 1)
+                    W[off["CAR"] + j, r] = cout
+                    cin = cout
+                assert cin == 0, "ptr length underflow"
+                if row.op == OP_PADD:
+                    cin = 0
+                    for j in range(B32):
+                        t = v0l[B32 + j] + v1l[j] + cin
+                        cout, rr = divmod(t - res_lf[B32 + j], 1 << L)
+                        assert rr == 0 and cout in (0, 1)
+                        W[off["DCAR"] + j, r] = cout
+                        cin = cout
+                    assert cin == 0, "ptr start overflow"
             elif row.op == OP_DIV:
                 assert row.dst2, "div needs a remainder destination"
                 W[off["DST2"] + row.dst2 - 1, r] = 1
@@ -716,6 +824,9 @@ def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
                     _limbs(inst.exit_regs[i], NL, L)
             W[off["PC"], r] = inst.exit_pc
             W[off["TS"], r] = inst.exit_ts
+            for i, tag in enumerate(getattr(inst, "exit_ptrs",
+                                            (False,) * NREGS)):
+                W[off["PTRB"] + i, r] = 1 if tag else 0
             W[off["EQF"], r] = 1 if inst.exit_flags[0] else 0
             W[off["LTF"], r] = 1 if inst.exit_flags[1] else 0
     return gl.from_int(W)
@@ -746,4 +857,9 @@ def expected_public_inputs(geo: VmGeometry, inst) -> List[int]:
     for regs in (entry_regs, inst.exit_regs):
         for i in range(NREGS):
             out += _limbs(regs[i], NL, L)
+    exit_ptrs = tuple(getattr(inst, "exit_ptrs", (False,) * NREGS))
+    entry_ptrs = (tuple(inst.rows[0].ptrs) if inst.rows and inst.rows[0].ptrs
+                  else exit_ptrs if not inst.rows else (False,) * NREGS)
+    for tags in (entry_ptrs, exit_ptrs):
+        out += [1 if t else 0 for t in tags]
     return out

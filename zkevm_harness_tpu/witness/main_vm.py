@@ -17,8 +17,9 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from ..circuits.main_vm_circuit import (NREGS, OP_ADD, OP_CTX, OP_DIV,
                                         OP_EVT, OP_EVTL1, OP_EXT, OP_HEAPR,
                                         OP_HEAPW, OP_JEQ, OP_JUMP, OP_NCALL,
-                                        OP_NOP, OP_RET, OP_RETP, OP_STOR,
-                                        OP_STOW, OP_SUB, VmGeometry)
+                                        OP_NOP, OP_PADD, OP_PPACK, OP_PSHR,
+                                        OP_RET, OP_RETP, OP_STOR, OP_STOW,
+                                        OP_SUB, VmGeometry)
 from ..ops import goldilocks as gl
 from ..vm import isa
 from .tracer import WitnessTracer
@@ -44,6 +45,7 @@ class VmRow:
     res: int = 0
     dst2: int = 0           # div remainder destination (1-based; 0 = none)
     rem: int = 0            # div remainder value
+    ptrs: tuple = ()        # 15 pointer tags entering the row
     handler: int = 0        # NCALL exception handler (instruction field)
     spop: bool = False      # this row pops a local frame
     pop_ret_pc: int = 0     # popped frame's pushed return pc
@@ -68,6 +70,7 @@ class VmCircuitInstance:
     acc_out: Tuple[int, int, int, int]
     depth_in: int = 0
     depth_out: int = 0
+    exit_ptrs: Tuple[bool, ...] = (False,) * NREGS
 
 
 @dataclasses.dataclass
@@ -99,6 +102,7 @@ def decode_cycle_rows(tracer: WitnessTracer) -> List[VmRow]:
     near_depth = 0
     for cyc, state in enumerate(tracer.cycle_states):
         regs = [v for (v, _ptr) in state["registers"]]
+        ptr_tags = tuple(bool(p) for (_v, p) in state["registers"])
         eqf, ltf, _ = state["flags"]
         # near-call stack argument: any cycle that popped a LOCAL frame is
         # a pop row (Ret instructions get proven pc semantics; other panic
@@ -106,6 +110,7 @@ def decode_cycle_rows(tracer: WitnessTracer) -> List[VmRow]:
         pop = tracer.frame_pops.get(cyc)
         local_pop = bool(pop and pop.get("is_local"))
         base = dict(pc=state["pc"], ts=state["timestamp"], regs=regs,
+                    ptrs=ptr_tags,
                     flags=(bool(eqf), bool(ltf)), depth=near_depth,
                     spop=local_pop,
                     pop_ret_pc=pop["ret_pc"] if local_pop else 0,
@@ -187,6 +192,38 @@ def decode_cycle_rows(tracer: WitnessTracer) -> List[VmRow]:
             res = nxt["registers"][int(instr.dst) - 1][0]
             row = VmRow(op=OP_CTX, dst=int(instr.dst),
                         tgt=int(instr.address) & 0xFFFF, res=res, **base)
+        elif isinstance(instr, (isa.PtrAdd, isa.PtrShrink)):
+            opid = OP_PADD if isinstance(instr, isa.PtrAdd) else OP_PSHR
+            v0 = regs[instr.ptr - 1]
+            k1, e1, v1 = _operand(instr.delta, regs)
+            page = (v0 >> 64) & 0xFFFFFFFF
+            start = (v0 >> 32) & 0xFFFFFFFF
+            length = v0 & 0xFFFFFFFF
+            high = v0 >> 128
+            if isinstance(instr, isa.PtrAdd):
+                res = ((high << 128) | (page << 64)
+                       | ((start + v1) << 32) | (length - v1))
+            else:
+                res = ((high << 128) | (page << 64)
+                       | (start << 32) | (length - v1))
+            row = VmRow(op=opid, dst=int(instr.dst), s0_kind="reg",
+                        s0_val=int(instr.ptr), s1_kind=k1, s1_val=e1,
+                        v0=v0, v1=v1, res=res, **base)
+        elif isinstance(instr, isa.PtrPack):
+            v0 = regs[instr.ptr - 1]
+            k1, e1, v1 = _operand(instr.high, regs)
+            res = v1 | (v0 & ((1 << 128) - 1))
+            row = VmRow(op=OP_PPACK, dst=int(instr.dst), s0_kind="reg",
+                        s0_val=int(instr.ptr), s1_kind=k1, s1_val=e1,
+                        v0=v0, v1=v1, res=res, **base)
+        elif isinstance(instr, isa.PtrRead):
+            # single-writeback row: the read VALUE is bound only through
+            # the register update (page-tagged mem fingerprint pending)
+            nxt = (tracer.cycle_states[cyc + 1]
+                   if cyc + 1 < len(tracer.cycle_states)
+                   else tracer.final_state)
+            res = nxt["registers"][int(instr.dst) - 1][0]
+            row = VmRow(op=OP_CTX, dst=int(instr.dst), res=res, **base)
         elif isinstance(instr, isa.NearCall):
             row = VmRow(op=OP_NCALL, tgt=int(instr.target),
                         handler=int(instr.exception_handler), **base)
@@ -430,13 +467,14 @@ def compute_main_vm_artifacts(tracer: WitnessTracer, geo: VmGeometry,
         else:
             exit_state = fs
         exit_regs = [v for (v, _p) in exit_state["registers"]]
+        exit_ptrs = tuple(bool(p) for (_v, p) in exit_state["registers"])
         eqf, ltf, _ = exit_state["flags"]
         depth_out = depth + sum((1 if r.op == OP_NCALL else 0)
                                 - (1 if r.spop else 0) for r in chunk)
         inst = VmCircuitInstance(
             index=i, rows=list(chunk), exit_regs=exit_regs,
             exit_pc=exit_state["pc"], exit_ts=exit_state["timestamp"],
-            exit_flags=(bool(eqf), bool(ltf)),
+            exit_flags=(bool(eqf), bool(ltf)), exit_ptrs=exit_ptrs,
             challenge=ch, gamma_code=gc, gamma_log=glg, gamma_mem=gm,
             gamma_stack=gst, acc_in=accs, acc_out=(0, 0, 0, 0),
             depth_in=depth, depth_out=depth_out)
