@@ -73,8 +73,18 @@ def g1_mul(p, k: int):
 
 
 def g1_msm(points: Sequence, scalars: Sequence[int], window_bits: int = 8):
-    """Pippenger bucket MSM (host reference; the TPU path is the planned
-    Pallas big-int bucket kernel)."""
+    """Pippenger bucket MSM. Routes to the native C++ kernel
+    (cpp/bn254_msm.cpp, 4x64 Montgomery limbs + Jacobian buckets) when the
+    library is available — the SNARK wrapper's KZG commitments/openings are
+    MSM-bound; pure-Python Pippenger below stays as the fallback (and the
+    cross-check oracle in tests)."""
+    if len(points) >= 16:
+        try:
+            from .native import bn254_msm as _native_msm
+            scalars_red = [int(s) % R for s in scalars]
+            return _native_msm(list(points), scalars_red)
+        except (RuntimeError, OSError):
+            pass
     acc = None
     n_windows = (254 + window_bits - 1) // window_bits
     mask = (1 << window_bits) - 1

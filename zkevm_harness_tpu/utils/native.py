@@ -42,6 +42,13 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p]
         lib.tree_node_layer.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                         ctypes.c_char_p]
+        try:
+            lib.bn254_msm.argtypes = [
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint64)]
+        except AttributeError:
+            pass  # stale .so without the MSM; fallback stays Python
         _LIB = lib
     except OSError:
         _LIB = None
@@ -98,3 +105,36 @@ def blake2s256_batch(items: Sequence[bytes]) -> List[bytes]:
     out = ctypes.create_string_buffer(32 * len(items))
     lib.blake2s256_batch(blob, stride, len(items), out)
     return [out.raw[32 * i:32 * (i + 1)] for i in range(len(items))]
+
+
+def bn254_msm(points, scalars):
+    """Native Pippenger MSM over BN254 G1 (cpp/bn254_msm.cpp).
+
+    points: sequence of affine (x, y) int pairs or None for infinity;
+    scalars: ints. Returns (x, y) or None (infinity). Raises RuntimeError
+    when the native library is unavailable (callers keep a Python
+    fallback)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bn254_msm"):
+        raise RuntimeError("native bn254_msm unavailable")
+    n = len(points)
+    assert n == len(scalars)
+    pts = (ctypes.c_uint64 * (8 * n))()
+    scs = (ctypes.c_uint64 * (4 * n))()
+    m64 = (1 << 64) - 1
+    for i, (pt, sc) in enumerate(zip(points, scalars)):
+        if pt is not None:
+            x, y = int(pt[0]), int(pt[1])
+            for j in range(4):
+                pts[8 * i + j] = (x >> (64 * j)) & m64
+                pts[8 * i + 4 + j] = (y >> (64 * j)) & m64
+        s = int(sc)
+        for j in range(4):
+            scs[4 * i + j] = (s >> (64 * j)) & m64
+    out = (ctypes.c_uint64 * 8)()
+    lib.bn254_msm(pts, scs, n, out)
+    x = sum(int(out[j]) << (64 * j) for j in range(4))
+    y = sum(int(out[4 + j]) << (64 * j) for j in range(4))
+    if x == 0 and y == 0:
+        return None
+    return (x, y)
