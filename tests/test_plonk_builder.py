@@ -93,3 +93,23 @@ def test_native_msm_matches_python():
             continue
         want = bn.g1_add(want, bn.g1_mul(pt, s))
     assert got == want
+
+
+def test_native_bls_msm_matches_python():
+    random.seed(9)
+    from zkevm_harness_tpu.utils import bls12_381 as bls
+    G = bls.G1_GENERATOR
+    pts = [bls.g1_mul(G, random.randrange(1, bls.R)) for _ in range(20)]
+    pts += [None, G]
+    sc = [random.randrange(bls.R) for _ in range(21)] + [0]
+    try:
+        from zkevm_harness_tpu.utils.native import bls12381_msm
+        got = bls12381_msm(pts, sc)
+    except RuntimeError:
+        pytest.skip("native library unavailable")
+    want = None
+    for pt, s in zip(pts, sc):
+        if pt is None or s % bls.R == 0:
+            continue
+        want = bls.g1_add(want, bls.g1_mul(pt, s))
+    assert got == want

@@ -209,7 +209,17 @@ def g1_mul(p, k: int):
 
 
 def g1_msm(points: List, scalars: List[int]):
-    """Pippenger bucket MSM (host reference; Pallas kernel is the TPU path)."""
+    """Pippenger bucket MSM. Routes to the native C++ kernel
+    (cpp/bn254_msm.cpp bls12381_msm: 6x64 Montgomery limbs) when available
+    — the EIP-4844 KZG commitment hot loop (reference rayon MSM,
+    kzg/src/lib.rs:195-217); pure-Python Pippenger stays as fallback and
+    test oracle."""
+    if len(points) >= 16:
+        try:
+            from .native import bls12381_msm as _native_msm
+            return _native_msm(list(points), [int(s) % R for s in scalars])
+        except (RuntimeError, OSError):
+            pass
     c = 8  # window bits
     acc = None
     n_windows = (255 + c - 1) // c

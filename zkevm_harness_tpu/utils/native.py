@@ -43,10 +43,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.tree_node_layer.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                         ctypes.c_char_p]
         try:
-            lib.bn254_msm.argtypes = [
-                ctypes.POINTER(ctypes.c_uint64),
-                ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
-                ctypes.POINTER(ctypes.c_uint64)]
+            for msm_name in ("bn254_msm", "bls12381_msm"):
+                getattr(lib, msm_name).argtypes = [
+                    ctypes.POINTER(ctypes.c_uint64),
+                    ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+                    ctypes.POINTER(ctypes.c_uint64)]
         except AttributeError:
             pass  # stale .so without the MSM; fallback stays Python
         _LIB = lib
@@ -138,3 +139,37 @@ def bn254_msm(points, scalars):
     if x == 0 and y == 0:
         return None
     return (x, y)
+
+
+def _curve_msm(fn_name: str, points, scalars, n_limbs: int):
+    lib = _load()
+    if lib is None or not hasattr(lib, fn_name):
+        raise RuntimeError(f"native {fn_name} unavailable")
+    n = len(points)
+    assert n == len(scalars)
+    pts = (ctypes.c_uint64 * (2 * n_limbs * n))()
+    scs = (ctypes.c_uint64 * (4 * n))()
+    m64 = (1 << 64) - 1
+    for i, (pt, sc) in enumerate(zip(points, scalars)):
+        if pt is not None:
+            x, y = int(pt[0]), int(pt[1])
+            base = 2 * n_limbs * i
+            for j in range(n_limbs):
+                pts[base + j] = (x >> (64 * j)) & m64
+                pts[base + n_limbs + j] = (y >> (64 * j)) & m64
+        s = int(sc)
+        for j in range(4):
+            scs[4 * i + j] = (s >> (64 * j)) & m64
+    out = (ctypes.c_uint64 * (2 * n_limbs))()
+    getattr(lib, fn_name)(pts, scs, n, out)
+    x = sum(int(out[j]) << (64 * j) for j in range(n_limbs))
+    y = sum(int(out[n_limbs + j]) << (64 * j) for j in range(n_limbs))
+    if x == 0 and y == 0:
+        return None
+    return (x, y)
+
+
+def bls12381_msm(points, scalars):
+    """Native Pippenger MSM over BLS12-381 G1 (EIP-4844 KZG commitments;
+    reference kzg/src/lib.rs:195-217). Same contract as bn254_msm."""
+    return _curve_msm("bls12381_msm", points, scalars, 6)
