@@ -82,7 +82,10 @@ def _run_mainvm_inline():
     assert vm.finished and cycles >= 5585 - 16, cycles
     t0 = time.time()
     from zkevm_harness_tpu.prover import layers as ly
-    geo = ly.main_vm_geometry_for_capacity(5585)  # the layer-surface shape
+    # production register geometry: u16 x 16 limbs (full u256) at 2^16 rows
+    # (the u8 x 32 CPU-test geometry's gate graph is ~1.7x larger and
+    # SIGKILLs the remote TPU compiler)
+    geo = ly.main_vm_geometry_for_capacity(5585, limb_bits=16)
     art = wmv.compute_main_vm_artifacts(tracer, geo, capacity=5585)
     inst = art.instances[0]
     ir = mvc.main_vm_ir(geo)

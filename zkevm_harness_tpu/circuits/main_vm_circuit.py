@@ -131,6 +131,8 @@ def _cols(geo: VmGeometry) -> Dict[str, int]:
     reg("PHD", 1)     # pop hint: the popped frame's handler
     reg("SPOP", 1)    # this row pops a local frame (stack argument)
     reg("DEPTH", 1)   # near-call stack depth entering the row
+    reg("PG", 1)      # heap-query page (folded into the mem fingerprint)
+    reg("ADR", 3)     # log address lanes (folded into the log fingerprint)
     reg("V0", NL)
     reg("V1", NL)
     reg("RES", NL)
@@ -151,7 +153,7 @@ def _cols(geo: VmGeometry) -> Dict[str, int]:
     reg("EQF", 1)     # flag state entering the row
     reg("LTF", 1)
     reg("SINV", 1)    # inverse hint for the zero-sum flag gadget
-    reg("PCH", 5 + 2 * NL)   # challenge powers (max fingerprint width)
+    reg("PCH", 6 + 2 * NL)   # challenge powers (max fingerprint width)
     reg("GC", 1)      # code gamma
     reg("GL", 1)      # log gamma
     reg("GM", 1)      # mem gamma
@@ -174,9 +176,9 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
     NL, L = geo.num_limbs, geo.limb_bits
     n = geo.n
     off = _cols(geo)
-    NPOW = 5 + 2 * NL
+    NPOW = 6 + 2 * NL
 
-    def eval_gates(alg, w, w_next, c):
+    def _gates(alg, w, w_next, c, sel=None):
         out = []
         wrap, first = c[K_WRAP], c[K_FIRST]
         notwrap = _one_minus(alg, wrap)
@@ -199,349 +201,386 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         zb = W("ZB")
 
         spop = W("SPOP")
+        notext = _one_minus(alg, ext)
 
         # --- booleanity ---------------------------------------------------
-        for b in (op + dst + dst2 + s0 + s1
-                  + [s0i, s1i, v, W("EQF"), W("LTF"), spop, zb]
-                  + [W("CAR", j) for j in range(NL)]
-                  + [W("DCAR", j) for j in range(NL)]):
-            out.append(alg.sub(alg.mul(b, b), b))
-        # pop/push exclusivity + RET/RETP rows must pop
-        out.append(alg.mul(spop, op[OP_NCALL]))
-        out.append(alg.mul(op[OP_RET], _one_minus(alg, spop)))
-        out.append(alg.mul(op[OP_RETP], _one_minus(alg, spop)))
-        # exactly one opcode on valid rows, none on padding
-        ssum = op[0]
-        for k in range(1, NOPS):
-            ssum = alg.add(ssum, op[k])
-        out.append(alg.sub(ssum, v))
-        # at most one selection per selector family
-        for fam in (dst, s0, s1):
-            t = fam[0]
-            for x in fam[1:]:
-                t = alg.add(t, x)
-            out.append(alg.mul(t, alg.add_int(alg.mul_int(t, P - 1), 1)))
+        if sel is None or sel == 0:
+            for b in (op + dst + dst2 + s0 + s1
+                      + [s0i, s1i, v, W("EQF"), W("LTF"), spop, zb]
+                      + [W("CAR", j) for j in range(NL)]
+                      + [W("DCAR", j) for j in range(NL)]):
+                out.append(alg.sub(alg.mul(b, b), b))
+            # pop/push exclusivity + RET/RETP rows must pop
+            out.append(alg.mul(spop, op[OP_NCALL]))
+            out.append(alg.mul(op[OP_RET], _one_minus(alg, spop)))
+            out.append(alg.mul(op[OP_RETP], _one_minus(alg, spop)))
+            # exactly one opcode on valid rows, none on padding
+            ssum = op[0]
+            for k in range(1, NOPS):
+                ssum = alg.add(ssum, op[k])
+            out.append(alg.sub(ssum, v))
+            # at most one selection per selector family
+            for fam in (dst, s0, s1):
+                t = fam[0]
+                for x in fam[1:]:
+                    t = alg.add(t, x)
+                out.append(alg.mul(t, alg.add_int(alg.mul_int(t, P - 1), 1)))
 
-        # --- operand muxes -------------------------------------------------
-        for j in range(NL):
-            m0 = alg.mul(s0i, W("IMM0", j))
-            m1 = alg.mul(s1i, W("IMM1", j))
-            for i in range(NREGS):
-                m0 = alg.add(m0, alg.mul(s0[i], W("REG", i * NL + j)))
-                m1 = alg.add(m1, alg.mul(s1[i], W("REG", i * NL + j)))
-            out.append(alg.sub(W("V0", j), m0))
-            out.append(alg.sub(W("V1", j), m1))
+            # --- operand muxes -------------------------------------------------
+            for j in range(NL):
+                m0 = alg.mul(s0i, W("IMM0", j))
+                m1 = alg.mul(s1i, W("IMM1", j))
+                for i in range(NREGS):
+                    m0 = alg.add(m0, alg.mul(s0[i], W("REG", i * NL + j)))
+                    m1 = alg.add(m1, alg.mul(s1[i], W("REG", i * NL + j)))
+                out.append(alg.sub(W("V0", j), m0))
+                out.append(alg.sub(W("V1", j), m1))
 
         # --- add/sub limb chains -------------------------------------------
-        # add: V0 + V1 = RES + 2^256*car ; sub: RES + V1 = V0 + 2^256*car
-        for j in range(NL):
-            cin = W("CAR", j - 1) if j else None
-            lhs_a = alg.add(W("V0", j), W("V1", j))
-            lhs_s = alg.add(W("RES", j), W("V1", j))
-            if cin is not None:
-                lhs_a = alg.add(lhs_a, cin)
-                lhs_s = alg.add(lhs_s, cin)
-            rhs_a = alg.add(W("RES", j), alg.mul_int(W("CAR", j), 1 << L))
-            rhs_s = alg.add(W("V0", j), alg.mul_int(W("CAR", j), 1 << L))
-            out.append(alg.mul(op[OP_ADD], alg.sub(lhs_a, rhs_a)))
-            out.append(alg.mul(op[OP_SUB], alg.sub(lhs_s, rhs_s)))
+        if sel is None or sel == 1:
+            # add: V0 + V1 = RES + 2^256*car ; sub: RES + V1 = V0 + 2^256*car
+            for j in range(NL):
+                cin = W("CAR", j - 1) if j else None
+                lhs_a = alg.add(W("V0", j), W("V1", j))
+                lhs_s = alg.add(W("RES", j), W("V1", j))
+                if cin is not None:
+                    lhs_a = alg.add(lhs_a, cin)
+                    lhs_s = alg.add(lhs_s, cin)
+                rhs_a = alg.add(W("RES", j), alg.mul_int(W("CAR", j), 1 << L))
+                rhs_s = alg.add(W("V0", j), alg.mul_int(W("CAR", j), 1 << L))
+                out.append(alg.mul(op[OP_ADD], alg.sub(lhs_a, rhs_a)))
+                out.append(alg.mul(op[OP_SUB], alg.sub(lhs_s, rhs_s)))
 
-        # --- flags (set by add/sub/div, carried otherwise) -----------------
-        binop = alg.add(op[OP_ADD], op[OP_SUB])
-        flagset = alg.add(binop, dv)
-        ssum_res = W("RES", 0)
-        for j in range(1, NL):
-            ssum_res = alg.add(ssum_res, W("RES", j))
-        # eq_new = 1 - S*SINV with S*eq_new == 0: S != 0 forces eq_new = 0,
-        # S == 0 forces eq_new = 1 (limbs are u(L) so S == 0 <=> RES == 0);
-        # for div RES is the quotient, so eq == (q == 0) — matching the
-        # interpreter (incl. the div-by-zero case where q is forced 0)
-        eq_new = _one_minus(alg, alg.mul(ssum_res, W("SINV")))
-        out.append(alg.mul(flagset, alg.mul(ssum_res, eq_new)))
-        carry_flag = alg.mul(flagset, alg.sub(Wn("EQF"), eq_new))
-        out.append(alg.mul(notwrap, carry_flag))
-        out.append(alg.mul(notwrap, alg.mul(binop,
-                                            alg.sub(Wn("LTF"),
-                                                    W("CAR", NL - 1)))))
-        out.append(alg.mul(notwrap, alg.mul(dv, Wn("LTF"))))  # div: lt = 0
-        keepf = _one_minus(alg, alg.add(flagset, ext))
-        out.append(alg.mul(notwrap, alg.mul(keepf,
-                                            alg.sub(Wn("EQF"), W("EQF")))))
-        out.append(alg.mul(notwrap, alg.mul(keepf,
-                                            alg.sub(Wn("LTF"), W("LTF")))))
+            # --- flags (set by add/sub/div, carried otherwise) -----------------
+            binop = alg.add(op[OP_ADD], op[OP_SUB])
+            flagset = alg.add(binop, dv)
+            ssum_res = W("RES", 0)
+            for j in range(1, NL):
+                ssum_res = alg.add(ssum_res, W("RES", j))
+            # eq_new = 1 - S*SINV with S*eq_new == 0: S != 0 forces eq_new = 0,
+            # S == 0 forces eq_new = 1 (limbs are u(L) so S == 0 <=> RES == 0);
+            # for div RES is the quotient, so eq == (q == 0) — matching the
+            # interpreter (incl. the div-by-zero case where q is forced 0)
+            eq_new = _one_minus(alg, alg.mul(ssum_res, W("SINV")))
+            out.append(alg.mul(flagset, alg.mul(ssum_res, eq_new)))
+            carry_flag = alg.mul(flagset, alg.sub(Wn("EQF"), eq_new))
+            out.append(alg.mul(notwrap, carry_flag))
+            out.append(alg.mul(notwrap, alg.mul(binop,
+                                                alg.sub(Wn("LTF"),
+                                                        W("CAR", NL - 1)))))
+            out.append(alg.mul(notwrap, alg.mul(dv, Wn("LTF"))))  # div: lt = 0
+            keepf = _one_minus(alg, alg.add(flagset, ext))
+            out.append(alg.mul(notwrap, alg.mul(keepf,
+                                                alg.sub(Wn("EQF"), W("EQF")))))
+            out.append(alg.mul(notwrap, alg.mul(keepf,
+                                                alg.sub(Wn("LTF"), W("LTF")))))
 
         # --- register writeback --------------------------------------------
-        # dst writes RES (quotient for div), dst2 (div only) writes REM;
-        # every unselected register is PRESERVED — single-writeback rows
-        # (OP_CTX: context/precompile results) leave only their one
-        # destination oracle-provided.
-        notext = _one_minus(alg, ext)
-        for i in range(NREGS):
-            out.append(alg.mul(dst[i], dst2[i]))  # disjoint destinations
-            for j in range(NL):
-                keep = _one_minus(alg, alg.add(dst[i], dst2[i]))
-                upd = alg.add(alg.add(alg.mul(dst[i], W("RES", j)),
-                                      alg.mul(dst2[i], W("REM", j))),
-                              alg.mul(keep, W("REG", i * NL + j)))
-                out.append(alg.mul(notwrap, alg.mul(
-                    notext, alg.sub(Wn("REG", i * NL + j), upd))))
+        if sel is None or sel == 2:
+            # dst writes RES (quotient for div), dst2 (div only) writes REM;
+            # every unselected register is PRESERVED — single-writeback rows
+            # (OP_CTX: context/precompile results) leave only their one
+            # destination oracle-provided.
+            for i in range(NREGS):
+                out.append(alg.mul(dst[i], dst2[i]))  # disjoint destinations
+                for j in range(NL):
+                    keep = _one_minus(alg, alg.add(dst[i], dst2[i]))
+                    upd = alg.add(alg.add(alg.mul(dst[i], W("RES", j)),
+                                          alg.mul(dst2[i], W("REM", j))),
+                                  alg.mul(keep, W("REG", i * NL + j)))
+                    out.append(alg.mul(notwrap, alg.mul(
+                        notext, alg.sub(Wn("REG", i * NL + j), upd))))
 
         # --- div semantics (stage C) ---------------------------------------
-        # dst2 appears exactly on div rows (one register)
-        d2sum = dst2[0]
-        for i in range(1, NREGS):
-            d2sum = alg.add(d2sum, dst2[i])
-        out.append(alg.sub(d2sum, dv))
-        # div rows must select a quotient destination too
-        dsum = dst[0]
-        for i in range(1, NREGS):
-            dsum = alg.add(dsum, dst[i])
-        out.append(alg.mul(dv, alg.add_int(dsum, P - 1)))
-        # zero-divisor flag: S1 = sum(V1 limbs); zb == (S1 == 0)
-        s1sum = W("V1", 0)
-        for j in range(1, NL):
-            s1sum = alg.add(s1sum, W("V1", j))
-        out.append(alg.mul(dv, alg.mul(s1sum, zb)))
-        out.append(alg.mul(dv, alg.sub(zb, _one_minus(
-            alg, alg.mul(s1sum, W("ZINV"))))))
-        nzb = _one_minus(alg, zb)
-        dvnz = alg.mul(dv, nzb)
-        # multiplication identity: RES * V1 + REM == V0 over limbs, with
-        # carry decomposition mc_k = MCL_k + 2^L * MCH_k (both byte-checked)
-        for k in range(2 * NL - 1):
-            conv = None
-            for i in range(max(0, k - NL + 1), min(NL, k + 1)):
-                t = alg.mul(W("RES", i), W("V1", k - i))
-                conv = t if conv is None else alg.add(conv, t)
-            lhs = conv
-            if k < NL:
-                lhs = alg.add(lhs, W("REM", k))
-            if k > 0:
-                mc_prev = alg.add(W("MCL", k - 1),
-                                  alg.mul_int(W("MCH", k - 1), 1 << L))
-                lhs = alg.add(lhs, mc_prev)
-            rhs = None
-            if k < NL:
-                rhs = W("V0", k)
-            if k < 2 * NL - 2:
-                mc_k = alg.add(W("MCL", k),
-                               alg.mul_int(W("MCH", k), 1 << L))
-                t = alg.mul_int(mc_k, 1 << L)
-                rhs = t if rhs is None else alg.add(rhs, t)
-            diff = alg.sub(lhs, rhs) if rhs is not None else lhs
-            out.append(alg.mul(dvnz, diff))
-        # div-by-zero forces q = r = 0 (eq flag follows from eq_new)
-        for j in range(NL):
-            out.append(alg.mul(dv, alg.mul(zb, W("RES", j))))
-            out.append(alg.mul(dv, alg.mul(zb, W("REM", j))))
-        # remainder range: REM + DIF + 1 == V1 exactly (borrow chain with
-        # boolean DCAR, final carry zero) => REM < V1
-        for j in range(NL):
-            cin = W("DCAR", j - 1) if j else None
-            lhs = alg.add(W("REM", j), W("DIF", j))
-            if j == 0:
-                lhs = alg.add_int(lhs, 1)
-            if cin is not None:
-                lhs = alg.add(lhs, cin)
-            rhs = alg.add(W("V1", j), alg.mul_int(W("DCAR", j), 1 << L))
-            out.append(alg.mul(dvnz, alg.sub(lhs, rhs)))
-        out.append(alg.mul(dvnz, W("DCAR", NL - 1)))
+        if sel is None or sel == 3:
+            # dst2 appears exactly on div rows (one register)
+            d2sum = dst2[0]
+            for i in range(1, NREGS):
+                d2sum = alg.add(d2sum, dst2[i])
+            out.append(alg.sub(d2sum, dv))
+            # div rows must select a quotient destination too
+            dsum = dst[0]
+            for i in range(1, NREGS):
+                dsum = alg.add(dsum, dst[i])
+            out.append(alg.mul(dv, alg.add_int(dsum, P - 1)))
+            # zero-divisor flag: S1 = sum(V1 limbs); zb == (S1 == 0)
+            s1sum = W("V1", 0)
+            for j in range(1, NL):
+                s1sum = alg.add(s1sum, W("V1", j))
+            out.append(alg.mul(dv, alg.mul(s1sum, zb)))
+            out.append(alg.mul(dv, alg.sub(zb, _one_minus(
+                alg, alg.mul(s1sum, W("ZINV"))))))
+            nzb = _one_minus(alg, zb)
+            dvnz = alg.mul(dv, nzb)
+            # multiplication identity: RES * V1 + REM == V0 over limbs, with
+            # carry decomposition mc_k = MCL_k + 2^L * MCH_k (both byte-checked)
+            for k in range(2 * NL - 1):
+                conv = None
+                for i in range(max(0, k - NL + 1), min(NL, k + 1)):
+                    t = alg.mul(W("RES", i), W("V1", k - i))
+                    conv = t if conv is None else alg.add(conv, t)
+                lhs = conv
+                if k < NL:
+                    lhs = alg.add(lhs, W("REM", k))
+                if k > 0:
+                    mc_prev = alg.add(W("MCL", k - 1),
+                                      alg.mul_int(W("MCH", k - 1), 1 << L))
+                    lhs = alg.add(lhs, mc_prev)
+                rhs = None
+                if k < NL:
+                    rhs = W("V0", k)
+                if k < 2 * NL - 2:
+                    mc_k = alg.add(W("MCL", k),
+                                   alg.mul_int(W("MCH", k), 1 << L))
+                    t = alg.mul_int(mc_k, 1 << L)
+                    rhs = t if rhs is None else alg.add(rhs, t)
+                diff = alg.sub(lhs, rhs) if rhs is not None else lhs
+                out.append(alg.mul(dvnz, diff))
+            # div-by-zero forces q = r = 0 (eq flag follows from eq_new)
+            for j in range(NL):
+                out.append(alg.mul(dv, alg.mul(zb, W("RES", j))))
+                out.append(alg.mul(dv, alg.mul(zb, W("REM", j))))
+            # remainder range: REM + DIF + 1 == V1 exactly (borrow chain with
+            # boolean DCAR, final carry zero) => REM < V1
+            for j in range(NL):
+                cin = W("DCAR", j - 1) if j else None
+                lhs = alg.add(W("REM", j), W("DIF", j))
+                if j == 0:
+                    lhs = alg.add_int(lhs, 1)
+                if cin is not None:
+                    lhs = alg.add(lhs, cin)
+                rhs = alg.add(W("V1", j), alg.mul_int(W("DCAR", j), 1 << L))
+                out.append(alg.mul(dvnz, alg.sub(lhs, rhs)))
+            out.append(alg.mul(dvnz, W("DCAR", NL - 1)))
 
         # --- fat-pointer ops (stage C) --------------------------------------
-        # layout (vm/interpreter.pack_fat_pointer): length bits 0..32,
-        # start 32..64, page 64..96, bits 96..128 zero, metadata >= 128
-        padd, pshr, ppck = op[OP_PADD], op[OP_PSHR], op[OP_PPACK]
-        ptrw = alg.add(alg.add(padd, pshr), ppck)
-        B32 = 32 // L
-        ptrb = [W("PTRB", i) for i in range(NREGS)]
-        for b in ptrb:
-            out.append(alg.sub(alg.mul(b, b), b))
-        # pointer source: the s0-selected register is tagged, never an imm
-        src_tag = None
-        for i in range(NREGS):
-            t = alg.mul(s0[i], ptrb[i])
-            src_tag = t if src_tag is None else alg.add(src_tag, t)
-        out.append(alg.mul(ptrw, alg.add_int(src_tag, P - 1)))
-        out.append(alg.mul(ptrw, s0i))
-        shr = alg.add(padd, pshr)
-        # delta fits 32 bits (interpreter requires delta <= length < 2^32)
-        for j in range(B32, NL):
-            out.append(alg.mul(shr, W("V1", j)))
-        # length' = length - delta: RES[len] + V1 + borrow == V0[len]
-        for j in range(B32):
-            cin = W("CAR", j - 1) if j else None
-            lhs = alg.add(W("RES", j), W("V1", j))
-            if cin is not None:
-                lhs = alg.add(lhs, cin)
-            rhs = alg.add(W("V0", j), alg.mul_int(W("CAR", j), 1 << L))
-            out.append(alg.mul(shr, alg.sub(lhs, rhs)))
-        out.append(alg.mul(shr, W("CAR", B32 - 1)))  # no underflow
-        # start' = start + delta (padd) / start (pshr)
-        for j in range(B32):
-            cin = W("DCAR", j - 1) if j else None
-            lhs = alg.add(W("V0", B32 + j), W("V1", j))
-            if cin is not None:
-                lhs = alg.add(lhs, cin)
-            rhs = alg.add(W("RES", B32 + j),
-                          alg.mul_int(W("DCAR", j), 1 << L))
-            out.append(alg.mul(padd, alg.sub(lhs, rhs)))
-            out.append(alg.mul(pshr, alg.sub(W("RES", B32 + j),
-                                             W("V0", B32 + j))))
-        out.append(alg.mul(padd, W("DCAR", B32 - 1)))  # no 32-bit overflow
-        # page preserved, bits 96..128 zero, metadata >= 128 preserved
-        for j in range(2 * B32, 3 * B32):
-            out.append(alg.mul(shr, alg.sub(W("RES", j), W("V0", j))))
-        for j in range(3 * B32, 4 * B32):
-            out.append(alg.mul(shr, W("RES", j)))
-        for j in range(4 * B32, NL):
-            out.append(alg.mul(shr, alg.sub(W("RES", j), W("V0", j))))
-        # ptr.pack: v1 low 128 bits must be zero; result = v1.hi | v0.lo
-        for j in range(4 * B32):
-            out.append(alg.mul(ppck, W("V1", j)))
-            out.append(alg.mul(ppck, alg.sub(W("RES", j), W("V0", j))))
-        for j in range(4 * B32, NL):
-            out.append(alg.mul(ppck, alg.sub(W("RES", j), W("V1", j))))
-        # pointer-tag writeback: ptr ops tag their destination, every other
-        # writing op clears it, unselected registers carry their tag (EXT
-        # frame rows excluded like the value file)
-        for i in range(NREGS):
-            keep = _one_minus(alg, alg.add(dst[i], dst2[i]))
-            upd = alg.add(alg.mul(dst[i], ptrw), alg.mul(keep, ptrb[i]))
-            out.append(alg.mul(notwrap, alg.mul(
-                notext, alg.sub(Wn("PTRB", i), upd))))
+        if sel is None or sel == 4:
+            # layout (vm/interpreter.pack_fat_pointer): length bits 0..32,
+            # start 32..64, page 64..96, bits 96..128 zero, metadata >= 128
+            padd, pshr, ppck = op[OP_PADD], op[OP_PSHR], op[OP_PPACK]
+            ptrw = alg.add(alg.add(padd, pshr), ppck)
+            B32 = 32 // L
+            ptrb = [W("PTRB", i) for i in range(NREGS)]
+            for b in ptrb:
+                out.append(alg.sub(alg.mul(b, b), b))
+            # pointer source: the s0-selected register is tagged, never an imm
+            src_tag = None
+            for i in range(NREGS):
+                t = alg.mul(s0[i], ptrb[i])
+                src_tag = t if src_tag is None else alg.add(src_tag, t)
+            out.append(alg.mul(ptrw, alg.add_int(src_tag, P - 1)))
+            out.append(alg.mul(ptrw, s0i))
+            shr = alg.add(padd, pshr)
+            # delta fits 32 bits (interpreter requires delta <= length < 2^32)
+            for j in range(B32, NL):
+                out.append(alg.mul(shr, W("V1", j)))
+            # length' = length - delta: RES[len] + V1 + borrow == V0[len]
+            for j in range(B32):
+                cin = W("CAR", j - 1) if j else None
+                lhs = alg.add(W("RES", j), W("V1", j))
+                if cin is not None:
+                    lhs = alg.add(lhs, cin)
+                rhs = alg.add(W("V0", j), alg.mul_int(W("CAR", j), 1 << L))
+                out.append(alg.mul(shr, alg.sub(lhs, rhs)))
+            out.append(alg.mul(shr, W("CAR", B32 - 1)))  # no underflow
+            # start' = start + delta (padd) / start (pshr)
+            for j in range(B32):
+                cin = W("DCAR", j - 1) if j else None
+                lhs = alg.add(W("V0", B32 + j), W("V1", j))
+                if cin is not None:
+                    lhs = alg.add(lhs, cin)
+                rhs = alg.add(W("RES", B32 + j),
+                              alg.mul_int(W("DCAR", j), 1 << L))
+                out.append(alg.mul(padd, alg.sub(lhs, rhs)))
+                out.append(alg.mul(pshr, alg.sub(W("RES", B32 + j),
+                                                 W("V0", B32 + j))))
+            out.append(alg.mul(padd, W("DCAR", B32 - 1)))  # no 32-bit overflow
+            # page preserved, bits 96..128 zero, metadata >= 128 preserved
+            for j in range(2 * B32, 3 * B32):
+                out.append(alg.mul(shr, alg.sub(W("RES", j), W("V0", j))))
+            for j in range(3 * B32, 4 * B32):
+                out.append(alg.mul(shr, W("RES", j)))
+            for j in range(4 * B32, NL):
+                out.append(alg.mul(shr, alg.sub(W("RES", j), W("V0", j))))
+            # ptr.pack: v1 low 128 bits must be zero; result = v1.hi | v0.lo
+            for j in range(4 * B32):
+                out.append(alg.mul(ppck, W("V1", j)))
+                out.append(alg.mul(ppck, alg.sub(W("RES", j), W("V0", j))))
+            for j in range(4 * B32, NL):
+                out.append(alg.mul(ppck, alg.sub(W("RES", j), W("V1", j))))
+            # pointer-tag writeback: ptr ops tag their destination, every other
+            # writing op clears it, unselected registers carry their tag (EXT
+            # frame rows excluded like the value file)
+            for i in range(NREGS):
+                keep = _one_minus(alg, alg.add(dst[i], dst2[i]))
+                upd = alg.add(alg.mul(dst[i], ptrw), alg.mul(keep, ptrb[i]))
+                out.append(alg.mul(notwrap, alg.mul(
+                    notext, alg.sub(Wn("PTRB", i), upd))))
 
         # --- pc / ts chains -------------------------------------------------
-        pc, tgt, eqf = W("PC"), W("TGT"), W("EQF")
-        pc_seq = alg.add_int(pc, 1)
-        # near calls enter their target; the matching RET restores the
-        # return point through the stack argument below
-        s_jmp = alg.add(op[OP_JUMP], op[OP_NCALL])
-        pc_next = alg.add(alg.mul(s_jmp, tgt),
-                          alg.add(alg.mul(op[OP_JEQ],
-                                          alg.add(alg.mul(eqf, tgt),
-                                                  alg.mul(_one_minus(alg, eqf),
-                                                          pc_seq))),
-                                  alg.mul(_one_minus(alg,
-                                                     alg.add(s_jmp,
-                                                             op[OP_JEQ])),
-                                          pc_seq)))
-        # sequential chain applies to non-EXT, non-RET/RETP rows (pops pin
-        # pc_next through the stack unfold instead)
-        pc_chained = _one_minus(alg, alg.add(ext,
-                                             alg.add(op[OP_RET],
-                                                     op[OP_RETP])))
-        out.append(alg.mul(notwrap, alg.mul(v, alg.mul(
-            pc_chained, alg.sub(Wn("PC"), pc_next)))))
-        # padding rows carry pc so the boundary PI is pinned
-        out.append(alg.mul(notwrap, alg.mul(_one_minus(alg, v),
-                                            alg.sub(Wn("PC"), pc))))
-        ts_step = alg.add(W("TS"), alg.mul_int(v, 2))
-        out.append(alg.mul(notwrap, alg.sub(Wn("TS"), ts_step)))
-        # validity only drops
-        out.append(alg.mul(notwrap, alg.mul(_one_minus(alg, v), Wn("V"))))
+        if sel is None or sel == 5:
+            pc, tgt, eqf = W("PC"), W("TGT"), W("EQF")
+            pc_seq = alg.add_int(pc, 1)
+            # near calls enter their target; the matching RET restores the
+            # return point through the stack argument below
+            s_jmp = alg.add(op[OP_JUMP], op[OP_NCALL])
+            pc_next = alg.add(alg.mul(s_jmp, tgt),
+                              alg.add(alg.mul(op[OP_JEQ],
+                                              alg.add(alg.mul(eqf, tgt),
+                                                      alg.mul(_one_minus(alg, eqf),
+                                                              pc_seq))),
+                                      alg.mul(_one_minus(alg,
+                                                         alg.add(s_jmp,
+                                                                 op[OP_JEQ])),
+                                              pc_seq)))
+            # sequential chain applies to non-EXT, non-RET/RETP rows (pops pin
+            # pc_next through the stack unfold instead)
+            pc_chained = _one_minus(alg, alg.add(ext,
+                                                 alg.add(op[OP_RET],
+                                                         op[OP_RETP])))
+            out.append(alg.mul(notwrap, alg.mul(v, alg.mul(
+                pc_chained, alg.sub(Wn("PC"), pc_next)))))
+            # padding rows carry pc so the boundary PI is pinned
+            out.append(alg.mul(notwrap, alg.mul(_one_minus(alg, v),
+                                                alg.sub(Wn("PC"), pc))))
+            ts_step = alg.add(W("TS"), alg.mul_int(v, 2))
+            out.append(alg.mul(notwrap, alg.sub(Wn("TS"), ts_step)))
+            # validity only drops
+            out.append(alg.mul(notwrap, alg.mul(_one_minus(alg, v), Wn("V"))))
 
-        # --- fingerprints ----------------------------------------------------
-        pch = [W("PCH", j) for j in range(NPOW)]
-        for j in range(NPOW):
-            out.append(alg.sub(Wn("PCH", j), pch[j]))
-        for nm in ("GC", "GL", "GM", "GS"):
-            out.append(alg.sub(Wn(nm), W(nm)))
-        for j in range(NPOW - 1):
-            out.append(alg.mul(first, alg.sub(pch[j + 1],
-                                              alg.mul(pch[j], pch[0]))))
+            # --- fingerprints ----------------------------------------------------
+            pch = [W("PCH", j) for j in range(NPOW)]
+            for j in range(NPOW):
+                out.append(alg.sub(Wn("PCH", j), pch[j]))
+            for nm in ("GC", "GL", "GM", "GS"):
+                out.append(alg.sub(Wn(nm), W(nm)))
+            for j in range(NPOW - 1):
+                out.append(alg.mul(first, alg.sub(pch[j + 1],
+                                                  alg.mul(pch[j], pch[0]))))
 
-        def horner(gate, acc_nm, gamma_nm, fields):
-            t = None
-            for j, f in enumerate(fields):
-                term = alg.mul(pch[j], f)
-                t = term if t is None else alg.add(t, term)
-            upd = alg.add(alg.mul(W(acc_nm), W(gamma_nm)), t)
-            out.append(alg.mul(notwrap, alg.mul(
-                gate, alg.sub(Wn(acc_nm), upd))))
-            out.append(alg.mul(notwrap, alg.mul(
-                _one_minus(alg, gate), alg.sub(Wn(acc_nm), W(acc_nm)))))
+            def horner(gate, acc_nm, gamma_nm, fields):
+                t = None
+                for j, f in enumerate(fields):
+                    term = alg.mul(pch[j], f)
+                    t = term if t is None else alg.add(t, term)
+                upd = alg.add(alg.mul(W(acc_nm), W(gamma_nm)), t)
+                out.append(alg.mul(notwrap, alg.mul(
+                    gate, alg.sub(Wn(acc_nm), upd))))
+                out.append(alg.mul(notwrap, alg.mul(
+                    _one_minus(alg, gate), alg.sub(Wn(acc_nm), W(acc_nm)))))
 
-        opid = None
-        for k in range(NOPS):
-            t = alg.mul_int(op[k], k + 1)
-            opid = t if opid is None else alg.add(opid, t)
-        dstid = None
-        for i in range(NREGS):
-            t = alg.mul_int(dst[i], i + 1)
-            dstid = t if dstid is None else alg.add(dstid, t)
-        dst2id = None
-        for i in range(NREGS):
-            t = alg.mul_int(dst2[i], i + 1)
-            dst2id = t if dst2id is None else alg.add(dst2id, t)
-        s0id = alg.mul_int(s0i, NREGS + 1)
-        s1id = alg.mul_int(s1i, NREGS + 1)
-        for i in range(NREGS):
-            s0id = alg.add(s0id, alg.mul_int(s0[i], i + 1))
-            s1id = alg.add(s1id, alg.mul_int(s1[i], i + 1))
-        code_fields = ([W("PC"), opid,
-                        alg.add(alg.add(dstid, alg.mul_int(s0id, 16)),
-                                alg.mul_int(dst2id, 512)),
-                        alg.add(s1id, alg.mul_int(W("TGT"), 32)),
-                        W("HDL")]
-                       + [W("IMM0", j) for j in range(NL)]
-                       + [W("IMM1", j) for j in range(NL)])
-        horner(v, "AC", "GC", code_fields)
+            opid = None
+            for k in range(NOPS):
+                t = alg.mul_int(op[k], k + 1)
+                opid = t if opid is None else alg.add(opid, t)
+            dstid = None
+            for i in range(NREGS):
+                t = alg.mul_int(dst[i], i + 1)
+                dstid = t if dstid is None else alg.add(dstid, t)
+            dst2id = None
+            for i in range(NREGS):
+                t = alg.mul_int(dst2[i], i + 1)
+                dst2id = t if dst2id is None else alg.add(dst2id, t)
+            s0id = alg.mul_int(s0i, NREGS + 1)
+            s1id = alg.mul_int(s1i, NREGS + 1)
+            for i in range(NREGS):
+                s0id = alg.add(s0id, alg.mul_int(s0[i], i + 1))
+                s1id = alg.add(s1id, alg.mul_int(s1[i], i + 1))
+            code_fields = ([W("PC"), opid,
+                            alg.add(alg.add(dstid, alg.mul_int(s0id, 16)),
+                                    alg.mul_int(dst2id, 512)),
+                            alg.add(s1id, alg.mul_int(W("TGT"), 32)),
+                            W("HDL")]
+                           + [W("IMM0", j) for j in range(NL)]
+                           + [W("IMM1", j) for j in range(NL)])
+            horner(v, "AC", "GC", code_fields)
 
-        s_log = None
-        for k in _LOG_OPS:
-            s_log = op[k] if s_log is None else alg.add(s_log, op[k])
-        stor = op[OP_STOR]
-        log_value = [alg.add(alg.mul(_one_minus(alg, stor), W("V1", j)),
-                             alg.mul(stor, W("RES", j))) for j in range(NL)]
-        log_fields = ([opid, W("TS")] + [W("V0", j) for j in range(NL)]
-                      + log_value)
-        horner(s_log, "AL", "GL", log_fields)
+            s_log = None
+            for k in _LOG_OPS:
+                s_log = op[k] if s_log is None else alg.add(s_log, op[k])
+            stor = op[OP_STOR]
+            log_value = [alg.add(alg.mul(_one_minus(alg, stor), W("V1", j)),
+                                 alg.mul(stor, W("RES", j))) for j in range(NL)]
+            # address lanes bind WHICH context logged (the queue circuits'
+            # encodings carry address/shard/tx; without these lanes a MainVM
+            # proof could bind a different context's stream — ADVICE r2)
+            log_fields = ([opid, W("TS"), W("ADR", 0), W("ADR", 1), W("ADR", 2)]
+                          + [W("V0", j) for j in range(NL)] + log_value)
+            horner(s_log, "AL", "GL", log_fields)
 
-        s_mem = alg.add(op[OP_HEAPW], op[OP_HEAPR])
-        heapr = op[OP_HEAPR]
-        mem_value = [alg.add(alg.mul(_one_minus(alg, heapr), W("V1", j)),
-                             alg.mul(heapr, W("RES", j))) for j in range(NL)]
-        mem_fields = ([op[OP_HEAPW], W("TS")]
-                      + [W("V0", j) for j in range(NL)] + mem_value)
-        horner(s_mem, "AM", "GM", mem_fields)
+            s_mem = alg.add(op[OP_HEAPW], op[OP_HEAPR])
+            heapr = op[OP_HEAPR]
+            mem_value = [alg.add(alg.mul(_one_minus(alg, heapr), W("V1", j)),
+                                 alg.mul(heapr, W("RES", j))) for j in range(NL)]
+            # the page lane binds WHICH memory page (RAM-permutation encodings
+            # sort by (page, index, timestamp))
+            mem_fields = ([op[OP_HEAPW], W("TS"), W("PG")]
+                          + [W("V0", j) for j in range(NL)] + mem_value)
+            horner(s_mem, "AM", "GM", mem_fields)
 
-        # --- near-call stack argument (fold/unfold accumulator) ------------
-        # push (NCALL): AS' = AS*GS + <ret_pc, handler, depth>; a pop row
-        # must UNFOLD the matching tuple: AS = AS'*GS + <RPC, HDL, depth'>.
-        # With the block-level balance requirement (AS returns to its seed,
-        # DEPTH to zero) this is sound LIFO matching under Schwartz-Zippel:
-        # mismatched tuples cannot cancel. RET pins pc' to the restored
-        # return point, RETP to the popped frame's handler. Depth tags make
-        # cross-level matches fail. (Reference: callstack as sponge-hashed
-        # simulator state, circuit_encodings callstack_entry.rs:181.)
-        push = op[OP_NCALL]
-        depth, depth_n = W("DEPTH"), Wn("DEPTH")
-        as_, as_n = W("AS"), Wn("AS")
-        gs = W("GS")
-        t_push = alg.add(alg.mul(pch[0], alg.add_int(pc, 1)),
-                         alg.add(alg.mul(pch[1], W("HDL")),
-                                 alg.mul(pch[2], depth)))
-        out.append(alg.mul(notwrap, alg.mul(push, alg.sub(
-            as_n, alg.add(alg.mul(as_, gs), t_push)))))
-        out.append(alg.mul(notwrap, alg.mul(push, alg.sub(
-            depth_n, alg.add_int(depth, 1)))))
-        t_pop = alg.add(alg.mul(pch[0], W("RPC")),
-                        alg.add(alg.mul(pch[1], W("PHD")),
-                                alg.mul(pch[2], depth_n)))
-        out.append(alg.mul(notwrap, alg.mul(spop, alg.sub(
-            as_, alg.add(alg.mul(as_n, gs), t_pop)))))
-        out.append(alg.mul(notwrap, alg.mul(spop, alg.sub(
-            alg.add_int(depth_n, 1), depth))))
-        keep_s = _one_minus(alg, alg.add(push, spop))
-        out.append(alg.mul(notwrap, alg.mul(keep_s, alg.sub(as_n, as_))))
-        out.append(alg.mul(notwrap, alg.mul(keep_s,
-                                            alg.sub(depth_n, depth))))
-        # pop pc semantics
-        out.append(alg.mul(notwrap, alg.mul(op[OP_RET],
-                                            alg.sub(Wn("PC"), W("RPC")))))
-        out.append(alg.mul(notwrap, alg.mul(op[OP_RETP],
-                                            alg.sub(Wn("PC"), W("PHD")))))
+            # --- near-call stack argument (fold/unfold accumulator) ------------
+            # push (NCALL): AS' = AS*GS + <ret_pc, handler, depth>; a pop row
+            # must UNFOLD the matching tuple: AS = AS'*GS + <RPC, HDL, depth'>.
+            # With the block-level balance requirement (AS returns to its seed,
+            # DEPTH to zero) this is sound LIFO matching under Schwartz-Zippel:
+            # mismatched tuples cannot cancel. RET pins pc' to the restored
+            # return point, RETP to the popped frame's handler. Depth tags make
+            # cross-level matches fail. (Reference: callstack as sponge-hashed
+            # simulator state, circuit_encodings callstack_entry.rs:181.)
+            push = op[OP_NCALL]
+            depth, depth_n = W("DEPTH"), Wn("DEPTH")
+            as_, as_n = W("AS"), Wn("AS")
+            gs = W("GS")
+            t_push = alg.add(alg.mul(pch[0], alg.add_int(pc, 1)),
+                             alg.add(alg.mul(pch[1], W("HDL")),
+                                     alg.mul(pch[2], depth)))
+            out.append(alg.mul(notwrap, alg.mul(push, alg.sub(
+                as_n, alg.add(alg.mul(as_, gs), t_push)))))
+            out.append(alg.mul(notwrap, alg.mul(push, alg.sub(
+                depth_n, alg.add_int(depth, 1)))))
+            t_pop = alg.add(alg.mul(pch[0], W("RPC")),
+                            alg.add(alg.mul(pch[1], W("PHD")),
+                                    alg.mul(pch[2], depth_n)))
+            out.append(alg.mul(notwrap, alg.mul(spop, alg.sub(
+                as_, alg.add(alg.mul(as_n, gs), t_pop)))))
+            out.append(alg.mul(notwrap, alg.mul(spop, alg.sub(
+                alg.add_int(depth_n, 1), depth))))
+            keep_s = _one_minus(alg, alg.add(push, spop))
+            out.append(alg.mul(notwrap, alg.mul(keep_s, alg.sub(as_n, as_))))
+            out.append(alg.mul(notwrap, alg.mul(keep_s,
+                                                alg.sub(depth_n, depth))))
+            # pop pc semantics
+            out.append(alg.mul(notwrap, alg.mul(op[OP_RET],
+                                                alg.sub(Wn("PC"), W("RPC")))))
+            out.append(alg.mul(notwrap, alg.mul(op[OP_RETP],
+                                                alg.sub(Wn("PC"), W("PHD")))))
         return out
+
+    import functools as _ft
+    _parts = tuple(_ft.partial(_gates, sel=k) for k in range(6))
+
+    def eval_gates(alg, w, w_next, c):
+        return _gates(alg, w, w_next, c, sel=None)
+
+    # per-part constraint counts, probed once with a host algebra over
+    # dummy values (keeps the alpha-power layout and num_gate_constraints
+    # in exact sync with the emitted gates — no hand-maintained formula
+    # drift)
+    class _CountAlg:
+        def add(self, a, b):
+            return 0
+
+        sub = mul = add
+        def mul_int(self, a, c):
+            return 0
+
+        add_int = mul_int
+
+    _dummy_w = [0] * off["_width"]
+    _dummy_c = [0] * NUM_CONST
+    _ca = _CountAlg()
+    part_counts = tuple(len(pf(_ca, _dummy_w, _dummy_w, _dummy_c))
+                        for pf in _parts)
 
     n_constraints = (
         (NOPS + 4 * NREGS + 7 + 2 * NL)  # booleans (+spop+zb+dst2+dcar)
@@ -560,6 +599,7 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         + NPOW + 4 + (NPOW - 1)           # fp constancy (4 gammas) + chain
         + 6                               # 3 accumulators x (update+carry)
         + 8)                              # stack push/pop/carry + pop pc
+    assert sum(part_counts) == n_constraints, (part_counts, n_constraints)
 
     pis: List[Tuple[int, int]] = [
         (off["PCH"], 0), (off["GC"], 0), (off["GL"], 0), (off["GM"], 0),
@@ -599,7 +639,8 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         gate_degree=6, num_gate_constraints=n_constraints,
         eval_gates=eval_gates, copy_chunk=4,
         public_input_cells=tuple(pis),
-        lookup_tables=(table,), lookup_sets=lookup_sets)
+        lookup_tables=(table,), lookup_sets=lookup_sets,
+        eval_gates_parts=_parts, gate_part_counts=part_counts)
 
 
 def _one_minus(alg, x):
@@ -630,12 +671,20 @@ def _limbs(v: int, NL: int, L: int) -> List[int]:
     return [(int(v) >> (L * i)) & ((1 << L) - 1) for i in range(NL)]
 
 
+def _addr_lanes(addr: int) -> List[int]:
+    """A 160-bit address as 3 Goldilocks lanes (54 bits each) — must match
+    witness.main_vm._addr_lanes."""
+    m = (1 << 54) - 1
+    a = int(addr)
+    return [(a >> (54 * i)) & m for i in range(3)]
+
+
 def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
     """inst: witness.main_vm.VmCircuitInstance."""
     NL, L = geo.num_limbs, geo.limb_bits
     n = geo.n
     off = _cols(geo)
-    NPOW = 5 + 2 * NL
+    NPOW = 6 + 2 * NL
     W = np.zeros((ir.num_witness, n), dtype=object)
 
     ch = int(inst.challenge) % P
@@ -804,11 +853,15 @@ def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
             fold(0, code_fields)
             if row.op in (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1):
                 value = res if row.op == OP_STOR else v1
-                fold(1, [opid, row.ts] + _limbs(v0, NL, L)
+                adr = _addr_lanes(row.addr)
+                W[off["ADR"]:off["ADR"] + 3, r] = adr
+                fold(1, [opid, row.ts] + adr + _limbs(v0, NL, L)
                      + _limbs(value, NL, L))
             if row.op in (OP_HEAPW, OP_HEAPR):
                 value = res if row.op == OP_HEAPR else v1
-                fold(2, [1 if row.op == OP_HEAPW else 0, row.ts]
+                W[off["PG"], r] = int(row.page) % P
+                fold(2, [1 if row.op == OP_HEAPW else 0, row.ts,
+                         int(row.page)]
                      + _limbs(v0, NL, L) + _limbs(value, NL, L))
             if row.op == OP_NCALL:
                 fold(3, [row.pc + 1, row.handler, depth])

@@ -71,6 +71,14 @@ class PlonkishIR:
     # real entry, as in the reference's specialized lookups).
     lookup_tables: Tuple = ()
     lookup_sets: Tuple = ()
+    # optional CHUNKED gate evaluation for huge gate sets: a tuple of
+    # functions with the eval_gates signature whose concatenated outputs
+    # equal eval_gates exactly (same order), plus per-part constraint
+    # counts. The quotient coset phase then compiles one kernel per part
+    # instead of one monolithic kernel — the remote TPU compiler SIGKILLs
+    # on the fused MainVM graph (round 3).
+    eval_gates_parts: "Optional[Tuple[Callable, ...]]" = None
+    gate_part_counts: "Optional[Tuple[int, ...]]" = None
 
 
 @dataclasses.dataclass
@@ -511,8 +519,9 @@ def _coset_fn(ir: PlonkishIR):
             a = _scalar2(apows, i)
             return _ebc(a, (n,))
 
-        def f_gates(wit_coeffs, const_coeffs, s_c, zh_inv, u_pows, apows,
-                    pi_vals):
+        def _gate_body(gate_fn, n_gates, alpha_off, with_pis,
+                       wit_coeffs, const_coeffs, s_c, zh_inv, u_pows, apows,
+                       pi_vals):
             n = wit_coeffs.shape[-1]
             wit_ev = _coset_ntt(wit_coeffs, s_c)
             const_ev = _coset_ntt(const_coeffs, s_c)
@@ -522,28 +531,46 @@ def _coset_fn(ir: PlonkishIR):
                           if const_ev is not None else [])
             xs = gl.mul(u_pows, gl.broadcast_to(s_c, (n,)))
 
-            gate_vals = ir.eval_gates(alg, wit_cols, wit_next, const_cols)
-            assert len(gate_vals) == G
+            gate_vals = gate_fn(alg, wit_cols, wit_next, const_cols)
+            assert len(gate_vals) == n_gates, (len(gate_vals), n_gates)
             comb = gl.ext_zeros((n,))
             for i, gv in enumerate(gate_vals):
-                a = _scalar2(apows, i)
+                a = _scalar2(apows, alpha_off + i)
                 comb = gl.ext_add(comb, GF2(
                     gl.mul(gl.broadcast_to(a.c0, (n,)), gv),
                     gl.mul(gl.broadcast_to(a.c1, (n,)), gv)))
             comb = GF2(gl.mul(comb.c0, gl.broadcast_to(zh_inv, (n,))),
                        gl.mul(comb.c1, gl.broadcast_to(zh_inv, (n,))))
-            for idx, (col, row) in enumerate(ir.public_input_cells):
-                a = _scalar2(apows, pi_off + idx)
-                pt = pow(w_gen_cached, row, P)
-                den_inv = gl.inv(gl.sub(xs, gl.broadcast_to(gl.from_int(pt),
+            if with_pis:
+                for idx, (col, row) in enumerate(ir.public_input_cells):
+                    a = _scalar2(apows, pi_off + idx)
+                    pt = pow(w_gen_cached, row, P)
+                    den_inv = gl.inv(gl.sub(xs,
+                                            gl.broadcast_to(gl.from_int(pt),
                                                             (n,))))
-                num = gl.sub(wit_cols[col],
-                             gl.broadcast_to(_scalar(pi_vals, idx), (n,)))
-                term = gl.mul(num, den_inv)
-                comb = gl.ext_add(comb, GF2(
-                    gl.mul(gl.broadcast_to(a.c0, (n,)), term),
-                    gl.mul(gl.broadcast_to(a.c1, (n,)), term)))
+                    num = gl.sub(wit_cols[col],
+                                 gl.broadcast_to(_scalar(pi_vals, idx), (n,)))
+                    term = gl.mul(num, den_inv)
+                    comb = gl.ext_add(comb, GF2(
+                        gl.mul(gl.broadcast_to(a.c0, (n,)), term),
+                        gl.mul(gl.broadcast_to(a.c1, (n,)), term)))
             return comb
+
+        import functools as _ft
+        # one kernel per gate part when the IR opts into chunked evaluation
+        # (huge gate sets — e.g. MainVM — SIGKILL the remote TPU compiler
+        # when fused into a single kernel); otherwise one gates kernel
+        if ir.eval_gates_parts is not None:
+            counts = list(ir.gate_part_counts)
+            assert sum(counts) == G
+            gate_fns = []
+            off_acc = 0
+            for k, (pf, cnt) in enumerate(zip(ir.eval_gates_parts, counts)):
+                gate_fns.append(_ft.partial(
+                    _gate_body, pf, cnt, off_acc, k == 0))
+                off_acc += cnt
+        else:
+            gate_fns = [_ft.partial(_gate_body, ir.eval_gates, G, 0, True)]
 
         def f_rest(wit_coeffs, s2_coeffs, s3_coeffs, sigma_coeffs,
                    table_coeffs, s_c, zh_inv, u_pows, ks_vec,
@@ -628,15 +655,21 @@ def _coset_fn(ir: PlonkishIR):
                         gl.mul(s_ext.c1, xm1_inv))))
             return comb
 
-        jf_gates = jax.jit(f_gates)
+        jf_gate_fns = [jax.jit(f) for f in gate_fns]
         jf_rest = jax.jit(f_rest)
 
         def call(wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs,
                  sigma_coeffs, table_coeffs, s_c, zh_inv, u_pows, ks_vec,
                  apows, beta, gamma, theta, beta_lk, pi_vals):
             eager = jax.default_backend() == "cpu"
-            g = (f_gates if eager else jf_gates)(
-                wit_coeffs, const_coeffs, s_c, zh_inv, u_pows, apows, pi_vals)
+            g = None
+            for f_eager, f_jit in zip(gate_fns, jf_gate_fns):
+                part = (f_eager if eager else f_jit)(
+                    wit_coeffs, const_coeffs, s_c, zh_inv, u_pows, apows,
+                    pi_vals)
+                if not eager:
+                    part = jax.block_until_ready(part)  # cap HBM liveness
+                g = part if g is None else gl.ext_add(g, part)
             r = (f_rest if eager else jf_rest)(
                 wit_coeffs, s2_coeffs, s3_coeffs, sigma_coeffs, table_coeffs,
                 s_c, zh_inv, u_pows, ks_vec, apows, beta, gamma, theta,

@@ -46,6 +46,8 @@ class VmRow:
     dst2: int = 0           # div remainder destination (1-based; 0 = none)
     rem: int = 0            # div remainder value
     ptrs: tuple = ()        # 15 pointer tags entering the row
+    page: int = 0           # heap-query memory page (mem fingerprint lane)
+    addr: int = 0           # log-query address (3 fingerprint lanes)
     handler: int = 0        # NCALL exception handler (instruction field)
     spop: bool = False      # this row pops a local frame
     pop_ret_pc: int = 0     # popped frame's pushed return pc
@@ -90,12 +92,25 @@ def _operand(op: isa.Operand, regs: List[int]) -> Tuple[str, int, int]:
     return "reg", idx, val
 
 
+def _addr_lanes(addr: int) -> List[int]:
+    """A 160-bit address as 3 Goldilocks lanes (54 bits each)."""
+    m = (1 << 54) - 1
+    a = int(addr)
+    return [(a >> (54 * i)) & m for i in range(3)]
+
+
 def decode_cycle_rows(tracer: WitnessTracer) -> List[VmRow]:
     instrs = dict(tracer.cycle_instructions)
     mem_reads = {c: q.value for (c, q) in tracer.memory_queries
                  if not q.rw_flag}
+    mem_q: Dict[int, object] = {}
+    for (c, q) in tracer.memory_queries:
+        mem_q.setdefault(c, q)
+    log_q: Dict[int, object] = {}
     log_reads: Dict[int, int] = {}
     for (c, q) in tracer.callstack_with_aux_data.forward:
+        if not q.rollback:
+            log_q.setdefault(c, q)
         if not q.rw_flag and not q.rollback:
             log_reads.setdefault(c, q.read_value)
     rows: List[VmRow] = []
@@ -148,20 +163,24 @@ def decode_cycle_rows(tracer: WitnessTracer) -> List[VmRow]:
             k0, e0, v0 = _operand(instr.addr, regs)
             k1, e1, v1 = _operand(instr.src, regs)
             row = VmRow(op=OP_HEAPW, s0_kind=k0, s0_val=e0, s1_kind=k1,
-                        s1_val=e1, v0=v0, v1=v1, **base)
+                        s1_val=e1, v0=v0, v1=v1,
+                        page=mem_q[cyc].location.page, **base)
         elif isinstance(instr, isa.HeapRead):
             k0, e0, v0 = _operand(instr.addr, regs)
             row = VmRow(op=OP_HEAPR, dst=int(instr.dst), s0_kind=k0,
-                        s0_val=e0, v0=v0, res=mem_reads.get(cyc, 0), **base)
+                        s0_val=e0, v0=v0, res=mem_reads.get(cyc, 0),
+                        page=mem_q[cyc].location.page, **base)
         elif isinstance(instr, isa.StorageWrite):
             k0, e0, v0 = _operand(instr.key, regs)
             k1, e1, v1 = _operand(instr.src, regs)
             row = VmRow(op=OP_STOW, s0_kind=k0, s0_val=e0, s1_kind=k1,
-                        s1_val=e1, v0=v0, v1=v1, **base)
+                        s1_val=e1, v0=v0, v1=v1,
+                        addr=log_q[cyc].address, **base)
         elif isinstance(instr, isa.StorageRead):
             k0, e0, v0 = _operand(instr.key, regs)
             row = VmRow(op=OP_STOR, dst=int(instr.dst), s0_kind=k0,
-                        s0_val=e0, v0=v0, res=log_reads.get(cyc, 0), **base)
+                        s0_val=e0, v0=v0, res=log_reads.get(cyc, 0),
+                        addr=log_q[cyc].address, **base)
         elif isinstance(instr, isa.Div):
             k0, e0, v0 = _operand(instr.src0, regs)
             k1, e1, v1 = _operand(instr.src1, regs)
@@ -233,7 +252,7 @@ def decode_cycle_rows(tracer: WitnessTracer) -> List[VmRow]:
             k1, e1, v1 = _operand(instr.value, regs)
             row = VmRow(op=OP_EVTL1 if instr.to_l1 else OP_EVT,
                         s0_kind=k0, s0_val=e0, s1_kind=k1, s1_val=e1,
-                        v0=v0, v1=v1, **base)
+                        v0=v0, v1=v1, addr=log_q[cyc].address, **base)
         else:
             row = VmRow(op=OP_EXT, **base)
         rows.append(row)
@@ -269,11 +288,11 @@ def row_fingerprint_fields(geo: VmGeometry, row: VmRow):
     log = mem = None
     if row.op in (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1):
         value = row.res if row.op == OP_STOR else row.v1
-        log = ([opid, row.ts] + _limbs(row.v0, NL, L)
-               + _limbs(value, NL, L))
+        log = ([opid, row.ts] + _addr_lanes(row.addr)
+               + _limbs(row.v0, NL, L) + _limbs(value, NL, L))
     if row.op in (OP_HEAPW, OP_HEAPR):
         value = row.res if row.op == OP_HEAPR else row.v1
-        mem = ([1 if row.op == OP_HEAPW else 0, row.ts]
+        mem = ([1 if row.op == OP_HEAPW else 0, row.ts, int(row.page)]
                + _limbs(row.v0, NL, L) + _limbs(value, NL, L))
     return code, log, mem
 
@@ -281,7 +300,7 @@ def row_fingerprint_fields(geo: VmGeometry, row: VmRow):
 def replay_accumulators(geo: VmGeometry, inst: VmCircuitInstance
                         ) -> Tuple[int, int, int, int]:
     NL = geo.num_limbs
-    NPOW = 5 + 2 * NL
+    NPOW = 6 + 2 * NL
     ch = int(inst.challenge) % P
     pows = [pow(ch, j + 1, P) for j in range(NPOW)]
     accs = [int(a) % P for a in inst.acc_in]
@@ -351,21 +370,19 @@ def crosscheck_query_binding(tracer: WitnessTracer, geo: VmGeometry,
     value) must agree between the two derivations or this raises ValueError
     (explicit raise, not assert: the check must survive `python -O`).
 
-    LIMITATION: the fold binds (op/rw, timestamp, index/key, value) but NOT
-    location.page / log address / shard / tx_number — those are outside the
-    MainVM fingerprint today. Soundness therefore rests on the
-    constant-context invariant, enforced here: every folded heap query lives
-    on ONE memory page and every folded log query targets ONE
-    (address, shard, tx) context; a stream mixing contexts is rejected
-    rather than silently half-bound.
+    The fold binds (op/rw, timestamp, PAGE, index, value) for memory and
+    (op, timestamp, ADDRESS lanes, key, value) for logs — the page/address
+    lanes (round 3) close the multi-context gap: a MainVM proof can no
+    longer bind a different page's or address's stream (shard/tx stay
+    single-valued in this VM and are asserted below).
     (Reference: closed-form-input observable queue states cross-checked by
     the scheduler, src/witness/oracle.rs:185-206 + recursion_layer/
-    scheduler.rs; MainVM's EXT rows — fat-pointer and precompile reads —
-    are outside stage-A/B scope and excluded on both sides.)
+    scheduler.rs; precompile/fat-pointer reads are CTX rows and excluded
+    on both sides.)
     """
     from ..vm.environment import AUX_BYTE_EVENT, AUX_BYTE_L1_MESSAGE
     NL, L = geo.num_limbs, geo.limb_bits
-    NPOW = 5 + 2 * NL
+    NPOW = 6 + 2 * NL
     ch = int(art.challenge) % P
     pows = [pow(ch, j + 1, P) for j in range(NPOW)]
     _, g_log, g_mem, _ = (int(g) % P for g in art.gammas)
@@ -390,8 +407,6 @@ def crosscheck_query_binding(tracer: WitnessTracer, geo: VmGeometry,
 
     acc_log = acc_mem = 1
     cycle = 0
-    heap_page = None      # constant-context invariant (see docstring)
-    log_context = None
     for inst in art.instances:
         _req((acc_log, acc_mem) == (int(inst.acc_in[1]) % P,
                                     int(inst.acc_in[2]) % P),
@@ -404,14 +419,9 @@ def crosscheck_query_binding(tracer: WitnessTracer, geo: VmGeometry,
                 q = qs[0]
                 _req(bool(q.rw_flag) == (row.op == OP_HEAPW),
                      f"cycle {cycle}: rw flag mismatch vs traced query")
-                if heap_page is None:
-                    heap_page = int(q.location.page)
-                _req(int(q.location.page) == heap_page,
-                     f"cycle {cycle}: heap query on page {q.location.page} "
-                     f"!= {heap_page} — multi-context heap streams are not "
-                     "bound by the page-less MainVM fingerprint")
                 acc_mem = fold(acc_mem, g_mem,
-                               [1 if q.rw_flag else 0, q.timestamp]
+                               [1 if q.rw_flag else 0, q.timestamp,
+                                int(q.location.page)]
                                + _limbs(q.location.index, NL, L)
                                + _limbs(q.value, NL, L))
             elif row.op in (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1):
@@ -419,14 +429,9 @@ def crosscheck_query_binding(tracer: WitnessTracer, geo: VmGeometry,
                 _req(len(qs) == 1,
                      f"cycle {cycle}: log op must trace exactly one query")
                 q = qs[0]
-                ctx = (int(q.address), int(q.shard_id),
-                       int(q.tx_number_in_block))
-                if log_context is None:
-                    log_context = ctx
-                _req(ctx == log_context,
-                     f"cycle {cycle}: log query context {ctx} != "
-                     f"{log_context} — multi-context log streams are not "
-                     "bound by the address-less MainVM fingerprint")
+                _req(int(q.shard_id) == 0 and int(q.tx_number_in_block) == 0,
+                     f"cycle {cycle}: shard/tx lanes are single-valued in "
+                     "this VM (extend the fingerprint before multi-tx)")
                 if q.aux_byte == AUX_BYTE_EVENT:
                     opid, value = OP_EVT + 1, q.written_value
                 elif q.aux_byte == AUX_BYTE_L1_MESSAGE:
@@ -438,7 +443,9 @@ def crosscheck_query_binding(tracer: WitnessTracer, geo: VmGeometry,
                 _req(opid == row.op + 1,
                      f"cycle {cycle}: op kind mismatch vs traced query")
                 acc_log = fold(acc_log, g_log,
-                               [opid, q.timestamp] + _limbs(q.key, NL, L)
+                               [opid, q.timestamp]
+                               + _addr_lanes(q.address)
+                               + _limbs(q.key, NL, L)
                                + _limbs(value, NL, L))
             cycle += 1
         _req((acc_log, acc_mem) == (int(inst.acc_out[1]) % P,
