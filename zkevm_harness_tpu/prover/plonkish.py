@@ -394,38 +394,79 @@ def _compress_theta_traced(cols: List[GF], theta: GF2) -> GF2:
 
 
 def _stage2_fn(num_witness: int, copy_chunk: int):
+    """Copy-permutation columns, fully VECTORIZED over chunks: per-column
+    linear terms as one batched op, within-chunk products over the (small,
+    static) chunk axis, cross-chunk prefix products as an associative scan.
+    The earlier per-chunk Python unroll emitted O(num_witness) sequential
+    vector ops and SIGKILLed the remote TPU compiler at MainVM width."""
     key = ("stage2", num_witness, copy_chunk)
     if key not in _PHASE_CACHE:
         chunks = _copy_chunks(num_witness, copy_chunk)
+        C = len(chunks)
+        K = copy_chunk
+        pad = C * K - num_witness
 
         def f(witness, sigma_cols, beta, gamma, w_pows, ks_vec):
             n = witness.shape[-1]
-            nums, dens = [], []
-            for chunk in chunks:
-                num_p = gl.ext_ones((n,))
-                den_p = gl.ext_ones((n,))
-                for j in chunk:
-                    id_j = gl.mul(w_pows, gl.broadcast_to(_scalar(ks_vec, j), (n,)))
-                    num_p = gl.ext_mul(num_p, _lin_term_device(witness[j], id_j,
-                                                               beta, gamma))
-                    den_p = gl.ext_mul(den_p, _lin_term_device(
-                        witness[j], sigma_cols[j], beta, gamma))
-                nums.append(num_p)
-                dens.append(den_p)
-            den_invs = [gl.ext_inv(d) for d in dens]
-            total_ratio = gl.ext_ones((n,))
-            for num_p, den_inv in zip(nums, den_invs):
-                total_ratio = gl.ext_mul(total_ratio, gl.ext_mul(num_p, den_inv))
+            # per-column id_j = w_pows * k_j : (nw, n) in one op
+            ids = gl.mul(GF(jnp.broadcast_to(w_pows.lo[None, :],
+                                             (num_witness, n)),
+                            jnp.broadcast_to(w_pows.hi[None, :],
+                                             (num_witness, n))),
+                         GF(jnp.broadcast_to(ks_vec.lo[:num_witness, None],
+                                             (num_witness, n)),
+                            jnp.broadcast_to(ks_vec.hi[:num_witness, None],
+                                             (num_witness, n))))
+            t_num = _lin_term_device(witness, ids, beta, gamma)
+            t_den = _lin_term_device(witness, sigma_cols, beta, gamma)
+
+            def _pad_ones(t):
+                if pad == 0:
+                    return t
+                ones = gl.ext_ones((pad, n))
+                return GF2(GF(jnp.concatenate([t.c0.lo, ones.c0.lo]),
+                              jnp.concatenate([t.c0.hi, ones.c0.hi])),
+                           GF(jnp.concatenate([t.c1.lo, ones.c1.lo]),
+                              jnp.concatenate([t.c1.hi, ones.c1.hi])))
+
+            def _chunk_prod(t):
+                t = _pad_ones(t)
+                r = GF2(GF(t.c0.lo.reshape(C, K, n), t.c0.hi.reshape(C, K, n)),
+                        GF(t.c1.lo.reshape(C, K, n), t.c1.hi.reshape(C, K, n)))
+                acc = GF2(GF(r.c0.lo[:, 0], r.c0.hi[:, 0]),
+                          GF(r.c1.lo[:, 0], r.c1.hi[:, 0]))
+                for k in range(1, K):
+                    acc = gl.ext_mul(acc, GF2(GF(r.c0.lo[:, k], r.c0.hi[:, k]),
+                                              GF(r.c1.lo[:, k],
+                                                 r.c1.hi[:, k])))
+                return acc  # (C, n)
+
+            nums = _chunk_prod(t_num)
+            dens = _chunk_prod(t_den)
+            den_invs = gl.ext_inv(dens)
+            ratios = gl.ext_mul(nums, den_invs)  # (C, n)
+            incl = jax.lax.associative_scan(gl.ext_mul, ratios, axis=0)
+            total_ratio = GF2(GF(incl.c0.lo[-1], incl.c0.hi[-1]),
+                              GF(incl.c1.lo[-1], incl.c1.hi[-1]))
             z_col = _ext_prefix_product_exclusive(total_ratio)
-            pps = []
-            acc = z_col
-            for c in range(len(chunks) - 1):
-                acc = gl.ext_mul(acc, gl.ext_mul(nums[c], den_invs[c]))
-                pps.append(acc)
-            cols = [z_col.c0, z_col.c1]
-            for pp in pps:
-                cols.extend([pp.c0, pp.c1])
-            return gl.stack(cols, axis=0)
+            # pps[c] = z * prod_{t<=c} ratio_t for c in 0..C-2, batched
+            zb = GF2(GF(jnp.broadcast_to(z_col.c0.lo[None, :], (C - 1, n)),
+                        jnp.broadcast_to(z_col.c0.hi[None, :], (C - 1, n))),
+                     GF(jnp.broadcast_to(z_col.c1.lo[None, :], (C - 1, n)),
+                        jnp.broadcast_to(z_col.c1.hi[None, :], (C - 1, n))))
+            head = GF2(GF(incl.c0.lo[:C - 1], incl.c0.hi[:C - 1]),
+                       GF(incl.c1.lo[:C - 1], incl.c1.hi[:C - 1]))
+            pps = gl.ext_mul(zb, head)  # (C-1, n)
+            # interleave [z.c0, z.c1, pp0.c0, pp0.c1, ...]
+            pp_cols_lo = jnp.stack([pps.c0.lo, pps.c1.lo], axis=1).reshape(
+                2 * (C - 1), n)
+            pp_cols_hi = jnp.stack([pps.c0.hi, pps.c1.hi], axis=1).reshape(
+                2 * (C - 1), n)
+            lo = jnp.concatenate([z_col.c0.lo[None, :], z_col.c1.lo[None, :],
+                                  pp_cols_lo])
+            hi = jnp.concatenate([z_col.c0.hi[None, :], z_col.c1.hi[None, :],
+                                  pp_cols_hi])
+            return GF(lo, hi)
 
         _PHASE_CACHE[key] = _phase_jit(f)
     return _PHASE_CACHE[key]
@@ -436,6 +477,18 @@ def _stage3_fn(ir: PlonkishIR):
     if key not in _PHASE_CACHE:
         tslices = _table_col_slices(ir)
 
+        # single-column sets (the common case: per-column range checks)
+        # batch into ONE gather + ONE batched inverse; wider sets keep the
+        # compressed-theta loop (few of them). The per-set Python unroll
+        # emitted O(num_sets) sequential inverses and blew up the remote
+        # TPU compiler at MainVM's ~100 sets.
+        simple_idx = [i for i, (_t, cols) in enumerate(ir.lookup_sets)
+                      if len(cols) == 1]
+        wide_idx = [i for i, (_t, cols) in enumerate(ir.lookup_sets)
+                    if len(cols) > 1]
+        simple_cols = np.array(
+            [ir.lookup_sets[i][1][0] for i in simple_idx], dtype=np.int32)
+
         def f(witness, table_cols, m_cols, theta, beta_lk):
             n = witness.shape[-1]
             h_tables = []
@@ -444,10 +497,22 @@ def _stage3_fn(ir: PlonkishIR):
                     [table_cols[start + j] for j in range(width)], theta)
                 denom = gl.ext_add(t_comp, _ebc(beta_lk, (n,)))
                 h_tables.append(gl.ext_mul_base(gl.ext_inv(denom), m_cols[t]))
-            h_sets = []
-            for (tbl, cols) in ir.lookup_sets:
-                a_comp = _compress_theta_traced([witness[c] for c in cols], theta)
-                h_sets.append(gl.ext_inv(gl.ext_add(a_comp, _ebc(beta_lk, (n,)))))
+            h_sets: List = [None] * len(ir.lookup_sets)
+            if len(simple_idx):
+                sub = gl.take(witness, jnp.asarray(simple_cols), axis=0)
+                denoms = GF2(gl.add(sub, gl.broadcast_to(beta_lk.c0,
+                                                         sub.shape)),
+                             gl.broadcast_to(beta_lk.c1, sub.shape))
+                hb = gl.ext_inv(denoms)  # (n_simple, n) batched
+                for k, i in enumerate(simple_idx):
+                    h_sets[i] = GF2(GF(hb.c0.lo[k], hb.c0.hi[k]),
+                                    GF(hb.c1.lo[k], hb.c1.hi[k]))
+            for i in wide_idx:
+                _tbl, cols = ir.lookup_sets[i]
+                a_comp = _compress_theta_traced([witness[c] for c in cols],
+                                                theta)
+                h_sets[i] = gl.ext_inv(gl.ext_add(a_comp,
+                                                  _ebc(beta_lk, (n,))))
             delta = gl.ext_zeros((n,))
             for h in h_sets:
                 delta = gl.ext_add(delta, h)
@@ -586,23 +651,64 @@ def _coset_fn(ir: PlonkishIR):
 
             z_ext = GF2(s2_ev[0], s2_ev[1])
             z_next = GF2(roll(s2_ev)[0], roll(s2_ev)[1])
-            pp_ext = [GF2(s2_ev[2 + 2 * t], s2_ev[3 + 2 * t])
-                      for t in range(len(chunks) - 1)]
-            copy_vals: List[GF2] = []
-            prev = z_ext
-            for t, chunk in enumerate(chunks):
-                num_p = gl.ext_ones((n,))
-                den_p = gl.ext_ones((n,))
-                for j in chunk:
-                    id_j = gl.mul(xs, gl.broadcast_to(_scalar(ks_vec, j), (n,)))
-                    num_p = gl.ext_mul(num_p, _lin_term_device(wit_cols[j], id_j,
-                                                               beta, gamma))
-                    den_p = gl.ext_mul(den_p, _lin_term_device(
-                        wit_cols[j], sigma_ev[j], beta, gamma))
-                nxt = pp_ext[t] if t < len(chunks) - 1 else z_next
-                copy_vals.append(gl.ext_sub(gl.ext_mul(nxt, den_p),
-                                            gl.ext_mul(prev, num_p)))
-                prev = pp_ext[t] if t < len(chunks) - 1 else None
+            # batched chunk products (the per-chunk Python unroll emitted
+            # O(num_witness) sequential vector ops and SIGKILLed the remote
+            # TPU compiler at MainVM width — mirror of _stage2_fn)
+            nw = ir.num_witness
+            C = len(chunks)
+            K = ir.copy_chunk
+            pad = C * K - nw
+            ids_b = gl.mul(GF(jnp.broadcast_to(xs.lo[None, :], (nw, n)),
+                              jnp.broadcast_to(xs.hi[None, :], (nw, n))),
+                           GF(jnp.broadcast_to(ks_vec.lo[:nw, None], (nw, n)),
+                              jnp.broadcast_to(ks_vec.hi[:nw, None],
+                                               (nw, n))))
+            t_num = _lin_term_device(wit_ev, ids_b, beta, gamma)
+            t_den = _lin_term_device(wit_ev, sigma_ev, beta, gamma)
+
+            def _pad_ones(t):
+                if pad == 0:
+                    return t
+                ones = gl.ext_ones((pad, n))
+                return GF2(GF(jnp.concatenate([t.c0.lo, ones.c0.lo]),
+                              jnp.concatenate([t.c0.hi, ones.c0.hi])),
+                           GF(jnp.concatenate([t.c1.lo, ones.c1.lo]),
+                              jnp.concatenate([t.c1.hi, ones.c1.hi])))
+
+            def _chunk_prod(t):
+                t = _pad_ones(t)
+                r = GF2(GF(t.c0.lo.reshape(C, K, n), t.c0.hi.reshape(C, K, n)),
+                        GF(t.c1.lo.reshape(C, K, n), t.c1.hi.reshape(C, K, n)))
+                acc = GF2(GF(r.c0.lo[:, 0], r.c0.hi[:, 0]),
+                          GF(r.c1.lo[:, 0], r.c1.hi[:, 0]))
+                for k in range(1, K):
+                    acc = gl.ext_mul(acc, GF2(
+                        GF(r.c0.lo[:, k], r.c0.hi[:, k]),
+                        GF(r.c1.lo[:, k], r.c1.hi[:, k])))
+                return acc
+
+            nums_b = _chunk_prod(t_num)   # (C, n)
+            dens_b = _chunk_prod(t_den)
+            # prev_t = [z, pp_0..pp_{C-2}]; nxt_t = [pp_0..pp_{C-2}, z_next]
+            pp_lo0 = s2_ev.lo[2:2 * C]
+            pp_hi0 = s2_ev.hi[2:2 * C]
+            pps_b = GF2(GF(pp_lo0[0::2], pp_hi0[0::2]),
+                        GF(pp_lo0[1::2], pp_hi0[1::2]))  # (C-1, n)
+            prev_b = GF2(GF(jnp.concatenate([z_ext.c0.lo[None], pps_b.c0.lo]),
+                            jnp.concatenate([z_ext.c0.hi[None], pps_b.c0.hi])),
+                         GF(jnp.concatenate([z_ext.c1.lo[None], pps_b.c1.lo]),
+                            jnp.concatenate([z_ext.c1.hi[None],
+                                             pps_b.c1.hi])))
+            nxt_b = GF2(GF(jnp.concatenate([pps_b.c0.lo, z_next.c0.lo[None]]),
+                           jnp.concatenate([pps_b.c0.hi, z_next.c0.hi[None]])),
+                        GF(jnp.concatenate([pps_b.c1.lo, z_next.c1.lo[None]]),
+                           jnp.concatenate([pps_b.c1.hi,
+                                            z_next.c1.hi[None]])))
+            cv_b = gl.ext_sub(gl.ext_mul(nxt_b, dens_b),
+                              gl.ext_mul(prev_b, nums_b))  # (C, n)
+            copy_vals: List[GF2] = [
+                GF2(GF(cv_b.c0.lo[t], cv_b.c0.hi[t]),
+                    GF(cv_b.c1.lo[t], cv_b.c1.hi[t])) for t in range(C)]
 
             lookup_vals: List[GF2] = []
             s_ext = None
@@ -616,12 +722,39 @@ def _coset_fn(ir: PlonkishIR):
                 h_sets = [GF2(s3_ev[h_ofs + 2 * s], s3_ev[h_ofs + 2 * s + 1])
                           for s in range(len(ir.lookup_sets))]
                 one_v = gl.ext_ones((n,))
-                for s, (tbl, cols) in enumerate(ir.lookup_sets):
-                    a_comp = _compress_theta_traced([wit_cols[c] for c in cols],
-                                                    theta)
+                # single-column sets batched (cf. _stage3_fn): one gather,
+                # one batched mul; wide sets keep the compressed loop
+                simple = [i for i, (_t, cols) in enumerate(ir.lookup_sets)
+                          if len(cols) == 1]
+                lv_by_idx: Dict[int, GF2] = {}
+                if simple:
+                    sc = jnp.asarray(np.array(
+                        [ir.lookup_sets[i][1][0] for i in simple],
+                        dtype=np.int32))
+                    sub = gl.take(wit_ev, sc, axis=0)
+                    denoms = GF2(gl.add(sub, gl.broadcast_to(beta_lk.c0,
+                                                             sub.shape)),
+                                 gl.broadcast_to(beta_lk.c1, sub.shape))
+                    h_ofs2 = 2 + 2 * n_tables
+                    hs_lo = s3_ev.lo[h_ofs2:h_ofs2 + 2 * len(ir.lookup_sets)]
+                    hs_hi = s3_ev.hi[h_ofs2:h_ofs2 + 2 * len(ir.lookup_sets)]
+                    sel = jnp.asarray(np.array(simple, dtype=np.int32))
+                    hb = GF2(GF(hs_lo[0::2][sel], hs_hi[0::2][sel]),
+                             GF(hs_lo[1::2][sel], hs_hi[1::2][sel]))
+                    prod_b = gl.ext_mul(hb, denoms)
+                    for k, i in enumerate(simple):
+                        lv_by_idx[i] = GF2(
+                            GF(prod_b.c0.lo[k], prod_b.c0.hi[k]),
+                            GF(prod_b.c1.lo[k], prod_b.c1.hi[k]))
+                for i, (tbl, cols) in enumerate(ir.lookup_sets):
+                    if i in lv_by_idx:
+                        lookup_vals.append(gl.ext_sub(lv_by_idx[i], one_v))
+                        continue
+                    a_comp = _compress_theta_traced(
+                        [wit_cols[c] for c in cols], theta)
                     denom = gl.ext_add(a_comp, _ebc(beta_lk, (n,)))
-                    lookup_vals.append(gl.ext_sub(gl.ext_mul(h_sets[s], denom),
-                                                  one_v))
+                    lookup_vals.append(gl.ext_sub(gl.ext_mul(h_sets[i],
+                                                             denom), one_v))
                 for t, (start, width) in enumerate(tslices):
                     t_comp = _compress_theta_traced(
                         [table_ev[start + j] for j in range(width)], theta)
