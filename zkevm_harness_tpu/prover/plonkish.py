@@ -876,22 +876,46 @@ def _deep_partial_fn(ncols: int, has_next: bool):
     key = ("deep_partial", ncols, has_next)
     if key not in _PHASE_CACHE:
 
+        def _sum0(x: GF) -> GF:
+            """Modular tree-sum over axis 0 (exact; addition commutes)."""
+            m = x.lo.shape[0]
+            p2 = 1 << max(0, (m - 1)).bit_length()
+            if p2 != m:
+                zlo = jnp.zeros((p2 - m,) + x.lo.shape[1:], dtype=x.lo.dtype)
+                x = GF(jnp.concatenate([x.lo, zlo]),
+                       jnp.concatenate([x.hi, zlo]))
+            while p2 > 1:
+                p2 //= 2
+                x = gl.add(GF(x.lo[:p2], x.hi[:p2]),
+                           GF(x.lo[p2:], x.hi[p2:]))
+            return GF(x.lo[0], x.hi[0])
+
         def f(deep, cols, ood_z, ood_zw, gp_z, gp_zw, inv_xz, inv_xzw):
-            n_comm = cols.shape[-1]
+            # VECTORIZED over the bundle's columns (the per-column unroll
+            # SIGKILLed the remote TPU compiler at MainVM width):
+            #   sum_j g_j (col_j - ood_j) = (dot(g.c0,cols), dot(g.c1,cols))
+            #                               + sum_j g_j * (-ood_j)
+            # then one ext mul by the shared inverse denominator.
+            shape = cols.lo.shape
 
-            def accum(deep, col: GF, ood: GF2, inv_den: GF2, g: GF2):
-                num = GF2(gl.sub(col, gl.broadcast_to(ood.c0, (n_comm,))),
-                          gl.neg(gl.broadcast_to(ood.c1, (n_comm,))))
-                term = gl.ext_mul(num, inv_den)
-                return gl.ext_add(deep, gl.ext_mul(_ebc(g, (n_comm,)), term))
+            def bundle(deep, g: GF2, ood: GF2, inv_den: GF2):
+                g0 = GF(jnp.broadcast_to(g.c0.lo[:, None], shape),
+                        jnp.broadcast_to(g.c0.hi[:, None], shape))
+                g1 = GF(jnp.broadcast_to(g.c1.lo[:, None], shape),
+                        jnp.broadcast_to(g.c1.hi[:, None], shape))
+                v0 = _sum0(gl.mul(g0, cols))
+                v1 = _sum0(gl.mul(g1, cols))
+                s = gl.ext_mul(g, GF2(gl.neg(ood.c0), gl.neg(ood.c1)))
+                s0 = _sum0(s.c0)
+                s1 = _sum0(s.c1)
+                n_comm = shape[-1]
+                tot = GF2(gl.add(v0, gl.broadcast_to(s0, (n_comm,))),
+                          gl.add(v1, gl.broadcast_to(s1, (n_comm,))))
+                return gl.ext_add(deep, gl.ext_mul(tot, inv_den))
 
-            for j in range(ncols):
-                deep = accum(deep, cols[j], _scalar2(ood_z, j), inv_xz,
-                             _scalar2(gp_z, j))
+            deep = bundle(deep, gp_z, ood_z, inv_xz)
             if has_next:
-                for j in range(ncols):
-                    deep = accum(deep, cols[j], _scalar2(ood_zw, j), inv_xzw,
-                                 _scalar2(gp_zw, j))
+                deep = bundle(deep, gp_zw, ood_zw, inv_xzw)
             return deep
 
         _PHASE_CACHE[key] = _phase_jit(f)
