@@ -31,8 +31,13 @@ import sys
 import time
 
 CPU_ANCHOR_CELLS_PER_SEC = float((1 << 20) * 130) / 60.0
-SHAPES = [(20, 130), (19, 130), (18, 32)]  # preferred first
-_CHILD_TIMEOUT_S = 4200  # first-ever compile of a big shape is many minutes
+# Warm-cache-expected shape FIRST so the headline JSON is flushed within the
+# first child window (r3 lesson: BENCH_r03 rc=124 with an EMPTY tail because
+# the one JSON line printed only after every child finished). The bigger
+# 2^20 shape is attempted as an UPGRADE after a headline exists.
+SHAPES = [(19, 130, 3000), (18, 32, 1500)]
+UPGRADE_SHAPES = [(20, 130, 3600)]
+_MAINVM_TIMEOUT_S = 3000
 
 
 def _run_mainvm_inline():
@@ -150,7 +155,7 @@ def _run_mainvm_child():
     try:
         r = subprocess.run(
             [sys.executable, __file__, "--mainvm"],
-            capture_output=True, timeout=_CHILD_TIMEOUT_S, text=True)
+            capture_output=True, timeout=_MAINVM_TIMEOUT_S, text=True)
     except subprocess.TimeoutExpired:
         return {"error": "main_vm_real timed out"}
     if r.returncode != 0:
@@ -167,41 +172,74 @@ def _run_mainvm_child():
     return out
 
 
+def _try_shape(log_n: int, width: int, timeout_s: int):
+    """Run one shape in a child; return (cells_per_sec, None) or (None, err)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, __file__, "--shape", str(log_n), str(width)],
+            capture_output=True, timeout=timeout_s, text=True)
+    except subprocess.TimeoutExpired:
+        return None, f"shape 2^{log_n}x{width} timed out"
+    if r.returncode != 0:
+        tail = (r.stdout + r.stderr).strip().splitlines()[-1:] or ["?"]
+        return None, f"shape 2^{log_n}x{width} failed: {tail}"
+    lines = [ln for ln in r.stdout.splitlines()
+             if ln.startswith("CELLS_PER_SEC")]
+    if not lines:
+        return None, f"shape 2^{log_n}x{width}: no CELLS_PER_SEC line"
+    return float(lines[-1].split()[1]), None
+
+
+def _emit(headline):
+    """Print-and-FLUSH the headline JSON line. Called the moment the first
+    shape succeeds and again after every enrichment, so a driver timeout at
+    ANY later point still captures a parseable result line (the r3 failure
+    mode was an empty tail). The LAST JSON line is the most complete one."""
+    print(json.dumps(headline), flush=True)
+
+
 def main():
     last_err = None
     headline = None
-    for i, (log_n, width) in enumerate(SHAPES):
+    for i, (log_n, width, tmo) in enumerate(SHAPES):
         if i > 0 and not _tunnel_ready():
             last_err = "tunnel did not heal after previous shape"
             break
-        try:
-            r = subprocess.run(
-                [sys.executable, __file__, "--shape", str(log_n), str(width)],
-                capture_output=True, timeout=_CHILD_TIMEOUT_S, text=True)
-        except subprocess.TimeoutExpired:
-            last_err = f"shape 2^{log_n}x{width} timed out"
+        cps, err = _try_shape(log_n, width, tmo)
+        if cps is None:
+            last_err = err
             continue
-        if r.returncode != 0:
-            last_err = (r.stdout + r.stderr).strip().splitlines()[-1:] or "?"
-            continue
-        line = [ln for ln in r.stdout.splitlines()
-                if ln.startswith("CELLS_PER_SEC")][-1]
-        cells_per_sec = float(line.split()[1])
         headline = {
             "metric": f"plonkish_prove_cells_per_sec_w{width}_2e{log_n}",
-            "value": round(cells_per_sec, 1),
+            "value": round(cps, 1),
             "unit": "cells/s",
-            "vs_baseline": round(cells_per_sec / CPU_ANCHOR_CELLS_PER_SEC,
-                                 3),
+            "vs_baseline": round(cps / CPU_ANCHOR_CELLS_PER_SEC, 3),
         }
+        _emit(headline)  # headline is now on stdout no matter what follows
         break
     if headline is None:
         raise SystemExit(f"all bench shapes failed: {last_err}")
-    if _tunnel_ready():
+
+    # secondary: the real-MainVM product metric (non-fatal)
+    if _tunnel_ready(600):
         headline["secondary"] = _run_mainvm_child()
     else:
         headline["secondary"] = {"error": "tunnel wedged before main_vm_real"}
-    print(json.dumps(headline))
+    _emit(headline)
+
+    # upgrade attempts: bigger shapes only improve the headline, never lose it
+    for log_n, width, tmo in UPGRADE_SHAPES:
+        if not _tunnel_ready(600):
+            break
+        cps, err = _try_shape(log_n, width, tmo)
+        if cps is None:
+            headline.setdefault("notes", []).append(err)
+            _emit(headline)
+            continue
+        headline["metric"] = f"plonkish_prove_cells_per_sec_w{width}_2e{log_n}"
+        headline["value"] = round(cps, 1)
+        headline["vs_baseline"] = round(cps / CPU_ANCHOR_CELLS_PER_SEC, 3)
+        _emit(headline)
 
 
 if __name__ == "__main__":

@@ -115,9 +115,12 @@ def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig,
     trees: List[mk.MerkleTree] = []
     caps_np: List[np.ndarray] = []
 
+    from ..utils import tracing
     cur = codeword
     cur_shift = shift
     alphas: List[GF2] = []
+    _sp = tracing.span("fri_folds")
+    _sp.__enter__()
     for r in range(cfg.folding_rounds):
         alpha = tr.challenge_ext()
         alphas.append(alpha)
@@ -141,6 +144,9 @@ def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig,
                 trees.append(tree)
                 tr.absorb_gf_device(tree.cap)  # no host fetch in the fold loop
 
+    _sp.__exit__(None, None, None)
+    _sp = tracing.span("fri_final")
+    _sp.__enter__()
     # final polynomial from the last codeword (coset intt + unscale)
     final_cw = codewords[-1]
     n_f = final_cw.shape[0]
@@ -163,6 +169,9 @@ def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig,
     # queries
     positions = tr.query_indices(cfg.num_queries, n0)
 
+    _sp.__exit__(None, None, None)
+    _sp = tracing.span("fri_openings")
+    _sp.__enter__()
     openings: List[FriLayerOpening] = []
     pos = positions.copy()
     for r in range(1, cfg.folding_rounds):
@@ -181,6 +190,7 @@ def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig,
             openings.append(FriLayerOpening(gl.to_ints(leaves),
                                             gl.to_ints(paths)))
 
+    _sp.__exit__(None, None, None)
     return FriProof(caps=caps_np, final_poly=final_coeffs, openings=openings,
                     query_positions=positions)
 

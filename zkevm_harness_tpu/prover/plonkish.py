@@ -1001,6 +1001,8 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     tr.absorb_ints(public_inputs)
 
     # -- stage 1: witness commitment --------------------------------------
+    _sp = tracing.span("stage1_commit")
+    _sp.__enter__()
     wit_coeffs = nt.intt(witness)
     if backend is not None:
         wit_lde, wit_tree = _backend_commit(cols=witness)
@@ -1013,6 +1015,9 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
 
     # -- stage 2: copy-permutation columns --------------------------------
     beta = tr.challenge_ext_ints()
+    _sp.__exit__(None, None, None)
+    _sp = tracing.span("stage2")
+    _sp.__enter__()
     gamma = tr.challenge_ext_ints()
     beta_gf = gl.ext_from_ints(*beta)
     gamma_gf = gl.ext_from_ints(*gamma)
@@ -1045,6 +1050,9 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     del stage2  # evals recomputed from coeffs per coset
 
     # -- stage 2b: lookup helper columns (logup with inverses) ------------
+    _sp.__exit__(None, None, None)
+    _sp = tracing.span("stage3")
+    _sp.__enter__()
     if has_lk:
         theta = tr.challenge_ext_ints()
         beta_lk = tr.challenge_ext_ints()
@@ -1073,6 +1081,9 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     witness = None
 
     # -- stage 3: quotient (coset-streamed over the eval domain) ----------
+    _sp.__exit__(None, None, None)
+    _sp = tracing.span("quotient_cosets")
+    _sp.__enter__()
     alpha = tr.challenge_ext_ints()
     const_coeffs = nt.intt(setup.const_cols) if ir.num_const else None
     sigma_coeffs = nt.intt(setup.sigma_cols)
@@ -1122,6 +1133,9 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         comp_cosets.append(res)
 
     # interleave cosets -> full eval-domain values -> coefficients
+    _sp.__exit__(None, None, None)
+    _sp = tracing.span("quotient_commit")
+    _sp.__enter__()
     comp0 = jnp.stack([c.c0.lo for c in comp_cosets], axis=1).reshape(n_eval)
     comp1 = jnp.stack([c.c0.hi for c in comp_cosets], axis=1).reshape(n_eval)
     comp2 = jnp.stack([c.c1.lo for c in comp_cosets], axis=1).reshape(n_eval)
@@ -1149,6 +1163,9 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         tr.absorb_gf_device(q_tree.cap)
 
     # -- stage 4: OOD evaluations -----------------------------------------
+    _sp.__exit__(None, None, None)
+    _sp = tracing.span("ood")
+    _sp.__enter__()
     z_pt = tr.challenge_ext_ints()
     z_gf = gl.ext_from_ints(*z_pt)
     zw = fi.escale(z_pt, w_gen)
@@ -1176,6 +1193,9 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         tr.absorb_ints(list(pair))
 
     # -- stage 5: DEEP + FRI ----------------------------------------------
+    _sp.__exit__(None, None, None)
+    _sp = tracing.span("deep")
+    _sp.__enter__()
     gamma_deep = tr.challenge_ext_ints()
     if lean:
         # lean-HBM mode streams DEEP one bundle at a time (below); keep the
@@ -1246,10 +1266,14 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
             _oods_to_gf2(ood_stage3), _oods_to_gf2(ood_stage3_next),
             _oods_to_gf2(ood_setup), _oods_to_gf2(ood_quotient),
             z_gf, zw_gf, gpows, xs)
+    _sp.__exit__(None, None, None)
     fri_cfg = cfg.fri_config(n_comm)
-    fri_proof = fri_prove(deep, shift, tr, fri_cfg, backend=backend)
+    with tracing.span("fri"):
+        fri_proof = fri_prove(deep, shift, tr, fri_cfg, backend=backend)
 
     # -- stage 6: query openings ------------------------------------------
+    _sp = tracing.span("openings")
+    _sp.__enter__()
     h0 = n_comm // 2
     idx_set = sorted({int(p) % h0 for p in fri_proof.query_positions} |
                      {int(p) % h0 + h0 for p in fri_proof.query_positions})
@@ -1290,6 +1314,7 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
                           for k, i in enumerate(idx_set)}
         paths[name] = {int(i): pth[k] for k, i in enumerate(idx_set)}
 
+    _sp.__exit__(None, None, None)
     if backend is not None:
         wit_cap = np.asarray(wit_tree.cap, dtype=object)
         s2_cap = np.asarray(s2_tree.cap, dtype=object)
