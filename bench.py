@@ -98,7 +98,7 @@ def _run_mainvm_inline():
     t_wit = time.time() - t0
     print(f"WITNESS_SECONDS {t_wit}", flush=True)
     cfg = pk.PlonkishConfig(rate=2, cap_size=16, num_queries=50,
-                            final_fri_size=32)
+                            final_fri_size=512)
     setup = mvc.main_vm_setup(ir, geo, cfg)
     proof = pk.prove(ir, setup, W, cfg)  # compile + warm cache
     t0 = time.time()
@@ -115,8 +115,11 @@ def _run_shape_inline(log_n: int, width: int):
     from zkevm_harness_tpu.circuits import flagship as fl
     from zkevm_harness_tpu.prover import plonkish as pk
 
+    # final_fri_size 512: each extra FRI round costs a fold+commit+challenge
+    # round-trip over the tunnel; stopping 3 rounds earlier trades it for a
+    # 512-coeff final poly (host eval cost negligible, same rate/soundness)
     cfg = pk.PlonkishConfig(rate=2, cap_size=16, num_queries=40,
-                            final_fri_size=64)
+                            final_fri_size=512)
     ir = fl.flagship_ir(log_n=log_n, width=width)
     setup = fl.flagship_setup(ir, cfg)
     witness = fl.flagship_witness(ir)

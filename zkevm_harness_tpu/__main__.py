@@ -4,10 +4,11 @@ Commands (the reference exposes its tooling as cargo binaries —
 geometry_config_generator, circuit_synthesis_performance_test; this is the
 equivalent operator surface):
 
-  prove     --log-n N --width W --out proof.json   prove the flagship circuit
-  verify    --log-n N --width W --proof proof.json verify a stored proof
-  geometry                                         print the geometry config
-  bench-kernels                                    per-kernel throughput
+  prove       --log-n N --width W --out proof.json   prove the flagship circuit
+  verify      --log-n N --width W --proof proof.json verify a stored proof
+  prove-block --types 8 --out proof_tower            full tower for one block
+  geometry                                           print the geometry config
+  bench-kernels                                      per-kernel throughput
 """
 
 from __future__ import annotations
@@ -53,6 +54,47 @@ def cmd_verify(args):
     sys.exit(0 if ok else 1)
 
 
+def cmd_prove_block(args):
+    """Prove a demo block through the FULL tower (base -> leaf -> node ->
+    scheduler -> compression -> SNARK wrapper) at testing geometry, writing
+    every real proof to a LocalFileDataSource in the reference's naming
+    scheme — the operator surface of the product (reference README "How to
+    use": external_calls::run + resume from the proof storage)."""
+    from . import full_chain as fc
+    from .prover import plonkish as pk
+    from .utils.data_source import LocalFileDataSource
+    from .vm import isa
+
+    I = isa.imm
+    block = [
+        isa.StorageWrite(I(1), I(100)),
+        isa.Event(I(2), I(3)),
+        isa.HeapWrite(I(0), I(55)),
+        isa.HeapRead(I(0), 2),
+        isa.HeapWrite(I(1), I(66)),
+        isa.HeapRead(I(1), 3),
+        isa.HeapWrite(I(2), I(77)),
+        isa.HeapRead(I(2), 4),
+        isa.NearCall(target=10, exception_handler=9),
+        isa.Ret(),
+        isa.StorageWrite(I(9), I(200)),
+        isa.Ret(),
+    ]
+    cfg = pk.PlonkishConfig(rate=2, cap_size=4, num_queries=args.num_queries,
+                            final_fri_size=8)
+    source = LocalFileDataSource(args.out)
+    chain_types = tuple(int(t) for t in args.types.split(","))
+    result = fc.prove_block_full_chain(
+        block, chain_types=chain_types, base_cfg=cfg, recursion_cfg=cfg,
+        compression_cfg=cfg, wrap=not args.no_wrap,
+        for_wrapper=args.for_wrapper,
+        compression_layers=args.compression_layers,
+        progress=lambda m: print(f"[prove-block] {m}", flush=True),
+        source=source)
+    print(f"block commitment: {[int(v) for v in result.scheduler_pi]}")
+    print(f"proof tower written to {args.out}")
+
+
 def cmd_geometry(args):
     from .circuits.capacity import calibrated_cost_models, generate_geometry_config
 
@@ -69,6 +111,12 @@ def cmd_bench_kernels(args):
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS=cpu even though the sandbox's sitecustomize
+    # imports jax before env is consulted (same dance as tests/conftest.py)
+    import os
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser(prog="zkevm_harness_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -84,6 +132,20 @@ def main(argv=None):
     pv.add_argument("--width", type=int, default=16)
     pv.add_argument("--proof", default="proof.json")
     pv.set_defaults(fn=cmd_verify)
+
+    pfb = sub.add_parser("prove-block")
+    pfb.add_argument("--types", default="8",
+                     help="comma-separated base circuit types to chain")
+    pfb.add_argument("--num-queries", type=int, default=2,
+                     help="FRI queries (2 = structural test scale)")
+    pfb.add_argument("--compression-layers", type=int, default=1)
+    pfb.add_argument("--for-wrapper", action="store_true",
+                     help="hash the final compression with Bn256 Poseidon2")
+    pfb.add_argument("--no-wrap", action="store_true",
+                     help="stop after the scheduler proof")
+    pfb.add_argument("--out", default="proof_tower",
+                     help="LocalFileDataSource directory for the tower")
+    pfb.set_defaults(fn=cmd_prove_block)
 
     pg = sub.add_parser("geometry")
     pg.set_defaults(fn=cmd_geometry)

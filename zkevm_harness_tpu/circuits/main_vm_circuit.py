@@ -685,7 +685,9 @@ def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
     n = geo.n
     off = _cols(geo)
     NPOW = 6 + 2 * NL
-    W = np.zeros((ir.num_witness, n), dtype=object)
+    # uint64 (all values canonical < P): gl.from_int's vectorized path skips
+    # per-element boxing — the object-dtype fill was ~10 s per instance
+    W = np.zeros((ir.num_witness, n), dtype=np.uint64)
 
     ch = int(inst.challenge) % P
     pw = ch
@@ -716,13 +718,13 @@ def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
     depth = int(inst.depth_in)
     rows = inst.rows
     assert len(rows) <= n
-    for r in range(n):
+    for r in range(len(rows)):
         W[off["AC"], r] = accs[0]
         W[off["AL"], r] = accs[1]
         W[off["AM"], r] = accs[2]
         W[off["AS"], r] = accs[3]
-        W[off["DEPTH"], r] = depth if r < len(rows) else inst.depth_out
-        if r < len(rows):
+        W[off["DEPTH"], r] = depth
+        if True:
             row = rows[r]
             for i in range(NREGS):
                 W[off["REG"] + i * NL:off["REG"] + (i + 1) * NL, r] = \
@@ -870,18 +872,24 @@ def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
                 depth -= 1
                 t = fields_fold([row.pop_ret_pc, row.pop_handler, depth])
                 accs[3] = (accs[3] - t) * gs_inv % P
-        else:
-            # padding: carry the exit state
-            for i in range(NREGS):
-                W[off["REG"] + i * NL:off["REG"] + (i + 1) * NL, r] = \
-                    _limbs(inst.exit_regs[i], NL, L)
-            W[off["PC"], r] = inst.exit_pc
-            W[off["TS"], r] = inst.exit_ts
-            for i, tag in enumerate(getattr(inst, "exit_ptrs",
-                                            (False,) * NREGS)):
-                W[off["PTRB"] + i, r] = 1 if tag else 0
-            W[off["EQF"], r] = 1 if inst.exit_flags[0] else 0
-            W[off["LTF"], r] = 1 if inst.exit_flags[1] else 0
+    # padding rows carry the exit state — one broadcast per column instead
+    # of a per-row python loop over the (n - len(rows)) tail
+    pad = slice(len(rows), n)
+    W[off["AC"], pad] = accs[0]
+    W[off["AL"], pad] = accs[1]
+    W[off["AM"], pad] = accs[2]
+    W[off["AS"], pad] = accs[3]
+    W[off["DEPTH"], pad] = int(inst.depth_out)
+    for i in range(NREGS):
+        limbs_i = _limbs(inst.exit_regs[i], NL, L)
+        for j in range(NL):
+            W[off["REG"] + i * NL + j, pad] = limbs_i[j]
+    W[off["PC"], pad] = inst.exit_pc
+    W[off["TS"], pad] = inst.exit_ts
+    for i, tag in enumerate(getattr(inst, "exit_ptrs", (False,) * NREGS)):
+        W[off["PTRB"] + i, pad] = 1 if tag else 0
+    W[off["EQF"], pad] = 1 if inst.exit_flags[0] else 0
+    W[off["LTF"], pad] = 1 if inst.exit_flags[1] else 0
     return gl.from_int(W)
 
 

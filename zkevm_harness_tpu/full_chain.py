@@ -89,9 +89,11 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
                            block_number: int = 1,
                            wrap: bool = True,
                            for_wrapper: bool = False,
-                           progress=None) -> FullChainResult:
+                           progress=None, source=None) -> FullChainResult:
     """Prove one block through every layer. Returns the assembled tower;
-    raises if any link fails verification."""
+    raises if any link fails verification. `source` (e.g. a
+    LocalFileDataSource) receives every real proof in the reference's
+    get/set naming scheme (complex_tests/mod.rs:588-592 resume protocol)."""
     geometry = geometry or testing_geometry()
     chain_types = tuple(sorted(int(t) for t in chain_types))
     assert 10 not in chain_types, \
@@ -107,7 +109,7 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
     with ly.engine_override(base_cfg):
         blk = harness.run_block(code, geometry=geometry, prove_mode="spot",
                                 spot_types=chain_types, contracts=contracts,
-                                cycle_limit=cycle_limit)
+                                cycle_limit=cycle_limit, source=source)
         base_setups = {t: ly.base_setup_for_type(t, geometry)
                        for t in chain_types}
     say("base layer proven")

@@ -58,8 +58,26 @@ class GF(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def from_int(values: Union[int, Sequence[int], np.ndarray]) -> GF:
-    """Host-side: build a GF array from python ints / numpy integers (mod p)."""
-    arr = np.asarray(values, dtype=object)
+    """Host-side: build a GF array from python ints / numpy integers (mod p).
+
+    Fast path: when every value fits uint64 the conversion is vectorized
+    (one astype + one conditional subtract — any v < 2^64 is < 2P, so a
+    single subtraction canonicalizes). The per-element python loop only
+    runs for arbitrary-magnitude inputs. Witness fills hand this function
+    (cols x n) object arrays — the loop was ~10 s per MainVM instance."""
+    if isinstance(values, np.ndarray) and values.dtype in (np.uint64,
+                                                           np.uint32):
+        u = values.astype(np.uint64)  # no object boxing at all
+    else:
+        arr = np.asarray(values, dtype=object)
+        try:
+            u = arr.astype(np.uint64)
+        except (OverflowError, TypeError, ValueError):
+            u = None
+    if u is not None:
+        u = np.where(u >= np.uint64(P), u - np.uint64(P), u)
+        return GF(jnp.asarray((u & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+                  jnp.asarray((u >> np.uint64(32)).astype(np.uint32)))
     flat = np.array([int(v) % P for v in arr.ravel()], dtype=object)
     lo = np.array([v & 0xFFFFFFFF for v in flat], dtype=np.uint32).reshape(arr.shape)
     hi = np.array([v >> 32 for v in flat], dtype=np.uint32).reshape(arr.shape)
@@ -67,15 +85,12 @@ def from_int(values: Union[int, Sequence[int], np.ndarray]) -> GF:
 
 
 def to_ints(a: GF) -> np.ndarray:
-    """Host-side: numpy object array of python ints."""
+    """Host-side: numpy object array of python ints (vectorized: uint64
+    recombine + one object cast, which boxes to arbitrary-precision ints)."""
     lo = np.asarray(jax.device_get(a.lo), dtype=np.uint64)
     hi = np.asarray(jax.device_get(a.hi), dtype=np.uint64)
-    out = np.empty(lo.shape, dtype=object)
-    it = np.nditer(lo, flags=["multi_index", "refs_ok"])
-    for _ in it:
-        idx = it.multi_index
-        out[idx] = int(lo[idx]) | (int(hi[idx]) << 32)
-    return out
+    u = lo | (hi << np.uint64(32))
+    return u.astype(object)
 
 
 def from_u64(arr) -> GF:

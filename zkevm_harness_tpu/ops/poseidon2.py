@@ -98,11 +98,29 @@ def hash_two_to_one(left: GF, right: GF) -> GF:
     return state[..., :CAPACITY]
 
 
+def _absorb_scan_body(state: GF, chunk: GF):
+    state = _overwrite(state, chunk, 0)
+    return permute(state), 0
+
+
+@functools.partial(jax.jit)
+def _hash_chunks_scanned(state: GF, chunks: GF) -> GF:
+    """Scan overwrite-absorb over (k, ..., RATE) chunks in ONE dispatch."""
+    state, _ = jax.lax.scan(_absorb_scan_body, state, chunks)
+    return state
+
+
 def hash_elements(elems: GF) -> GF:
     """Variable-length hash of (..., n) field elements -> (..., 4) digest.
 
     Overwrite-mode absorption in rate-8 chunks, zero padding (matches the
     reference's fixed-shape usage where n is a static per-circuit constant).
+
+    Long EAGER inputs (witness-side digests over 100k+ elements, e.g.
+    main_vm.draw_vm_challenges) go through ONE scanned kernel instead of a
+    Python loop of per-chunk dispatches (the r3 bench's 95-second hot spot).
+    Traced callers keep the unrolled loop so every existing jitted graph —
+    and its persistent compile-cache entry — stays bit-identical.
     """
     batch = elems.shape[:-1]
     n = elems.shape[-1]
@@ -111,6 +129,15 @@ def hash_elements(elems: GF) -> GF:
         elems = gl.concatenate([elems, gl.zeros(batch + (pad,))], axis=-1)
     n_chunks = elems.shape[-1] // RATE
     state = gl.zeros(batch + (T,))
+    eager = not isinstance(elems.lo, jax.core.Tracer)
+    if eager and n_chunks >= 16:
+        nd = elems.lo.ndim
+        chunks_lo = jnp.moveaxis(
+            elems.lo.reshape(batch + (n_chunks, RATE)), nd - 1, 0)
+        chunks_hi = jnp.moveaxis(
+            elems.hi.reshape(batch + (n_chunks, RATE)), nd - 1, 0)
+        return _hash_chunks_scanned(state,
+                                    GF(chunks_lo, chunks_hi))[..., :CAPACITY]
     for i in range(n_chunks):
         chunk = elems[..., i * RATE:(i + 1) * RATE]
         state = _overwrite(state, chunk, 0)

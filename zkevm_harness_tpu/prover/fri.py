@@ -174,6 +174,9 @@ def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig,
     _sp.__enter__()
     openings: List[FriLayerOpening] = []
     pos = positions.copy()
+    # dispatch every layer's gathers async, then fetch once — the per-layer
+    # to_ints pattern cost one tunnel round-trip per committed layer
+    staged = []
     for r in range(1, cfg.folding_rounds):
         cw_r = codewords[r]
         n_r = cw_r.shape[0]
@@ -183,12 +186,16 @@ def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig,
         rows = _pair_leaf_rows(cw_r)
         leaves = gl.take(rows, jnp.asarray(leaf_idx), axis=0)
         if backend is not None:
-            openings.append(FriLayerOpening(
-                gl.to_ints(leaves), backend.open(tree, leaf_idx)))
+            staged.append((leaves, ("host", backend.open(tree, leaf_idx))))
         else:
-            paths = mk.open_indices(tree, leaf_idx)
-            openings.append(FriLayerOpening(gl.to_ints(leaves),
-                                            gl.to_ints(paths)))
+            staged.append((leaves, ("dev", mk.open_indices(tree, leaf_idx))))
+    fetched = jax.device_get([(lv.lo, lv.hi) for lv, _p in staged])
+    for (lv, (kind, pth)), (lo, hi) in zip(staged, fetched):
+        lo = np.asarray(lo, dtype=np.uint64)
+        hi = np.asarray(hi, dtype=np.uint64)
+        leaves_np = (lo | (hi << np.uint64(32))).astype(object)
+        openings.append(FriLayerOpening(
+            leaves_np, pth if kind == "host" else gl.to_ints(pth)))
 
     _sp.__exit__(None, None, None)
     return FriProof(caps=caps_np, final_poly=final_coeffs, openings=openings,

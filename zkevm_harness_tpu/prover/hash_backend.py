@@ -95,9 +95,24 @@ class Bn254Backend:
 
     # -- trees --------------------------------------------------------------
 
+    @staticmethod
+    def pack_row(row) -> List[int]:
+        """Pack canonical Goldilocks values 3-per-Fr (base-2^64 digits:
+        v0 + v1*2^64 + v2*2^128 < 2^193 < R, injective). Cuts the in-SNARK
+        wrapper's leaf-hash permutation count 3x (wrapper.rs's circuit
+        absorbs GL values through the same dense packing)."""
+        vals = [int(v) % P for v in row]
+        out = []
+        for i in range(0, len(vals), 3):
+            fr = 0
+            for j, x in enumerate(vals[i:i + 3]):
+                fr |= x << (64 * j)
+            out.append(fr)
+        return out
+
     def hash_rows(self, rows: np.ndarray) -> List[int]:
         """rows: (k, w) object array of Goldilocks ints -> k Fr digests."""
-        return [p2b.hash_elements([int(v) % P for v in row]) for row in rows]
+        return [p2b.hash_elements(self.pack_row(row)) for row in rows]
 
     def commit_rows(self, rows: np.ndarray, cap_size: int) -> Bn254Tree:
         leaves = self.hash_rows(rows)

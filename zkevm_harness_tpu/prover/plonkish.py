@@ -795,12 +795,14 @@ def _coset_fn(ir: PlonkishIR):
                  sigma_coeffs, table_coeffs, s_c, zh_inv, u_pows, ks_vec,
                  apows, beta, gamma, theta, beta_lk, pi_vals):
             eager = jax.default_backend() == "cpu"
+            hbm_edge = (wit_coeffs.shape[-1] * wit_coeffs.shape[0]
+                        >= (1 << 20) * 100)
             g = None
             for f_eager, f_jit in zip(gate_fns, jf_gate_fns):
                 part = (f_eager if eager else f_jit)(
                     wit_coeffs, const_coeffs, s_c, zh_inv, u_pows, apows,
                     pi_vals)
-                if not eager:
+                if not eager and hbm_edge:
                     part = jax.block_until_ready(part)  # cap HBM liveness
                 g = part if g is None else gl.ext_add(g, part)
             r = (f_rest if eager else jf_rest)(
@@ -810,6 +812,42 @@ def _coset_fn(ir: PlonkishIR):
             return gl.ext_add(g, r)
 
         _PHASE_CACHE[key] = call
+    return _PHASE_CACHE[key]
+
+
+def _quotient_coeffs_fn(num_q_chunks: int):
+    """Coset composition values -> chunked quotient coefficient columns:
+    interleave cosets, eval-domain INTT, coset unscale, split into
+    (2*num_q_chunks, n) [c0_j, c1_j] columns — one kernel."""
+    key = ("qcoeffs", num_q_chunks)
+    if key not in _PHASE_CACHE:
+
+        def f(comp_cosets, unscale):
+            n_eval = unscale.shape[-1]
+            n = n_eval // len(comp_cosets)
+            comp0 = jnp.stack([c.c0.lo for c in comp_cosets],
+                              axis=1).reshape(n_eval)
+            comp1 = jnp.stack([c.c0.hi for c in comp_cosets],
+                              axis=1).reshape(n_eval)
+            comp2 = jnp.stack([c.c1.lo for c in comp_cosets],
+                              axis=1).reshape(n_eval)
+            comp3 = jnp.stack([c.c1.hi for c in comp_cosets],
+                              axis=1).reshape(n_eval)
+            c0 = gl.mul(nt.intt(GF(comp0, comp1)), unscale)
+            c1 = gl.mul(nt.intt(GF(comp2, comp3)), unscale)
+            # high chunks beyond num_q_chunks are zero coefficients
+            # (quotient degree bound), exactly like the sliced original
+            lo = jnp.stack(
+                [c0.lo.reshape(n_eval // n, n)[:num_q_chunks],
+                 c1.lo.reshape(n_eval // n, n)[:num_q_chunks]],
+                axis=1).reshape(2 * num_q_chunks, n)
+            hi = jnp.stack(
+                [c0.hi.reshape(n_eval // n, n)[:num_q_chunks],
+                 c1.hi.reshape(n_eval // n, n)[:num_q_chunks]],
+                axis=1).reshape(2 * num_q_chunks, n)
+            return GF(lo, hi)
+
+        _PHASE_CACHE[key] = _phase_jit(f)
     return _PHASE_CACHE[key]
 
 
@@ -969,6 +1007,14 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     # path (the extra NTT passes are slower than the memory saving);
     # FORCE_LEAN lets tests pin transcript-equality of the two paths.
     lean = (jax.default_backend() != "cpu" or FORCE_LEAN) and backend is None
+    # strict sequencing (block_until_ready between streamed kernels) is an
+    # HBM-edge measure: only shapes near the 2^20 x 130 budget need it.
+    # Smaller shapes dispatch the whole stream ASYNC — each blocked
+    # dispatch costs a full round-trip over the remote-TPU tunnel, and the
+    # r4 profile put ~10 s of the 35 s warm prove in that latency. Purely
+    # host-side sequencing: the compiled kernels (and their persistent
+    # cache entries) are unchanged.
+    hbm_edge = n * max(1, ir.num_witness) >= (1 << 20) * 100
 
     def _backend_commit(cols=None, coeffs=None):
         """LDE (device, exact Goldilocks NTT) + host backend Merkle tree."""
@@ -1126,32 +1172,22 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
             gl.from_int(pow(zh_c, P - 2, P)),
             u_pows, ks_vec, apows, beta_gf, gamma_gf, theta_gf, beta_lk_gf,
             pi_vals)
-        if lean:
+        if lean and hbm_edge:
             # sequence the cosets: async dispatch would queue lde_eval
             # multi-GB working sets at once and exhaust HBM at 2^20 x 130
             res = jax.block_until_ready(res)
         comp_cosets.append(res)
 
-    # interleave cosets -> full eval-domain values -> coefficients
+    # interleave cosets -> full eval-domain values -> coefficients, in ONE
+    # jitted kernel (the eager stack/intt/unscale/slice chain was ~25
+    # op-by-op dispatches over the remote-TPU tunnel)
     _sp.__exit__(None, None, None)
     _sp = tracing.span("quotient_commit")
     _sp.__enter__()
-    comp0 = jnp.stack([c.c0.lo for c in comp_cosets], axis=1).reshape(n_eval)
-    comp1 = jnp.stack([c.c0.hi for c in comp_cosets], axis=1).reshape(n_eval)
-    comp2 = jnp.stack([c.c1.lo for c in comp_cosets], axis=1).reshape(n_eval)
-    comp3 = jnp.stack([c.c1.hi for c in comp_cosets], axis=1).reshape(n_eval)
-    full = GF2(GF(comp0, comp1), GF(comp2, comp3))
-    del comp_cosets, comp0, comp1, comp2, comp3
-    unscale = gl.from_int(gl.powers_host(pow(shift, P - 2, P), n_eval).astype(object))
-    q_coeff_c0 = gl.mul(nt.intt(full.c0), unscale)
-    q_coeff_c1 = gl.mul(nt.intt(full.c1), unscale)
-    del full
-
-    q_cols = []
-    for j in range(num_q_chunks):
-        q_cols.append(q_coeff_c0[j * n:(j + 1) * n])
-        q_cols.append(q_coeff_c1[j * n:(j + 1) * n])
-    q_coeffs = gl.stack(q_cols, axis=0)
+    unscale = gl.from_int(gl.powers_host(pow(shift, P - 2, P),
+                                         n_eval).astype(object))
+    q_coeffs = _quotient_coeffs_fn(num_q_chunks)(comp_cosets, unscale)
+    del comp_cosets
     if backend is not None:
         q_lde, q_tree = _backend_commit(coeffs=q_coeffs)
         tr.absorb_fr(q_tree.cap)
@@ -1171,22 +1207,40 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     zw = fi.escale(z_pt, w_gen)
     zw_gf = gl.ext_from_ints(*zw)
 
-    # per-bundle evaluations at the OOD points
-    from .stark import _ext_evals
+    # per-bundle evaluations at the OOD points: dispatch ALL evals async,
+    # then ONE batched device fetch — the per-bundle fetch pattern cost a
+    # tunnel round-trip per list (~2 s of the r4 warm profile)
+    ev_specs = [("witness", wit_coeffs, z_gf), ("stage2", s2_coeffs, z_gf),
+                ("stage3", s3_coeffs, z_gf), ("const", const_coeffs, z_gf),
+                ("sigma", sigma_coeffs, z_gf), ("table", table_coeffs, z_gf),
+                ("quotient", q_coeffs, z_gf),
+                ("witness_next", wit_coeffs, zw_gf),
+                ("stage2_next", s2_coeffs, zw_gf),
+                ("stage3_next", s3_coeffs, zw_gf)]
+    ev_dev = {name: (nt.eval_poly_at(coeffs, pt) if coeffs is not None
+                     else None) for name, coeffs, pt in ev_specs}
+    ev_host = jax.device_get({name: (e.c0.lo, e.c0.hi, e.c1.lo, e.c1.hi)
+                              for name, e in ev_dev.items()
+                              if e is not None})
 
-    def _ev(coeffs, pt):
-        return _ext_evals(coeffs, pt) if coeffs is not None else []
+    def _pairs(name):
+        if name not in ev_host:
+            return []
+        l0, h0_, l1, h1 = (np.atleast_1d(np.asarray(v, dtype=np.uint64))
+                           for v in ev_host[name])
+        return [(int(a) | (int(b) << 32), int(c) | (int(d) << 32))
+                for a, b, c, d in zip(l0, h0_, l1, h1)]
 
-    ood_witness = _ev(wit_coeffs, z_gf)
-    ood_stage2 = _ev(s2_coeffs, z_gf)
-    ood_stage3 = _ev(s3_coeffs, z_gf)
-    ood_const = _ev(const_coeffs, z_gf)
-    ood_sigma = _ev(sigma_coeffs, z_gf)
-    ood_table = _ev(table_coeffs, z_gf)
-    ood_quotient = _ev(q_coeffs, z_gf)
-    ood_witness_next = _ev(wit_coeffs, zw_gf)
-    ood_stage2_next = _ev(s2_coeffs, zw_gf)
-    ood_stage3_next = _ev(s3_coeffs, zw_gf)
+    ood_witness = _pairs("witness")
+    ood_stage2 = _pairs("stage2")
+    ood_stage3 = _pairs("stage3")
+    ood_const = _pairs("const")
+    ood_sigma = _pairs("sigma")
+    ood_table = _pairs("table")
+    ood_quotient = _pairs("quotient")
+    ood_witness_next = _pairs("witness_next")
+    ood_stage2_next = _pairs("stage2_next")
+    ood_stage3_next = _pairs("stage3_next")
     for pair in (ood_witness + ood_witness_next + ood_stage2 + ood_stage2_next
                  + ood_stage3 + ood_stage3_next + ood_table
                  + ood_const + ood_sigma + ood_quotient):
@@ -1251,11 +1305,12 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
                 gp_off += w_b
             else:
                 gp_zw = None
-            deep = jax.block_until_ready(
-                _deep_partial_fn(w_b, ood_zw is not None)(
-                    deep, lde_b, _oods_to_gf2(ood_z),
-                    _oods_to_gf2(ood_zw) if ood_zw is not None else None,
-                    gp_z, gp_zw, inv_xz, inv_xzw))
+            deep = _deep_partial_fn(w_b, ood_zw is not None)(
+                deep, lde_b, _oods_to_gf2(ood_z),
+                _oods_to_gf2(ood_zw) if ood_zw is not None else None,
+                gp_z, gp_zw, inv_xz, inv_xzw)
+            if hbm_edge:
+                deep = jax.block_until_ready(deep)
             del lde_b
         assert gp_off == n_deep_terms
     else:
@@ -1298,18 +1353,30 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
                       else setup.tree)]
         if has_lk:
             all_trees.insert(2, ("stage3", s3_lde, s3_tree))
+    # dispatch all gathers, then fetch once (per-tree fetches each cost a
+    # tunnel round-trip); at the HBM edge keep the one-live-LDE sequencing
+    vals_dev = {}
+    paths_dev = {}
     for name, cols_or_coeffs, tree in all_trees:
         lde_cols = (_lde_from_coeffs(cols_or_coeffs, n_comm) if lean
                     else cols_or_coeffs)
-        # gather opened rows from the column-major LDE: (cols, q) -> (q, cols)
         g = gl.take(lde_cols, jnp.asarray(idx_arr), axis=1)
-        vals = gl.to_ints(GF(jnp.moveaxis(g.lo, 0, 1),
-                             jnp.moveaxis(g.hi, 0, 1)))
+        rows_g = GF(jnp.moveaxis(g.lo, 0, 1), jnp.moveaxis(g.hi, 0, 1))
+        if lean and hbm_edge:
+            rows_g = jax.block_until_ready(rows_g)
+        vals_dev[name] = rows_g
         del lde_cols, g
         if backend is not None:
-            pth = backend.open(tree, idx_set)
+            paths_dev[name] = ("host", backend.open(tree, idx_set))
         else:
-            pth = gl.to_ints(mk.open_indices(tree, idx_arr))
+            paths_dev[name] = ("dev", mk.open_indices(tree, idx_arr))
+    fetched = jax.device_get({name: (v.lo, v.hi)
+                              for name, v in vals_dev.items()})
+    for name, _c, _t in all_trees:
+        lo, hi = (np.asarray(a, dtype=np.uint64) for a in fetched[name])
+        vals = lo | (hi << np.uint64(32))
+        kind, pth_raw = paths_dev[name]
+        pth = pth_raw if kind == "host" else gl.to_ints(pth_raw)
         openings[name] = {int(i): [int(v) for v in vals[k]]
                           for k, i in enumerate(idx_set)}
         paths[name] = {int(i): pth[k] for k, i in enumerate(idx_set)}

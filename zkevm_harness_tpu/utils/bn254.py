@@ -136,15 +136,43 @@ def fr_fft(poly: Sequence[int]) -> List[int]:
     return a
 
 
+_CRS_MEM: dict = {}
+
+
 def simulated_crs(max_degree: int, tau: int = 0xACE0FBA5E) -> List:
     """[tau^i]G1 powers for tests (the production CRS loads from the
-    reference's CRS_FILE, utils.rs get_trusted_setup)."""
-    out = []
-    acc = 1
-    for _ in range(max_degree):
-        out.append(g1_mul(G1_GENERATOR, acc))
-        acc = acc * tau % R
-    return out
+    reference's CRS_FILE, utils.rs get_trusted_setup). Disk-cached: the
+    in-SNARK FRI wrapper pads to 2^18+ gates and regenerating that many
+    G1 scalar muls in python costs minutes per run."""
+    import os
+    import pickle
+    if tau in _CRS_MEM and len(_CRS_MEM[tau]) >= max_degree:
+        return _CRS_MEM[tau][:max_degree]
+    cache_dir = os.path.join(os.path.dirname(__file__), "..", "..",
+                             ".crs_cache")
+    path = os.path.join(cache_dir, f"crs_{tau:x}.pkl")
+    cached: List = []
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                cached = pickle.load(f)
+        except Exception:
+            cached = []
+    if len(cached) < max_degree:
+        out = list(cached)
+        acc = pow(tau, len(out), R)
+        for _ in range(max_degree - len(out)):
+            out.append(g1_mul(G1_GENERATOR, acc))
+            acc = acc * tau % R
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            with open(path, "wb") as f:
+                pickle.dump(out, f)
+        except OSError:
+            pass
+        cached = out
+    _CRS_MEM[tau] = cached
+    return cached[:max_degree]
 
 
 def kate_commit(crs: Sequence, coeffs: Sequence[int]):

@@ -178,18 +178,33 @@ class PlonkBuilder:
     def fill(self, assignments: Dict[int, int]
              ) -> Tuple[Tuple[List[int], List[int], List[int]], List[int]]:
         """Evaluate the plan on concrete inputs; returns (wire value
-        vectors, public input values)."""
+        vectors, public input values). Iterative (explicit stack): gadget
+        circuits chain hundreds of thousands of dependent vars — the
+        in-SNARK FRI verifier's sponge/reduction chains exceed any Python
+        recursion limit."""
         vals: Dict[int, int] = {}
 
         def ev(v: int) -> int:
             if v in vals:
                 return vals[v]
-            kind = self._plan[v]
-            if kind[0] == "input":
-                vals[v] = int(assignments[v]) % R
-            else:
+            stack = [v]
+            while stack:
+                cur = stack[-1]
+                if cur in vals:
+                    stack.pop()
+                    continue
+                kind = self._plan[cur]
+                if kind[0] == "input":
+                    vals[cur] = int(assignments[cur]) % R
+                    stack.pop()
+                    continue
                 _k, fn, deps = kind
-                vals[v] = int(fn(*(ev(d) for d in deps))) % R
+                missing = [d for d in deps if d not in vals]
+                if missing:
+                    stack.extend(missing)
+                    continue
+                vals[cur] = int(fn(*(vals[d] for d in deps))) % R
+                stack.pop()
             return vals[v]
 
         def wirevals(col: List[int]) -> List[int]:
