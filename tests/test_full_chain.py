@@ -79,10 +79,16 @@ def test_leaf_tail_equals_dag_recursion_queue(chain):
 
 
 def test_data_source_holds_real_tower(chain):
+    """The DAG stores full task RECORDS (kind/real/vk/proof) under the
+    reference's keying: leaves by their recursion-layer type
+    (leaf_for(8) = 10), nodes/scheduler by (type, depth, index)."""
     src = chain.block.source
-    assert isinstance(src.get_leaf_layer_proof(8, 0), pk.PlonkishProof)
-    assert isinstance(src.get_node_layer_proof(8, 0, 0), pk.PlonkishProof)
-    assert isinstance(src.get_scheduler_proof(), pk.PlonkishProof)
+    lrec = src.get_leaf_layer_proof(10, 0)
+    assert lrec["real"] and isinstance(lrec["proof"], pk.PlonkishProof)
+    nrec = src.get_node_layer_proof(8, 0, 0)
+    assert nrec["real"] and isinstance(nrec["proof"], pk.PlonkishProof)
+    srec = src.get_scheduler_proof()
+    assert srec["real"] and isinstance(srec["proof"], pk.PlonkishProof)
     assert src.get_compression_proof(1) is not None
 
 

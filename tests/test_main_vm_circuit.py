@@ -460,3 +460,111 @@ def test_ptr_tamper_tag_rejected(ptr_rig):
     assert int(Wi[off["PTRB"] + 0, r_idx]) == 1
     Wi[off["PTRB"] + 0, r_idx] = 0
     assert _ptr_viol(ptr_rig, Wi)
+
+
+# ---------------------------------------------------------------------------
+# Stage D: mul / bitwise / shifts in-gates (the last ALU EXT rows closed)
+# ---------------------------------------------------------------------------
+
+ALU_BLOCK = [
+    isa.BinOp("add", I(0xF0F0), I(0x1111), dst=1),   # r1 = 0x10201
+    isa.BinOp("mul", R(1), I(0x1234), dst=2),        # full-width product low
+    isa.BinOp("and", R(1), I(0xFF00), dst=3),
+    isa.BinOp("or", R(3), I(0x00FF), dst=4),
+    isa.BinOp("xor", R(4), R(1), dst=5),
+    isa.BinOp("shl", R(1), I(37), dst=6),            # cross-limb shift
+    isa.BinOp("shr", R(6), I(21), dst=7),
+    isa.BinOp("shl", R(1), I(0), dst=8),             # s = 0 edge
+    isa.BinOp("shr", R(1), I(120), dst=9),           # drops everything low
+    isa.BinOp("mul", R(6), R(6), dst=10),            # high half discarded
+    isa.BinOp("xor", R(10), R(10), dst=11),          # zero result: eq set
+    isa.JumpIfEq(target=13),
+    isa.Nop(),                                       # skipped
+    isa.Ret(),
+]
+
+
+@pytest.fixture(scope="module")
+def alu_rig():
+    tracer = WitnessTracer(5)
+    tools = ProvingToolset(
+        storage=InMemoryStorage(), memory=SimpleMemory(),
+        decommitter=SimpleDecommitter(), event_sink=InMemoryEventSink(),
+        precompiles=DefaultPrecompilesProcessor(), tracer=tracer,
+        geometry=testing_geometry())
+    vm = create_vm(tools, BlockProperties(block_number=1), 0xAA, code_page=0)
+    run_vm(vm, ALU_BLOCK, 100)
+    assert vm.finished
+    art = wmv.compute_main_vm_artifacts(tracer, GEO, capacity=len(ALU_BLOCK))
+    inst = art.instances[0]
+    ir = mvc.main_vm_ir(GEO)
+    W = mvc.main_vm_witness(ir, GEO, inst)
+    const = mvc._const_rows(GEO).T
+    pis = mvc.expected_public_inputs(GEO, inst)
+    return dict(inst=inst, ir=ir, W=W, const=const, pis=pis)
+
+
+def _alu_viol(rig_d, Wi):
+    ir = rig_d["ir"]
+    perm = pk.identity_permutation(ir.num_witness, 1 << ir.log_n)
+    return satisfy.check_satisfied(ir, Wi,
+                                   np.asarray(rig_d["const"], dtype=object),
+                                   perm, rig_d["pis"])
+
+
+def test_alu_stage_d_rows_satisfy(alu_rig):
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    rows = alu_rig["inst"].rows
+    ops = [r.op for r in rows[:11]]
+    assert ops == [mvc.OP_ADD, mvc.OP_MUL, mvc.OP_AND, mvc.OP_OR,
+                   mvc.OP_XOR, mvc.OP_SHL, mvc.OP_SHR, mvc.OP_SHL,
+                   mvc.OP_SHR, mvc.OP_MUL, mvc.OP_XOR]
+    # interpreter semantics reproduced by the decomposer
+    assert rows[1].res == (0x10201 * 0x1234)
+    assert rows[5].res == 0x10201 << 37
+    assert rows[6].res == (0x10201 << 37) >> 21
+    assert rows[10].res == 0
+    assert _alu_viol(alu_rig, gl.to_ints(alu_rig["W"])) == []
+
+
+def test_tampered_mul_low_limb_rejected(alu_rig):
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    off = mvc._cols(GEO)
+    Wi = gl.to_ints(alu_rig["W"]).copy()
+    # row 1 is the mul: bump the product's low limb AND the written register
+    Wi[off["RES"], 1] = (int(Wi[off["RES"], 1]) + 1)
+    Wi[off["REG"] + 1 * GEO.num_limbs, 2] = \
+        (int(Wi[off["REG"] + 1 * GEO.num_limbs, 2]) + 1)
+    assert _alu_viol(alu_rig, Wi)
+
+
+def test_tampered_xor_chunk_rejected(alu_rig):
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    off = mvc._cols(GEO)
+    rows = alu_rig["inst"].rows
+    r_idx = next(i for i, r in enumerate(rows) if r.op == mvc.OP_XOR)
+    Wi = gl.to_ints(alu_rig["W"]).copy()
+    # forge the xor result limb and its chunk consistently: the (a,b,a^b)
+    # LOOKUP must reject the forged triple
+    Wi[off["RES"], r_idx] = int(Wi[off["RES"], r_idx]) ^ 1
+    Wi[off["BX"], r_idx] = int(Wi[off["BX"], r_idx]) ^ 1
+    Wi[off["REG"] + 4 * GEO.num_limbs, r_idx + 1] = \
+        int(Wi[off["REG"] + 4 * GEO.num_limbs, r_idx + 1]) ^ 1
+    viol = _alu_viol(alu_rig, Wi)
+    assert viol
+
+
+def test_tampered_shift_amount_rejected(alu_rig):
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    off = mvc._cols(GEO)
+    rows = alu_rig["inst"].rows
+    r_idx = next(i for i, r in enumerate(rows) if r.op == mvc.OP_SHL)
+    Wi = gl.to_ints(alu_rig["W"]).copy()
+    # claim a different intra-limb shift: BS one-hot moves but s-equation
+    # (pinned to v1's low byte chunks) must break
+    L = GEO.limb_bits
+    s = 37 % L
+    assert int(Wi[off["BS"] + s, r_idx]) == 1
+    Wi[off["BS"] + s, r_idx] = 0
+    Wi[off["BS"] + ((s + 1) % L), r_idx] = 1
+    assert _alu_viol(alu_rig, Wi)

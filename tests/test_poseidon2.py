@@ -84,3 +84,26 @@ def test_full_width_absorb_chains(rng):
     # manual: overwrite rate lanes then permute
     manual = p2.permute(gl.concatenate([enc, s0[..., 8:]], axis=-1))
     assert np.all(np.asarray(gl.equal(s1, manual)))
+
+
+def test_pinned_permutation_vector():
+    """Hard-pinned vector over the FRAMEWORK's production constant tables
+    (Grain-generated; boojum's tables are unreachable from this environment
+    — BASELINE.md "Conformance"). Catches any constant/matrix drift that
+    the independent-reimplementation test above would silently follow."""
+    out = gl.to_ints(p2.permute(gl.from_int(list(range(T)))))
+    assert [int(v) for v in out] == [
+        16554216206709474952, 11165653368081738105, 15510491069834582656,
+        904424896032794924, 4443680892611024698, 12657429491349814692,
+        16757781937420386340, 15944128758986577910, 13120191295696364543,
+        15956608950573169034, 2873883470026321187, 4028397520777608596]
+
+
+def test_pinned_bn254_permutation_vector():
+    from zkevm_harness_tpu.utils import poseidon2_bn254 as p2b
+    assert p2b.permute([1, 2, 3]) == [
+        5805939551255980992707535583775870472601805236204535772365613264253722973064,
+        19559931707547793599803032231721000083507983364950872992024294724572520071158,
+        4976522103639171676503152883494686011491937338896597361562954819691229224059]
+    assert p2b.hash_elements([7, 8, 9]) == \
+        15379595650334150049885354912616643046889771321752806482583946137951678495436

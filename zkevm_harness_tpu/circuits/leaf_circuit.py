@@ -92,6 +92,25 @@ def leaf_assignments(lay: LeafLayout, vk: Sequence[int],
     return asg
 
 
+def advance_queue_head(queue_head: Sequence[int], base_circuit_type: int,
+                       child_proofs: Sequence[pk.PlonkishProof]
+                       ) -> Tuple[int, ...]:
+    """The full 12-lane recursion-queue state after pushing this chunk's
+    closed-form-input digests — the next leaf chunk's queue head (the
+    reference splits at RECURSION_ARITY and chains heads the same way,
+    src/witness/recursive_aggregation.rs:71-161)."""
+    from ..ops import poseidon2 as p2
+    from ..witness.recursion import RecursionQueueSimulator, RecursionRequest
+    q = RecursionQueueSimulator(head=tuple(int(v) % P for v in queue_head),
+                                width=8)
+    for proof in child_proofs:
+        pis = [int(v) % P for v in proof.public_inputs]
+        digest = tuple(int(v) for v in gl.to_ints(
+            p2.hash_elements(gl.from_int(pis))))
+        q.push_request(RecursionRequest(base_circuit_type, digest))
+    return tuple(int(v) for v in q.tail)
+
+
 def leaf_public_inputs(lay: LeafLayout, vk: Sequence[int],
                        child_proofs: Sequence[pk.PlonkishProof],
                        queue_head: Sequence[int] = (0,) * T) -> List[int]:

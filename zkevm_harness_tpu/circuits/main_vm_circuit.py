@@ -83,10 +83,25 @@ OP_RET, OP_RETP, OP_EXT = 12, 13, 14
 # result is tagged pointer (reference ptr.add/sub/pack,
 # zkevm_circuits ptr opcodes via vm_main.rs).
 OP_CTX, OP_DIV, OP_PADD, OP_PSHR, OP_PPACK = 15, 16, 17, 18, 19
-NOPS = 20
+# stage D (round 4): the remaining ALU BinOps leave EXT —
+#   OP_MUL: low-256 product via the SAME limb-convolution identity as DIV
+#     (v0*v1 = res + 2^256*hi, hi in the REM columns, carries in MCL/MCH);
+#   OP_SHL/OP_SHR: dynamic shifts as multiplication/division by a PROVEN
+#     power of two (POW2 = one-hot limb-shift x one-hot intra-limb shift;
+#     shr reuses the full divmod machinery with divisor POW2, shl the mul
+#     identity) — the shift amount is pinned to v1's low byte;
+#   OP_AND/OP_OR/OP_XOR: c-bit chunk decompositions looked up in ONE
+#     (a, b, a^b) table; and/or derive algebraically from xor
+#     (a+b = xor + 2*and, or = xor + and), so one table serves all three.
+# (Reference constrains every ALU opcode in vm_main.rs:29-110 via
+# zkevm_circuits' mul/div/shift/binop gadgets — same statements here,
+# restructured for one shared convolution gate block.)
+OP_MUL, OP_AND, OP_OR, OP_XOR, OP_SHL, OP_SHR = 20, 21, 22, 23, 24, 25
+NOPS = 26
 _PTR_OPS = (OP_PADD, OP_PSHR, OP_PPACK)
 _LOG_OPS = (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1)
 _MEM_OPS = (OP_HEAPW, OP_HEAPR)
+_BW_OPS = (OP_AND, OP_OR, OP_XOR)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,6 +118,20 @@ class VmGeometry:
     def capacity(self) -> int:
         """cycles per instance (cycles_per_vm_snapshot analogue)."""
         return self.n
+
+    @property
+    def bw_chunk_bits(self) -> int:
+        """Bitwise-op chunk width c: the (a, b, a^b) lookup table has
+        2^(2c) rows and must fit the trace domain (and c <= min(L, 8))."""
+        c = 1
+        for cand in (2, 4, 8):
+            if cand <= min(self.limb_bits, 8) and (1 << (2 * cand)) <= self.n:
+                c = cand
+        return c
+
+    @property
+    def bw_chunks_per_limb(self) -> int:
+        return self.limb_bits // self.bw_chunk_bits
 
 
 def _cols(geo: VmGeometry) -> Dict[str, int]:
@@ -150,6 +179,18 @@ def _cols(geo: VmGeometry) -> Dict[str, int]:
     reg("DCAR", NL)
     reg("ZB", 1)
     reg("ZINV", 1)
+    # stage D: bitwise chunk decompositions (c-bit chunks of V0/V1 and of
+    # the xor result, each triple looked up in the (a, b, a^b) table) and
+    # the shift machinery (one-hot limb shift, one-hot intra-limb shift,
+    # the proven power-of-two limbs, v1-limb-0 chunks pinning the shift s)
+    CH = geo.bw_chunks_per_limb
+    reg("B0", NL * CH)
+    reg("B1", NL * CH)
+    reg("BX", NL * CH)
+    reg("LS", 256 // geo.limb_bits)
+    reg("BS", geo.limb_bits)
+    reg("POW2", NL)
+    reg("VBC", CH)
     reg("EQF", 1)     # flag state entering the row
     reg("LTF", 1)
     reg("SINV", 1)    # inverse hint for the zero-sum flag gadget
@@ -208,7 +249,9 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
             for b in (op + dst + dst2 + s0 + s1
                       + [s0i, s1i, v, W("EQF"), W("LTF"), spop, zb]
                       + [W("CAR", j) for j in range(NL)]
-                      + [W("DCAR", j) for j in range(NL)]):
+                      + [W("DCAR", j) for j in range(NL)]
+                      + [W("LS", k) for k in range(256 // L)]
+                      + [W("BS", t) for t in range(L)]):
                 out.append(alg.sub(alg.mul(b, b), b))
             # pop/push exclusivity + RET/RETP rows must pop
             out.append(alg.mul(spop, op[OP_NCALL]))
@@ -251,9 +294,15 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
                 out.append(alg.mul(op[OP_ADD], alg.sub(lhs_a, rhs_a)))
                 out.append(alg.mul(op[OP_SUB], alg.sub(lhs_s, rhs_s)))
 
-            # --- flags (set by add/sub/div, carried otherwise) -----------------
+            # --- flags ----------------------------------------------------
+            # eq is set from the RESULT by every ALU op (add/sub/div plus
+            # stage D mul/and/or/xor/shl/shr — the interpreter's
+            # `vm.flags.eq = r == 0`); lt is set by add (carry-out) and sub
+            # (borrow), forced 0 by div, and PRESERVED by everything else.
             binop = alg.add(op[OP_ADD], op[OP_SUB])
-            flagset = alg.add(binop, dv)
+            eqset = alg.add(binop, dv)
+            for k in (OP_MUL, OP_AND, OP_OR, OP_XOR, OP_SHL, OP_SHR):
+                eqset = alg.add(eqset, op[k])
             ssum_res = W("RES", 0)
             for j in range(1, NL):
                 ssum_res = alg.add(ssum_res, W("RES", j))
@@ -262,18 +311,19 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
             # for div RES is the quotient, so eq == (q == 0) — matching the
             # interpreter (incl. the div-by-zero case where q is forced 0)
             eq_new = _one_minus(alg, alg.mul(ssum_res, W("SINV")))
-            out.append(alg.mul(flagset, alg.mul(ssum_res, eq_new)))
-            carry_flag = alg.mul(flagset, alg.sub(Wn("EQF"), eq_new))
+            out.append(alg.mul(eqset, alg.mul(ssum_res, eq_new)))
+            carry_flag = alg.mul(eqset, alg.sub(Wn("EQF"), eq_new))
             out.append(alg.mul(notwrap, carry_flag))
             out.append(alg.mul(notwrap, alg.mul(binop,
                                                 alg.sub(Wn("LTF"),
                                                         W("CAR", NL - 1)))))
             out.append(alg.mul(notwrap, alg.mul(dv, Wn("LTF"))))  # div: lt = 0
-            keepf = _one_minus(alg, alg.add(flagset, ext))
-            out.append(alg.mul(notwrap, alg.mul(keepf,
-                                                alg.sub(Wn("EQF"), W("EQF")))))
-            out.append(alg.mul(notwrap, alg.mul(keepf,
-                                                alg.sub(Wn("LTF"), W("LTF")))))
+            keepf_eq = _one_minus(alg, alg.add(eqset, ext))
+            keepf_lt = _one_minus(alg, alg.add(alg.add(binop, dv), ext))
+            out.append(alg.mul(notwrap, alg.mul(
+                keepf_eq, alg.sub(Wn("EQF"), W("EQF")))))
+            out.append(alg.mul(notwrap, alg.mul(
+                keepf_lt, alg.sub(Wn("LTF"), W("LTF")))))
 
         # --- register writeback --------------------------------------------
         if sel is None or sel == 2:
@@ -312,36 +362,59 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
                 alg, alg.mul(s1sum, W("ZINV"))))))
             nzb = _one_minus(alg, zb)
             dvnz = alg.mul(dv, nzb)
-            # multiplication identity: RES * V1 + REM == V0 over limbs, with
-            # carry decomposition mc_k = MCL_k + 2^L * MCH_k (both byte-checked)
+            # --- unified limb-convolution identity (stage C div + stage D
+            # mul/shl/shr). One gate block proves, with op-muxed operands:
+            #   div:  RES(q)*V1   + REM == V0            (exact, no high part)
+            #   shr:  RES(q)*POW2 + REM == V0            (exact, no high part)
+            #   mul:  V0*V1   == RES + 2^256*REM(=hi)
+            #   shl:  V0*POW2 == RES + 2^256*REM(=hi)
+            # carries mc_k = MCL_k + 2^L*MCH_k (both lookup-checked). REM
+            # serves as remainder on the q-side ops and as the discarded
+            # high half on the product-side ops (disjoint by op).
+            mulop, shlop, shrop = op[OP_MUL], op[OP_SHL], op[OP_SHR]
+            shiftop = alg.add(shlop, shrop)
+            qside = alg.add(dv, shrop)
+            pside = alg.add(mulop, shlop)
+            convsel = alg.add(alg.add(dvnz, mulop), shiftop)
+
+            def A_(i):
+                return alg.add(alg.mul(qside, W("RES", i)),
+                               alg.mul(pside, W("V0", i)))
+
+            def B_(j):
+                return alg.add(alg.mul(alg.add(dv, mulop), W("V1", j)),
+                               alg.mul(shiftop, W("POW2", j)))
+
             for k in range(2 * NL - 1):
                 conv = None
                 for i in range(max(0, k - NL + 1), min(NL, k + 1)):
-                    t = alg.mul(W("RES", i), W("V1", k - i))
-                    conv = t if conv is None else alg.add(conv, t)
+                    tt = alg.mul(A_(i), B_(k - i))
+                    conv = tt if conv is None else alg.add(conv, tt)
                 lhs = conv
                 if k < NL:
-                    lhs = alg.add(lhs, W("REM", k))
+                    lhs = alg.add(lhs, alg.mul(qside, W("REM", k)))
                 if k > 0:
                     mc_prev = alg.add(W("MCL", k - 1),
                                       alg.mul_int(W("MCH", k - 1), 1 << L))
                     lhs = alg.add(lhs, mc_prev)
-                rhs = None
                 if k < NL:
-                    rhs = W("V0", k)
+                    rhs = alg.add(alg.mul(qside, W("V0", k)),
+                                  alg.mul(pside, W("RES", k)))
+                else:
+                    rhs = alg.mul(pside, W("REM", k - NL))
                 if k < 2 * NL - 2:
                     mc_k = alg.add(W("MCL", k),
                                    alg.mul_int(W("MCH", k), 1 << L))
-                    t = alg.mul_int(mc_k, 1 << L)
-                    rhs = t if rhs is None else alg.add(rhs, t)
-                diff = alg.sub(lhs, rhs) if rhs is not None else lhs
-                out.append(alg.mul(dvnz, diff))
+                    rhs = alg.add(rhs, alg.mul_int(mc_k, 1 << L))
+                out.append(alg.mul(convsel, alg.sub(lhs, rhs)))
             # div-by-zero forces q = r = 0 (eq flag follows from eq_new)
             for j in range(NL):
                 out.append(alg.mul(dv, alg.mul(zb, W("RES", j))))
                 out.append(alg.mul(dv, alg.mul(zb, W("REM", j))))
-            # remainder range: REM + DIF + 1 == V1 exactly (borrow chain with
-            # boolean DCAR, final carry zero) => REM < V1
+            # remainder range: REM + DIF + 1 == divisor exactly (borrow chain
+            # with boolean DCAR, final carry zero) => REM < divisor, where
+            # the divisor is V1 for div and POW2 for shr
+            cmpsel = alg.add(dvnz, shrop)
             for j in range(NL):
                 cin = W("DCAR", j - 1) if j else None
                 lhs = alg.add(W("REM", j), W("DIF", j))
@@ -349,9 +422,11 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
                     lhs = alg.add_int(lhs, 1)
                 if cin is not None:
                     lhs = alg.add(lhs, cin)
-                rhs = alg.add(W("V1", j), alg.mul_int(W("DCAR", j), 1 << L))
-                out.append(alg.mul(dvnz, alg.sub(lhs, rhs)))
-            out.append(alg.mul(dvnz, W("DCAR", NL - 1)))
+                m_j = alg.add(alg.mul(dv, W("V1", j)),
+                              alg.mul(shrop, W("POW2", j)))
+                rhs = alg.add(m_j, alg.mul_int(W("DCAR", j), 1 << L))
+                out.append(alg.mul(cmpsel, alg.sub(lhs, rhs)))
+            out.append(alg.mul(cmpsel, W("DCAR", NL - 1)))
 
         # --- fat-pointer ops (stage C) --------------------------------------
         if sel is None or sel == 4:
@@ -554,10 +629,76 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
                                                 alg.sub(Wn("PC"), W("RPC")))))
             out.append(alg.mul(notwrap, alg.mul(op[OP_RETP],
                                                 alg.sub(Wn("PC"), W("PHD")))))
+
+        # --- stage D: bitwise chunks + dynamic-shift machinery --------------
+        if sel is None or sel == 6:
+            CH = geo.bw_chunks_per_limb
+            cbits = geo.bw_chunk_bits
+            andop, orop, xorop = op[OP_AND], op[OP_OR], op[OP_XOR]
+            shlop, shrop = op[OP_SHL], op[OP_SHR]
+            bw = alg.add(alg.add(andop, orop), xorop)
+            shiftop = alg.add(shlop, shrop)
+            # chunk recomposition binds the looked-up (a, b, a^b) triples to
+            # the operand limbs; and/or derive from xor via
+            # a + b = (a^b) + 2*(a&b) and a|b = (a^b) + (a&b), i.e.
+            # 2*and = s0 + s1 - x and 2*or = s0 + s1 + x — no extra tables.
+            for j in range(NL):
+                s0sum = s1sum = xsum = None
+                for i in range(CH):
+                    w0 = alg.mul_int(W("B0", j * CH + i), 1 << (cbits * i))
+                    w1 = alg.mul_int(W("B1", j * CH + i), 1 << (cbits * i))
+                    wx = alg.mul_int(W("BX", j * CH + i), 1 << (cbits * i))
+                    s0sum = w0 if s0sum is None else alg.add(s0sum, w0)
+                    s1sum = w1 if s1sum is None else alg.add(s1sum, w1)
+                    xsum = wx if xsum is None else alg.add(xsum, wx)
+                out.append(alg.mul(bw, alg.sub(W("V0", j), s0sum)))
+                out.append(alg.mul(bw, alg.sub(W("V1", j), s1sum)))
+                out.append(alg.mul(xorop, alg.sub(W("RES", j), xsum)))
+                both = alg.add(s0sum, s1sum)
+                out.append(alg.mul(andop, alg.sub(
+                    alg.mul_int(W("RES", j), 2), alg.sub(both, xsum))))
+                out.append(alg.mul(orop, alg.sub(
+                    alg.mul_int(W("RES", j), 2), alg.add(both, xsum))))
+            # shifts: s = v1 & 0xFF decomposes as s = L*q + t with one-hot
+            # limb shift LS_q and intra-limb shift BS_t; POW2 = 2^s as limbs
+            # (POW2_j = LS_j * 2^t) feeds the shared convolution identity.
+            NSH = 256 // L
+            ls = [W("LS", k) for k in range(NSH)]
+            bs = [W("BS", t) for t in range(L)]
+            lsum = ls[0]
+            for x in ls[1:]:
+                lsum = alg.add(lsum, x)
+            bsum = bs[0]
+            for x in bs[1:]:
+                bsum = alg.add(bsum, x)
+            out.append(alg.sub(lsum, shiftop))
+            out.append(alg.sub(bsum, shiftop))
+            tp = None
+            for t in range(L):
+                term = alg.mul_int(bs[t], 1 << t)
+                tp = term if tp is None else alg.add(tp, term)
+            for j in range(NL):
+                out.append(alg.sub(W("POW2", j), alg.mul(ls[j], tp)))
+            # v1 limb 0 = its chunk decomposition; s = the low 8 bits of it
+            vbsum = None
+            s_lo = None
+            for i in range(CH):
+                term = alg.mul_int(W("VBC", i), 1 << (cbits * i))
+                vbsum = term if vbsum is None else alg.add(vbsum, term)
+                if cbits * i < 8:
+                    s_lo = term if s_lo is None else alg.add(s_lo, term)
+            out.append(alg.mul(shiftop, alg.sub(W("V1", 0), vbsum)))
+            s_sel = None
+            for k in range(NSH):
+                term = alg.mul_int(ls[k], L * k)
+                s_sel = term if s_sel is None else alg.add(s_sel, term)
+            for t in range(L):
+                s_sel = alg.add(s_sel, alg.mul_int(bs[t], t))
+            out.append(alg.mul(shiftop, alg.sub(s_sel, s_lo)))
         return out
 
     import functools as _ft
-    _parts = tuple(_ft.partial(_gates, sel=k) for k in range(6))
+    _parts = tuple(_ft.partial(_gates, sel=k) for k in range(7))
 
     def eval_gates(alg, w, w_next, c):
         return _gates(alg, w, w_next, c, sel=None)
@@ -584,6 +725,7 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
 
     n_constraints = (
         (NOPS + 4 * NREGS + 7 + 2 * NL)  # booleans (+spop+zb+dst2+dcar)
+        + (256 // L) + L                  # LS/BS shift-selector booleans
         + 3                               # pop/push exclusivity
         + 1 + 3                           # op sum + selector sums
         + 2 * NL                          # muxes
@@ -591,14 +733,15 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         + 6                               # flags (+div lt-zero)
         + NREGS * NL + NREGS              # writeback + dst/dst2 disjoint
         + 2 + 2                           # dst2 sum, div dst sum, zb gadget
-        + (2 * NL - 1)                    # mul identity limbs
+        + (2 * NL - 1)                    # unified convolution limbs
         + 2 * NL                          # div-by-zero forcing
         + NL + 1                          # remainder compare chain
         + 2 * NREGS + 3 * NL + 4 * (32 // L) + 4  # ptr ops + PTRB file
         + 4                               # pc (+padding carry), ts, validity
         + NPOW + 4 + (NPOW - 1)           # fp constancy (4 gammas) + chain
         + 6                               # 3 accumulators x (update+carry)
-        + 8)                              # stack push/pop/carry + pop pc
+        + 8                               # stack push/pop/carry + pop pc
+        + 6 * NL + 4)                     # stage D bitwise chunks + shifts
     assert sum(part_counts) == n_constraints, (part_counts, n_constraints)
 
     pis: List[Tuple[int, int]] = [
@@ -632,14 +775,31 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
                    + [off["DIF"] + j for j in range(NL)]
                    + [off["MCL"] + k for k in range(2 * NL - 2)]
                    + [off["MCH"] + k for k in range(2 * NL - 2)])
-    lookup_sets = tuple((0, (c,)) for c in lookup_cols)
+    lookup_sets = [(0, (c,)) for c in lookup_cols]
+    # stage D: the (a, b, a^b) chunk table — one table proves xor AND the
+    # c-bit ranges of all three chunk columns; and/or derive in-gates
+    cbits = geo.bw_chunk_bits
+    CH = geo.bw_chunks_per_limb
+    xor_table = np.zeros(((1 << (2 * cbits)), 3), dtype=object)
+    idx = 0
+    for a in range(1 << cbits):
+        for bvv in range(1 << cbits):
+            xor_table[idx] = (a, bvv, a ^ bvv)
+            idx += 1
+    chunk_table = np.arange(1 << cbits, dtype=object).reshape(-1, 1)
+    for k in range(NL * CH):
+        lookup_sets.append((1, (off["B0"] + k, off["B1"] + k,
+                                off["BX"] + k)))
+    for i in range(CH):
+        lookup_sets.append((2, (off["VBC"] + i,)))
 
     return pk.PlonkishIR(
         log_n=geo.log_n, num_witness=off["_width"], num_const=NUM_CONST,
         gate_degree=6, num_gate_constraints=n_constraints,
         eval_gates=eval_gates, copy_chunk=4,
         public_input_cells=tuple(pis),
-        lookup_tables=(table,), lookup_sets=lookup_sets,
+        lookup_tables=(table, xor_table, chunk_table),
+        lookup_sets=tuple(lookup_sets),
         eval_gates_parts=_parts, gate_part_counts=part_counts)
 
 
@@ -839,6 +999,94 @@ def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
                         W[off["DCAR"] + j, r] = cout
                         cin = cout
                     assert cin == 0, "remainder compare overflowed"
+            elif row.op in (OP_MUL, OP_SHL, OP_SHR):
+                # stage D: shared convolution identity witnesses
+                full_mask = (1 << (NL * L)) - 1
+                if row.op in (OP_SHL, OP_SHR):
+                    s = v1 & 0xFF
+                    pow2 = 1 << s
+                    W[off["LS"] + s // L, r] = 1
+                    W[off["BS"] + s % L, r] = 1
+                    p2l = _limbs(pow2, NL, L)
+                    for j in range(NL):
+                        W[off["POW2"] + j, r] = p2l[j]
+                    cbits = geo.bw_chunk_bits
+                    CH = geo.bw_chunks_per_limb
+                    limb0 = v1 & ((1 << L) - 1)
+                    for i in range(CH):
+                        W[off["VBC"] + i, r] = \
+                            (limb0 >> (cbits * i)) & ((1 << cbits) - 1)
+                if row.op == OP_MUL:
+                    a_int, b_int, c_add, low_int = v0, v1, 0, res
+                    hi = (v0 * v1) >> (NL * L)
+                elif row.op == OP_SHL:
+                    a_int, b_int, c_add, low_int = v0, pow2, 0, res
+                    hi = (v0 * pow2) >> (NL * L)
+                else:  # shr: q*2^s + rem == v0 exactly
+                    rem_v = v0 & (pow2 - 1)
+                    a_int, b_int, c_add, low_int = res, pow2, rem_v, v0
+                    hi = None
+                    rem_l = _limbs(rem_v, NL, L)
+                    for j in range(NL):
+                        W[off["REM"] + j, r] = rem_l[j]
+                    # remainder compare vs POW2: REM + DIF + 1 == POW2
+                    dif = pow2 - rem_v - 1
+                    dif_l = _limbs(dif, NL, L)
+                    cin = 1
+                    for j in range(NL):
+                        W[off["DIF"] + j, r] = dif_l[j]
+                        t = rem_l[j] + dif_l[j] + cin
+                        cout, rr = divmod(t - p2l[j], 1 << L)
+                        assert rr == 0 and cout in (0, 1)
+                        W[off["DCAR"] + j, r] = cout
+                        cin = cout
+                    assert cin == 0, "shr remainder compare overflowed"
+                if hi is not None:
+                    hi_l = _limbs(hi & full_mask, NL, L)
+                    for j in range(NL):
+                        W[off["REM"] + j, r] = hi_l[j]
+                a_l = _limbs(a_int & full_mask, NL, L)
+                b_l = _limbs(b_int & full_mask, NL, L)
+                low_l = _limbs(low_int & full_mask, NL, L)
+                addc_l = _limbs(c_add & full_mask, NL, L)
+                mc_prev = 0
+                for k in range(2 * NL - 1):
+                    conv = sum(a_l[i] * b_l[k - i]
+                               for i in range(max(0, k - NL + 1),
+                                              min(NL, k + 1)))
+                    lhs = conv + mc_prev
+                    if k < NL and row.op == OP_SHR:
+                        lhs += addc_l[k]
+                    if k < NL:
+                        base = (low_l[k] if row.op == OP_SHR
+                                else _limbs(res & full_mask, NL, L)[k])
+                    else:
+                        base = (0 if row.op == OP_SHR
+                                else _limbs(hi & full_mask, NL, L)[k - NL])
+                    if k < 2 * NL - 2:
+                        mc, rr = divmod(lhs - base, 1 << L)
+                        assert rr == 0 and 0 <= mc < (NL + 1) << L, \
+                            "stage-D conv carry out of range"
+                        W[off["MCL"] + k, r] = mc & ((1 << L) - 1)
+                        W[off["MCH"] + k, r] = mc >> L
+                        mc_prev = mc
+                    else:
+                        assert lhs == base, "stage-D conv identity broke"
+                S = sum(_limbs(res & full_mask, NL, L))
+                W[off["SINV"], r] = pow(S, P - 2, P) if S else 0
+            elif row.op in (OP_AND, OP_OR, OP_XOR):
+                cbits = geo.bw_chunk_bits
+                CH = geo.bw_chunks_per_limb
+                cm = (1 << cbits) - 1
+                xr = v0 ^ v1
+                for j in range(NL):
+                    for i in range(CH):
+                        sh = L * j + cbits * i
+                        W[off["B0"] + j * CH + i, r] = (v0 >> sh) & cm
+                        W[off["B1"] + j * CH + i, r] = (v1 >> sh) & cm
+                        W[off["BX"] + j * CH + i, r] = (xr >> sh) & cm
+                S = sum(res_l)
+                W[off["SINV"], r] = pow(S, P - 2, P) if S else 0
             W[off["V"], r] = 1
             # fingerprints
             opid = row.op + 1

@@ -42,9 +42,6 @@ import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from . import harness
-from .circuits import leaf_circuit as lc
-from .circuits import node_circuit as nc
-from .circuits import scheduler_circuit as sc
 from .circuits.types import GeometryConfig, testing_geometry
 from .ops import goldilocks as gl
 from .prover import compression as cmp
@@ -71,7 +68,8 @@ class FullChainResult:
     chain_types: Tuple[int, ...]
     base_proofs: Dict[int, List[pk.PlonkishProof]]
     base_setups: Dict[int, ly.SetupData]
-    leaves: Dict[int, StageProof]
+    leaves: Dict[int, StageProof]          # last chunk's proof per type
+    leaf_chunks: Dict[int, List[pk.PlonkishProof]]  # every leaf proof
     nodes: Dict[int, StageProof]
     scheduler: StageProof
     scheduler_pi: List[int]  # 4-lane block commitment
@@ -89,6 +87,8 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
                            block_number: int = 1,
                            wrap: bool = True,
                            for_wrapper: bool = False,
+                           leaf_arity: Optional[int] = None,
+                           snark_mode: str = "pi",
                            progress=None, source=None) -> FullChainResult:
     """Prove one block through every layer. Returns the assembled tower;
     raises if any link fails verification. `source` (e.g. a
@@ -105,14 +105,21 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
         if progress:
             progress(msg)
 
-    # -- 1. base layer ------------------------------------------------------
+    # -- 1.-4. base + leaf + node + scheduler via the DAG --------------------
+    # The WHOLE tower runs through run_dag (run_block tower=True): real
+    # leaf/node/scheduler tasks with store-guarded skip-if-present resume
+    # and parallel-wave dispatch — the pod-level orchestration the
+    # reference's basic_test protocol implies (complex_tests/mod.rs:323-331).
     with ly.engine_override(base_cfg):
         blk = harness.run_block(code, geometry=geometry, prove_mode="spot",
                                 spot_types=chain_types, contracts=contracts,
-                                cycle_limit=cycle_limit, source=source)
+                                cycle_limit=cycle_limit, source=source,
+                                tower=True, recursion_cfg=recursion_cfg,
+                                leaf_arity=leaf_arity,
+                                block_number=block_number)
         base_setups = {t: ly.base_setup_for_type(t, geometry)
                        for t in chain_types}
-    say("base layer proven")
+    say("tower proven through the DAG")
 
     base_proofs: Dict[int, List[pk.PlonkishProof]] = {}
     for t in chain_types:
@@ -124,78 +131,50 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
                 f"base type {t} instance {i} was not really proven"
             proofs.append(rec["proof"])
         assert proofs, f"base type {t} produced no instances for this block"
-        assert len(proofs) <= 32, \
-            "one leaf chunk per type at chain-test scale (production splits " \
-            "at RECURSION_ARITY=32 via witness/recursion.create_leaf_witnesses)"
         base_proofs[t] = proofs
 
-    # -- 2./3. leaf + node per type ------------------------------------------
+    # -- collect the DAG's real tower records ---------------------------------
+    rigs = blk.recursion_rigs
     leaves: Dict[int, StageProof] = {}
+    leaf_chunks: Dict[int, List[pk.PlonkishProof]] = {}
     nodes: Dict[int, StageProof] = {}
     for t in chain_types:
-        sd = base_setups[t]
-        proofs = base_proofs[t]
-        b, lay = lc.synthesize_leaf(sd.ir, sd.config, arity=len(proofs),
-                                    base_circuit_type=t)
-        built = b.finalize()
-        W = b.fill_witness(lc.leaf_assignments(lay, sd.vk, proofs))
-        setup = built.setup(recursion_cfg)
-        leaf_proof = pk.prove(built.ir, setup, W, recursion_cfg)
-        expect = lc.leaf_public_inputs(lay, sd.vk, proofs)
-        assert [int(v) for v in leaf_proof.public_inputs] == \
-            [int(v) % P for v in expect], "leaf PI mismatch"
-        assert pk.verify(built.ir, setup.vk(), leaf_proof, recursion_cfg), \
-            f"leaf proof for type {t} failed verification"
-        # the in-circuit queue tail must equal the DAG's recursion queue
-        # tail (real closed-form-input digests, harness.py real_payloads)
+        chunk_proofs: List[pk.PlonkishProof] = []
+        i = 0
+        while True:
+            rec = blk.source.get_leaf_layer_proof(t + 2, i)
+            if rec is None:
+                break
+            assert rec.get("real"), f"leaf[{t}][{i}] was not really proven"
+            chunk_proofs.append(rec["proof"])
+            leaf_vk = rec["vk"]
+            i += 1
+        assert chunk_proofs, f"no leaf proofs recorded for type {t}"
         rq_tail = tuple(int(v) % P
                         for v in blk.artifacts.recursion_queues[t].tail)
-        got_tail = tuple(int(v) % P for v in leaf_proof.public_inputs[-12:])
+        got_tail = tuple(int(v) % P
+                         for v in chunk_proofs[-1].public_inputs[-12:])
         assert got_tail == rq_tail, \
             f"leaf tail diverged from the recursion queue for type {t}"
-        leaves[t] = StageProof(proof=leaf_proof, vk=setup.vk(),
-                               ir=built.ir, cfg=recursion_cfg)
-        # replace the DAG's metadata record with the REAL proof (resume +
-        # inspection read the data source, complex_tests/mod.rs:588-592)
-        blk.source.set_leaf_layer_proof(leaf_proof, t, 0)
-        say(f"leaf[{t}] proven over {len(proofs)} base proofs")
+        leaves[t] = StageProof(proof=chunk_proofs[-1], vk=leaf_vk,
+                               ir=rigs[("leaf_final", t)][0],
+                               cfg=recursion_cfg)
+        leaf_chunks[t] = chunk_proofs
+        nrec = blk.source.get_node_layer_proof(t, 0, 0)
+        assert nrec is not None and nrec.get("real")
+        nodes[t] = StageProof(proof=nrec["proof"], vk=nrec["vk"],
+                              ir=rigs[("node_final", t)][0],
+                              cfg=recursion_cfg)
+        say(f"tower[{t}]: {len(chunk_proofs)} leaves -> node")
 
-        nb, nlay = nc.synthesize_node(built.ir, recursion_cfg, arity=1)
-        nbuilt = nb.finalize()
-        nW = nb.fill_witness(nc.node_assignments(nlay, leaves[t].vk,
-                                                 [leaf_proof]))
-        nsetup = nbuilt.setup(recursion_cfg)
-        node_proof = pk.prove(nbuilt.ir, nsetup, nW, recursion_cfg)
-        nexpect = nc.node_public_inputs(nlay, leaves[t].vk, [leaf_proof])
-        assert [int(v) for v in node_proof.public_inputs] == \
-            [int(v) % P for v in nexpect], "node PI mismatch"
-        assert pk.verify(nbuilt.ir, nsetup.vk(), node_proof, recursion_cfg), \
-            f"node proof for type {t} failed verification"
-        nodes[t] = StageProof(proof=node_proof, vk=nsetup.vk(),
-                              ir=nbuilt.ir, cfg=recursion_cfg)
-        blk.source.set_node_layer_proof(node_proof, t, 0, 0)
-        say(f"node[{t}] proven")
-
-    # -- 4. scheduler ---------------------------------------------------------
-    aux = sc.scheduler_aux_values(blk.scheduler_witness)
-    sb, slay = sc.synthesize_scheduler_multi(
-        [(nodes[t].ir, nodes[t].cfg) for t in chain_types],
-        type_ids=chain_types, aux_len=len(aux))
-    sbuilt = sb.finalize()
-    node_vks = [nodes[t].vk for t in chain_types]
-    node_prfs = [nodes[t].proof for t in chain_types]
-    sW = sb.fill_witness(sc.scheduler_multi_assignments(
-        slay, node_vks, node_prfs, block_number, aux))
-    ssetup = sbuilt.setup(recursion_cfg)
-    sched_proof = pk.prove(sbuilt.ir, ssetup, sW, recursion_cfg)
-    sched_pi = sc.scheduler_multi_public_inputs(slay, node_vks, node_prfs,
-                                                block_number, aux)
-    assert [int(v) for v in sched_proof.public_inputs] == \
-        [int(v) % P for v in sched_pi], "scheduler PI mismatch"
-    assert pk.verify(sbuilt.ir, ssetup.vk(), sched_proof, recursion_cfg), \
-        "scheduler proof failed verification"
-    scheduler = StageProof(proof=sched_proof, vk=ssetup.vk(),
-                           ir=sbuilt.ir, cfg=recursion_cfg)
+    srec = blk.source.get_scheduler_proof()
+    assert srec is not None and srec.get("real"), \
+        "scheduler task did not produce a real proof"
+    assert tuple(srec["types"]) == chain_types
+    sched_proof = srec["proof"]
+    sched_pi = list(srec["scheduler_pi"])
+    scheduler = StageProof(proof=sched_proof, vk=srec["vk"],
+                           ir=rigs[("scheduler",)][0], cfg=recursion_cfg)
     say("scheduler proven (block commitment bound)")
 
     # -- 5. compression + SNARK wrapper --------------------------------------
@@ -217,17 +196,50 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
                                chain.prove_fn, chain.verify_fn,
                                source=blk.source)
         say("compression chain proven")
-        wsetup = sw.wrapper_setup()
-        snark_proof = sw.wrap_scheduler_pi(wsetup, sched_pi)
-        assert sw.verify_wrapped_proof(wsetup.vk, snark_proof,
-                                       expected_scheduler_pi=sched_pi), \
-            "SNARK wrapper proof failed verification"
-        assert int(snark_proof.public_inputs[-1]) == \
-            int(final["snark_public_input"])
-        snark = {"proof": snark_proof, "vk": wsetup.vk}
-        say("SNARK wrapper proven")
+        # SNARK statement tiers (all REAL BN254 PLONK proofs):
+        #   "pi"      — packs the scheduler commitment into the L1 input;
+        #   "binding" — + an in-SNARK Poseidon2-BN254 digest binding the
+        #               for-wrapper VK to the chunks (needs for_wrapper);
+        #   "full"    — verifies the ENTIRE for-wrapper FRI proof in-SNARK
+        #               (utils/snark_fri_verifier — the reference
+        #               WrapperCircuit statement, wrapper.rs:108-275;
+        #               minutes of host PLONK proving, so opt-in).
+        if for_wrapper and snark_mode == "full":
+            from .utils import snark_fri_verifier as sfv
+            fw_ir, fw_cfg, fw_vk = chain.final_shape(compression_layers)
+            psetup, snark_proof, _lay = sfv.wrap_fw_proof(
+                fw_ir, fw_cfg, fw_vk, final["final_proof"])
+            assert sfv.verify_fw_wrapped(
+                psetup.vk, snark_proof, expected_fw_vk=fw_vk,
+                expected_inner_pis=final["final_proof"].public_inputs), \
+                "full in-SNARK FRI verification failed"
+            assert int(snark_proof.public_inputs[-1]) == \
+                int(final["snark_public_input"])
+            snark = {"proof": snark_proof, "vk": psetup.vk, "mode": "full"}
+        elif for_wrapper and snark_mode == "binding":
+            fw_vk = [int(v) for v in final["final_vk"]]
+            bsetup, snark_proof = sw.wrap_with_binding(fw_vk, sched_pi)
+            assert sw.verify_binding_proof(
+                bsetup.vk, snark_proof, expected_fw_vk=fw_vk,
+                expected_scheduler_pi=sched_pi), \
+                "binding SNARK wrapper failed verification"
+            assert int(snark_proof.public_inputs[len(fw_vk) + 4]) == \
+                int(final["snark_public_input"])
+            snark = {"proof": snark_proof, "vk": bsetup.vk,
+                     "mode": "binding"}
+        else:
+            wsetup = sw.wrapper_setup()
+            snark_proof = sw.wrap_scheduler_pi(wsetup, sched_pi)
+            assert sw.verify_wrapped_proof(wsetup.vk, snark_proof,
+                                           expected_scheduler_pi=sched_pi), \
+                "SNARK wrapper proof failed verification"
+            assert int(snark_proof.public_inputs[-1]) == \
+                int(final["snark_public_input"])
+            snark = {"proof": snark_proof, "vk": wsetup.vk, "mode": "pi"}
+        say(f"SNARK wrapper proven (mode={snark.get('mode')})")
 
     return FullChainResult(
         block=blk, chain_types=chain_types, base_proofs=base_proofs,
-        base_setups=base_setups, leaves=leaves, nodes=nodes,
-        scheduler=scheduler, scheduler_pi=sched_pi, final=final, snark=snark)
+        base_setups=base_setups, leaves=leaves, leaf_chunks=leaf_chunks,
+        nodes=nodes, scheduler=scheduler, scheduler_pi=sched_pi,
+        final=final, snark=snark)

@@ -43,6 +43,7 @@ class BlockProvingResult:
     dag_results: Dict
     scheduler_witness: sw.SchedulerCircuitInstanceWitness
     source: InMemoryDataSource
+    recursion_rigs: Dict = dataclasses.field(default_factory=dict)
 
 
 def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
@@ -51,8 +52,20 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
               prove_mode: str = "dry",
               spot_types: Sequence[int] = (),
               source: Optional[InMemoryDataSource] = None,
-              contracts: Optional[Dict[int, Sequence[isa.Instruction]]] = None
-              ) -> BlockProvingResult:
+              contracts: Optional[Dict[int, Sequence[isa.Instruction]]] = None,
+              tower: bool = False,
+              recursion_cfg=None,
+              leaf_arity: Optional[int] = None,
+              block_number: int = 1) -> BlockProvingResult:
+    """With `tower=True` the DAG's leaf/node/scheduler tasks are REAL
+    proofs (not metadata): each leaf verifies its base-proof chunk
+    in-circuit against the task's recursion-queue segment, nodes splice
+    leaf intervals, and the scheduler verifies every real type's final
+    node — all through run_dag, so skip-if-present resume and parallel
+    waves apply to the whole tower (the reference's basic_test protocol,
+    complex_tests/mod.rs:323-331,588-592). Tower tasks follow the same
+    real-proof eligibility as base tasks ("full" = all types, "spot" =
+    spot_types)."""
     geometry = geometry or testing_geometry()
     source = source or InMemoryDataSource()
 
@@ -143,7 +156,14 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
     # -- L5: proof DAG -----------------------------------------------------
     dag = sch.build_block_dag(
         {t: m.queue for t, m in makers.items()},
-        {t: a.num_instances for t, a in artifacts.per_circuit.items()})
+        {t: a.num_instances for t, a in artifacts.per_circuit.items()},
+        leaf_arity=leaf_arity)
+
+    # scheduler witness assembled BEFORE the DAG runs: the real scheduler
+    # task consumes its aux values in-circuit
+    first_last = {t: (m.first, m.last) for t, m in makers.items()}
+    sched_wit = sw.assemble_scheduler_witness(block_number, artifacts,
+                                              first_last)
 
     # per-type dispatch: (prove, verify) closures over the instance payload
     # and its binding challenges — types 4 (no challenges) and 11/12 (shared
@@ -183,7 +203,154 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
              lambda w, c, p: ly.verify_hasher_instance(w, c[1], p)),
     }
 
+    # recursion rigs (tower=True): synthesized circuits, keyed so the
+    # scheduler task and the caller (full_chain's compression stage) can
+    # retrieve (ir, vk, cfg) per stage
+    from .circuits import leaf_circuit as lc
+    from .circuits import node_circuit as nc
+    from .circuits import scheduler_circuit as sc_circ
+    from .ops import goldilocks as gl
+    from .prover import plonkish as pk
+    P = gl.P
+    rec_cfg = recursion_cfg or pk.PlonkishConfig(
+        rate=2, cap_size=4, num_queries=2, final_fri_size=8)
+    rigs: Dict = {}
+
+    def _eligible(base_t: int) -> bool:
+        return prove_mode == "full" or (prove_mode == "spot"
+                                        and base_t in spot_types)
+
+    def _leaf_rig(base_t: int, k: int):
+        key = ("leaf", base_t, k)
+        if key not in rigs:
+            sd = ly.base_setup_for_type(base_t, geometry)
+            b, lay = lc.synthesize_leaf(sd.ir, sd.config, arity=k,
+                                        base_circuit_type=base_t)
+            built = b.finalize()
+            setup = built.setup(rec_cfg)
+            rigs[key] = (b, lay, built, setup, sd)
+        return rigs[key]
+
+    def _node_rig(base_t: int, k: int, child_ir):
+        key = ("node", base_t, k, id(child_ir))
+        if key not in rigs:
+            nb, nlay = nc.synthesize_node(child_ir, rec_cfg, arity=k)
+            nbuilt = nb.finalize()
+            nsetup = nbuilt.setup(rec_cfg)
+            rigs[key] = (nb, nlay, nbuilt, nsetup)
+        return rigs[key]
+
+    def _prove_leaf(task, deps):
+        lw = task.payload
+        base_t = lw.base_circuit_type
+        chunk = [deps[d.key()]["proof"] for d in task.deps]
+        b, lay, built, setup, sd = _leaf_rig(base_t, len(chunk))
+        W = b.fill_witness(lc.leaf_assignments(lay, sd.vk, chunk,
+                                               queue_head=lw.queue_head))
+        proof = pk.prove(built.ir, setup, W, rec_cfg)
+        expect = lc.leaf_public_inputs(lay, sd.vk, chunk,
+                                       queue_head=lw.queue_head)
+        assert [int(v) for v in proof.public_inputs] == \
+            [int(v) % P for v in expect], "leaf PI mismatch"
+        assert pk.verify(built.ir, setup.vk(), proof, rec_cfg), \
+            f"leaf proof for type {base_t} failed verification"
+        assert tuple(int(v) for v in proof.public_inputs[-12:]) == \
+            tuple(int(v) % P for v in lw.queue_tail), \
+            "leaf tail diverged from its recursion-queue segment"
+        rigs[("leaf_final", base_t)] = (built.ir, setup.vk())
+        return {"kind": "leaf", "real": True, "circuit_type": base_t,
+                "proof": proof, "vk": setup.vk(), "arity": len(chunk),
+                "public_inputs": proof.public_inputs}
+
+    def _ensure_leaf_final(base_t: int, k: int, vk):
+        """Re-synthesize the leaf rig after a resume skipped the leaf task
+        (synthesis is deterministic in (base ir, cfg, arity))."""
+        if ("leaf_final", base_t) not in rigs:
+            _b, _lay, built, setup, _sd = _leaf_rig(base_t, k)
+            assert setup.vk() == list(vk), \
+                "resumed leaf VK does not match the re-synthesized circuit"
+            rigs[("leaf_final", base_t)] = (built.ir, setup.vk())
+
+    def _prove_node(task, deps):
+        base_t = task.circuit_type
+        children = [deps[d.key()] for d in task.deps]
+        child_kind = task.deps[0].kind
+        if child_kind == "leaf":
+            _ensure_leaf_final(base_t, children[0]["arity"],
+                               children[0]["vk"])
+            child_ir, _ = rigs[("leaf_final", base_t)]
+        else:
+            child_ir, _ = rigs[("node_final", base_t)]
+        child_vk = children[0]["vk"]
+        assert all(c["vk"] == child_vk for c in children), \
+            "node children must share one VK (pad ragged leaf chunks)"
+        child_proofs = [c["proof"] for c in children]
+        nb, nlay, nbuilt, nsetup = _node_rig(base_t, len(children),
+                                             child_ir)
+        nW = nb.fill_witness(nc.node_assignments(nlay, child_vk,
+                                                 child_proofs))
+        proof = pk.prove(nbuilt.ir, nsetup, nW, rec_cfg)
+        nexpect = nc.node_public_inputs(nlay, child_vk, child_proofs)
+        assert [int(v) for v in proof.public_inputs] == \
+            [int(v) % P for v in nexpect], "node PI mismatch"
+        assert pk.verify(nbuilt.ir, nsetup.vk(), proof, rec_cfg), \
+            f"node proof for type {base_t} failed verification"
+        rigs[("node_final", base_t)] = (nbuilt.ir, nsetup.vk())
+        return {"kind": "node", "real": True, "circuit_type": base_t,
+                "proof": proof, "vk": nsetup.vk(), "arity": len(children),
+                "public_inputs": proof.public_inputs}
+
+    def _prove_scheduler(task, deps):
+        real_types = sorted(d.circuit_type for d in task.deps
+                            if deps[d.key()].get("real"))
+        node_recs = {d.circuit_type: deps[d.key()] for d in task.deps
+                     if deps[d.key()].get("real")}
+        aux = sc_circ.scheduler_aux_values(sched_wit)
+        for t in real_types:
+            if ("node_final", t) not in rigs:
+                # resumed node: re-synthesize its rig (single node level at
+                # this scale; deeper towers resume from the node records)
+                leaf_rec = source.get_leaf_layer_proof(t + 2, 0)
+                assert leaf_rec and leaf_rec.get("real")
+                _ensure_leaf_final(t, leaf_rec["arity"], leaf_rec["vk"])
+                child_ir, _ = rigs[("leaf_final", t)]
+                _nb, _nl, nbuilt, nsetup = _node_rig(
+                    t, node_recs[t]["arity"], child_ir)
+                assert nsetup.vk() == list(node_recs[t]["vk"])
+                rigs[("node_final", t)] = (nbuilt.ir, nsetup.vk())
+        shapes = [(rigs[("node_final", t)][0], rec_cfg) for t in real_types]
+        sb, slay = sc_circ.synthesize_scheduler_multi(
+            shapes, type_ids=tuple(real_types), aux_len=len(aux))
+        sbuilt = sb.finalize()
+        node_vks = [node_recs[t]["vk"] for t in real_types]
+        node_prfs = [node_recs[t]["proof"] for t in real_types]
+        sW = sb.fill_witness(sc_circ.scheduler_multi_assignments(
+            slay, node_vks, node_prfs, block_number, aux))
+        ssetup = sbuilt.setup(rec_cfg)
+        proof = pk.prove(sbuilt.ir, ssetup, sW, rec_cfg)
+        sched_pi = sc_circ.scheduler_multi_public_inputs(
+            slay, node_vks, node_prfs, block_number, aux)
+        assert [int(v) for v in proof.public_inputs] == \
+            [int(v) % P for v in sched_pi], "scheduler PI mismatch"
+        assert pk.verify(sbuilt.ir, ssetup.vk(), proof, rec_cfg), \
+            "scheduler proof failed verification"
+        rigs[("scheduler",)] = (sbuilt.ir, ssetup.vk())
+        return {"kind": "scheduler", "real": True, "proof": proof,
+                "vk": ssetup.vk(), "types": real_types,
+                "public_inputs": proof.public_inputs,
+                "scheduler_pi": [int(v) % P for v in sched_pi]}
+
     def prove_fn(task: sch.ProofTask, deps):
+        # leaf tasks carry the RECURSION-layer circuit type; eligibility is
+        # decided by the BASE type they aggregate
+        if tower and task.kind == "leaf" and \
+                _eligible(task.payload.base_circuit_type):
+            return _prove_leaf(task, deps)
+        if tower and task.kind == "node" and _eligible(task.circuit_type):
+            return _prove_node(task, deps)
+        if tower and task.kind == "scheduler" and any(
+                deps[d.key()].get("real") for d in task.deps):
+            return _prove_scheduler(task, deps)
         real = (prove_mode == "full" or
                 (prove_mode == "spot" and task.kind == "base"
                  and task.circuit_type in spot_types))
@@ -212,10 +379,7 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
 
     dag_results = sch.run_dag(dag, prove_fn, source)
 
-    # -- scheduler witness -------------------------------------------------
-    first_last = {t: (m.first, m.last) for t, m in makers.items()}
-    sched_wit = sw.assemble_scheduler_witness(1, artifacts, first_last)
-
     return BlockProvingResult(cycles=cycles, artifacts=artifacts,
                               circuit_makers=makers, dag_results=dag_results,
-                              scheduler_witness=sched_wit, source=source)
+                              scheduler_witness=sched_wit, source=source,
+                              recursion_rigs=rigs)

@@ -5,12 +5,18 @@ reference harness (queue simulators, Merkle tree hasher, transcript,
 public-input commitments — e.g. src/prover_utils.rs:36-44 `R = Poseidon2Goldilocks`,
 circuit_encodings' width-12 sponge with 4-field tail).
 
-Round constants and the internal-matrix diagonal are generated here with the
+Round constants and the internal-matrix diagonal are generated with the
 Grain LFSR procedure from the Poseidon reference design (deterministic,
-self-contained; no network). CONFORMANCE NOTE: boojum pins its own constant
-table; to produce proofs bit-identical to the reference `test_proofs/`, drop
-boojum's tables into `params/poseidon2_goldilocks.json` — every consumer reads
-the constants through `get_params()`, nothing else changes.
+self-contained; no network) and are THE pinned production tables of this
+framework: tests/test_poseidon2.py pins permutation vectors and
+tests/test_golden.py pins whole proof transcripts over them, so any
+accidental drift fails CI. They are NOT bit-identical to boojum's tables —
+boojum's source is unreachable from this environment (zero egress; the
+reference repo does not vendor it — verified round 4, see BASELINE.md
+"Conformance"), so proofs cannot match the reference `test_proofs/` JSONs.
+This remains the single designed swap point: drop boojum's tables into
+`params/poseidon2_goldilocks.json` and every consumer picks them up through
+`get_params()`; regenerate goldens via tools/make_golden.py.
 
 External matrix: circ(2*M4, M4, M4) with the paper's M4.
 Internal matrix: all-ones + diag(mu).

@@ -67,7 +67,11 @@ def compress_stark_pi_to_snark_pi(stark_pi) -> int:
 
 def get_proof_for_previous_circuit(source, circuit_type: int):
     if circuit_type == 1:
-        return source.get_scheduler_proof()
+        prev = source.get_scheduler_proof()
+        # the DAG's scheduler task stores a RECORD dict; unwrap it
+        if isinstance(prev, dict) and "proof" in prev:
+            prev = prev["proof"]
+        return prev
     return source.get_compression_proof(circuit_type - 1)
 
 
@@ -98,7 +102,8 @@ def wrap_proof(scheduler_proof, scheduler_pi, config: WrapperConfig,
     """Full wrapping flow skeleton (mod.rs:99-154): compression chain, then
     the final for-wrapper mode, then the SNARK wrapper public input."""
     source = source or InMemoryDataSource()
-    source.set_scheduler_proof(scheduler_proof)
+    if source.get_scheduler_proof() is None:  # the DAG may own the record
+        source.set_scheduler_proof(scheduler_proof)
     compute_compression_circuits(source, config, prove_fn, verify_fn)
     final_mode = config.get_final_compression_type()
     prev = get_proof_for_previous_circuit(source, final_mode)

@@ -158,8 +158,10 @@ def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig,
     c1 = gl.mul(c1, unscale)
     final_coeffs = [(int(a), int(b))
                     for a, b in zip(gl.to_ints(c0), gl.to_ints(c1))]
-    for a, b in final_coeffs:
-        tr.absorb_ints([a, b])
+    # one absorb call == one scanned permutation kernel; the per-pair loop
+    # was n_f/4 sequential device permutes (same transcript state either
+    # way — absorb_ints buffering is associative over call boundaries)
+    tr.absorb_ints([v for pair in final_coeffs for v in pair])
 
     # caps fetched once, after the transcript no longer needs the device
     for tree in trees:
@@ -223,8 +225,7 @@ def fri_verify(proof: FriProof, n0: int, shift: int, tr: Transcript,
             else:
                 tr.absorb_ints([int(v) for v in
                                 np.asarray(cap, dtype=object).ravel()])
-    for a, b in proof.final_poly:
-        tr.absorb_ints([a, b])
+    tr.absorb_ints([v for pair in proof.final_poly for v in pair])
     positions = tr.query_indices(cfg.num_queries, n0)
     if not np.array_equal(positions, proof.query_positions):
         return False

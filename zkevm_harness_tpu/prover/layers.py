@@ -1133,6 +1133,11 @@ class CompressionChain:
             mode, ir, cfg, proof, vk, expected_inner_vk=inner_vk,
             outer_cfg=self._outer(mode))
 
+    def final_shape(self, final_mode: int):
+        """(ir, cfg, vk) of the FINAL mode's own circuit — what the SNARK
+        wrapper verifies (populated by prove_fn(final_mode, ...))."""
+        return self._inner[final_mode + 1]
+
 
 # -- compression FOR WRAPPER: Bn256-Poseidon2-hashed final mode -------------
 #

@@ -578,6 +578,17 @@ def _coset_fn(ir: PlonkishIR):
             pw = nt.powers_device(s_c, n)
             return nt.ntt(gl.mul(coeffs, gl.broadcast_to(pw, coeffs.shape)))
 
+        def f_evals(wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs,
+                    sigma_coeffs, table_coeffs, s_c):
+            """Coset NTTs of every bundle in ONE kernel — shared by the
+            gate and rest kernels (they each recomputed these before: 2x
+            the NTT work AND, fused with the gate graph, the 2^20 x 130
+            kernel exceeded the compile-time HBM budget)."""
+            return (_coset_ntt(wit_coeffs, s_c), _coset_ntt(s2_coeffs, s_c),
+                    _coset_ntt(s3_coeffs, s_c), _coset_ntt(const_coeffs, s_c),
+                    _coset_ntt(sigma_coeffs, s_c),
+                    _coset_ntt(table_coeffs, s_c))
+
         roll = lambda a: GF(jnp.roll(a.lo, -1, -1), jnp.roll(a.hi, -1, -1))
 
         def apow_at(apows, i, n):
@@ -585,11 +596,9 @@ def _coset_fn(ir: PlonkishIR):
             return _ebc(a, (n,))
 
         def _gate_body(gate_fn, n_gates, alpha_off, with_pis,
-                       wit_coeffs, const_coeffs, s_c, zh_inv, u_pows, apows,
+                       wit_ev, const_ev, s_c, zh_inv, u_pows, apows,
                        pi_vals):
-            n = wit_coeffs.shape[-1]
-            wit_ev = _coset_ntt(wit_coeffs, s_c)
-            const_ev = _coset_ntt(const_coeffs, s_c)
+            n = wit_ev.shape[-1]
             wit_cols = [wit_ev[j] for j in range(ir.num_witness)]
             wit_next = [roll(wit_ev)[j] for j in range(ir.num_witness)]
             const_cols = ([const_ev[j] for j in range(ir.num_const)]
@@ -637,15 +646,10 @@ def _coset_fn(ir: PlonkishIR):
         else:
             gate_fns = [_ft.partial(_gate_body, ir.eval_gates, G, 0, True)]
 
-        def f_rest(wit_coeffs, s2_coeffs, s3_coeffs, sigma_coeffs,
-                   table_coeffs, s_c, zh_inv, u_pows, ks_vec,
+        def f_rest(wit_ev, s2_ev, s3_ev, sigma_ev,
+                   table_ev, s_c, zh_inv, u_pows, ks_vec,
                    apows, beta, gamma, theta, beta_lk):
-            n = wit_coeffs.shape[-1]
-            wit_ev = _coset_ntt(wit_coeffs, s_c)
-            s2_ev = _coset_ntt(s2_coeffs, s_c)
-            s3_ev = _coset_ntt(s3_coeffs, s_c)
-            sigma_ev = _coset_ntt(sigma_coeffs, s_c)
-            table_ev = _coset_ntt(table_coeffs, s_c)
+            n = wit_ev.shape[-1]
             wit_cols = [wit_ev[j] for j in range(ir.num_witness)]
             xs = gl.mul(u_pows, gl.broadcast_to(s_c, (n,)))
 
@@ -788,6 +792,7 @@ def _coset_fn(ir: PlonkishIR):
                         gl.mul(s_ext.c1, xm1_inv))))
             return comb
 
+        jf_evals = jax.jit(f_evals)
         jf_gate_fns = [jax.jit(f) for f in gate_fns]
         jf_rest = jax.jit(f_rest)
 
@@ -797,16 +802,20 @@ def _coset_fn(ir: PlonkishIR):
             eager = jax.default_backend() == "cpu"
             hbm_edge = (wit_coeffs.shape[-1] * wit_coeffs.shape[0]
                         >= (1 << 20) * 100)
+            wit_ev, s2_ev, s3_ev, const_ev, sigma_ev, table_ev = \
+                (f_evals if eager else jf_evals)(
+                    wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs,
+                    sigma_coeffs, table_coeffs, s_c)
             g = None
             for f_eager, f_jit in zip(gate_fns, jf_gate_fns):
                 part = (f_eager if eager else f_jit)(
-                    wit_coeffs, const_coeffs, s_c, zh_inv, u_pows, apows,
+                    wit_ev, const_ev, s_c, zh_inv, u_pows, apows,
                     pi_vals)
                 if not eager and hbm_edge:
                     part = jax.block_until_ready(part)  # cap HBM liveness
                 g = part if g is None else gl.ext_add(g, part)
             r = (f_rest if eager else jf_rest)(
-                wit_coeffs, s2_coeffs, s3_coeffs, sigma_coeffs, table_coeffs,
+                wit_ev, s2_ev, s3_ev, sigma_ev, table_ev,
                 s_c, zh_inv, u_pows, ks_vec, apows, beta, gamma, theta,
                 beta_lk)
             return gl.ext_add(g, r)
@@ -1186,8 +1195,32 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     _sp.__enter__()
     unscale = gl.from_int(gl.powers_host(pow(shift, P - 2, P),
                                          n_eval).astype(object))
-    q_coeffs = _quotient_coeffs_fn(num_q_chunks)(comp_cosets, unscale)
-    del comp_cosets
+    if hbm_edge:
+        # unfused sequence at the HBM edge: the fused kernel's transients
+        # (stack + two 8n-point INTTs + unscale live at once) blow the
+        # 2^20 x 130 compile-time HBM budget
+        comp0 = jnp.stack([c.c0.lo for c in comp_cosets],
+                          axis=1).reshape(n_eval)
+        comp1 = jnp.stack([c.c0.hi for c in comp_cosets],
+                          axis=1).reshape(n_eval)
+        comp2 = jnp.stack([c.c1.lo for c in comp_cosets],
+                          axis=1).reshape(n_eval)
+        comp3 = jnp.stack([c.c1.hi for c in comp_cosets],
+                          axis=1).reshape(n_eval)
+        del comp_cosets
+        q_coeff_c0 = gl.mul(nt.intt(GF(comp0, comp1)), unscale)
+        del comp0, comp1
+        q_coeff_c1 = gl.mul(nt.intt(GF(comp2, comp3)), unscale)
+        del comp2, comp3
+        q_cols = []
+        for j in range(num_q_chunks):
+            q_cols.append(q_coeff_c0[j * n:(j + 1) * n])
+            q_cols.append(q_coeff_c1[j * n:(j + 1) * n])
+        q_coeffs = gl.stack(q_cols, axis=0)
+        del q_coeff_c0, q_coeff_c1
+    else:
+        q_coeffs = _quotient_coeffs_fn(num_q_chunks)(comp_cosets, unscale)
+        del comp_cosets
     if backend is not None:
         q_lde, q_tree = _backend_commit(coeffs=q_coeffs)
         tr.absorb_fr(q_tree.cap)
@@ -1241,10 +1274,11 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     ood_witness_next = _pairs("witness_next")
     ood_stage2_next = _pairs("stage2_next")
     ood_stage3_next = _pairs("stage3_next")
-    for pair in (ood_witness + ood_witness_next + ood_stage2 + ood_stage2_next
-                 + ood_stage3 + ood_stage3_next + ood_table
-                 + ood_const + ood_sigma + ood_quotient):
-        tr.absorb_ints(list(pair))
+    tr.absorb_ints([v for pair in
+                    (ood_witness + ood_witness_next + ood_stage2
+                     + ood_stage2_next + ood_stage3 + ood_stage3_next
+                     + ood_table + ood_const + ood_sigma + ood_quotient)
+                    for v in pair])
 
     # -- stage 5: DEEP + FRI ----------------------------------------------
     _sp.__exit__(None, None, None)
@@ -1527,11 +1561,12 @@ def _verify_inner(ir: PlonkishIR, vk: List[int], proof: PlonkishProof,
     _absorb_cap(proof.quotient_cap)
     z_pt = tr.challenge_ext_ints()
     zw = fi.escale(z_pt, w_gen)
-    for pair in (proof.ood_witness + proof.ood_witness_next + proof.ood_stage2
-                 + proof.ood_stage2_next + proof.ood_stage3
-                 + proof.ood_stage3_next + proof.ood_table
-                 + proof.ood_const + proof.ood_sigma + proof.ood_quotient):
-        tr.absorb_ints(list(pair))
+    tr.absorb_ints([v for pair in
+                    (proof.ood_witness + proof.ood_witness_next
+                     + proof.ood_stage2 + proof.ood_stage2_next
+                     + proof.ood_stage3 + proof.ood_stage3_next
+                     + proof.ood_table + proof.ood_const + proof.ood_sigma
+                     + proof.ood_quotient) for v in pair])
     gamma_deep = tr.challenge_ext_ints()
 
     # -- OOD identity ------------------------------------------------------

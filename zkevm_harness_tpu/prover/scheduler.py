@@ -39,21 +39,31 @@ class ProofTask:
 
 
 def build_block_dag(recursion_queues: Dict[int, QueueSimulator],
-                    num_base_instances: Dict[int, int]) -> List[ProofTask]:
+                    num_base_instances: Dict[int, int],
+                    leaf_arity: int = None) -> List[ProofTask]:
     """Build the full aggregation DAG for one block.
 
     recursion_queues: base_circuit_type -> queue of recursion requests
     num_base_instances: base_circuit_type -> number of base circuit instances
-    Returns tasks in a valid topological order (scheduler last).
+    leaf_arity: proofs per leaf chunk (None = RECURSION_ARITY = 32)
+    Returns tasks in a valid topological order (scheduler last). Types with
+    EMPTY queues contribute no tasks and no scheduler dependency (the
+    reference feeds those slots padding proofs; at this scale the scheduler
+    is synthesized over the present types).
     """
+    from ..witness.recursion import RECURSION_ARITY
+    leaf_arity = leaf_arity or RECURSION_ARITY
     tasks: List[ProofTask] = []
     final_nodes: List[ProofTask] = []
     for base_type in sorted(recursion_queues):
         queue = recursion_queues[base_type]
         n_inst = num_base_instances.get(base_type, len(queue))
+        if n_inst == 0 or len(queue) == 0:
+            continue
         base_tasks = [ProofTask("base", base_type, i) for i in range(n_inst)]
         tasks.extend(base_tasks)
-        leaf_wits = create_leaf_witnesses(base_type, queue)
+        leaf_wits = create_leaf_witnesses(base_type, queue,
+                                          arity=leaf_arity)
         leaf_tasks = []
         for lw in leaf_wits:
             deps = tuple(base_tasks[j] for j in lw.proof_indices)

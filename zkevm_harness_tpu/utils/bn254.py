@@ -61,6 +61,83 @@ def g1_neg(p):
     return None if p is None else (p[0], (-p[1]) % Q)
 
 
+# -- Jacobian fast path (CRS generation) -------------------------------------
+# Affine adds pay a ~15 us field inversion each; generating a 2^19-point CRS
+# that way costs hours. Jacobian doubling/addition (no inversions) plus ONE
+# batch normalization brings it to minutes.
+
+def _jac_dbl(p):
+    x, y, z = p
+    a = x * x % Q
+    b = y * y % Q
+    c = b * b % Q
+    d = 2 * ((x + b) * (x + b) - a - c) % Q
+    e = 3 * a % Q
+    f = e * e % Q
+    x3 = (f - 2 * d) % Q
+    y3 = (e * (d - x3) - 8 * c) % Q
+    z3 = 2 * y * z % Q
+    return (x3, y3, z3)
+
+
+def _jac_add(p, q2):
+    if p is None:
+        return q2
+    if q2 is None:
+        return p
+    x1, y1, z1 = p
+    x2, y2, z2 = q2
+    z1z1 = z1 * z1 % Q
+    z2z2 = z2 * z2 % Q
+    u1 = x1 * z2z2 % Q
+    u2 = x2 * z1z1 % Q
+    s1 = y1 * z2 * z2z2 % Q
+    s2 = y2 * z1 * z1z1 % Q
+    if u1 == u2:
+        if (s1 + s2) % Q == 0:
+            return None
+        return _jac_dbl(p)
+    h = (u2 - u1) % Q
+    i = (2 * h) * (2 * h) % Q
+    j = h * i % Q
+    r = 2 * (s2 - s1) % Q
+    v = u1 * i % Q
+    x3 = (r * r - j - 2 * v) % Q
+    y3 = (r * (v - x3) - 2 * s1 * j) % Q
+    z3 = ((z1 + z2) * (z1 + z2) - z1z1 - z2z2) % Q * h % Q
+    return (x3, y3, z3)
+
+
+def _jac_mul(p, k: int):
+    k %= R
+    acc = None
+    while k:
+        if k & 1:
+            acc = _jac_add(acc, p)
+        p = _jac_dbl(p)
+        k >>= 1
+    return acc
+
+
+def _jac_batch_affine(points) -> List:
+    """Batch-normalize Jacobian points with ONE inversion (Montgomery)."""
+    zs = [p[2] if p is not None else 1 for p in points]
+    prefix = [1] * (len(zs) + 1)
+    for i, z in enumerate(zs):
+        prefix[i + 1] = prefix[i] * z % Q
+    inv_all = pow(prefix[-1], Q - 2, Q)
+    out: List = [None] * len(points)
+    for i in range(len(points) - 1, -1, -1):
+        z_inv = prefix[i] * inv_all % Q
+        inv_all = inv_all * zs[i] % Q
+        p = points[i]
+        if p is None:
+            continue
+        zi2 = z_inv * z_inv % Q
+        out[i] = (p[0] * zi2 % Q, p[1] * zi2 * z_inv % Q)
+    return out
+
+
 def g1_mul(p, k: int):
     k %= R
     acc = None
@@ -160,10 +237,24 @@ def simulated_crs(max_degree: int, tau: int = 0xACE0FBA5E) -> List:
             cached = []
     if len(cached) < max_degree:
         out = list(cached)
-        acc = pow(tau, len(out), R)
-        for _ in range(max_degree - len(out)):
-            out.append(g1_mul(G1_GENERATOR, acc))
-            acc = acc * tau % R
+        # Jacobian chain: crs[i+1] = [tau] crs[i] with a fixed-window ladder
+        # over tau (the scalar is FIXED, so precompute its NAF once), then
+        # one batch normalization — minutes instead of hours at 2^19.
+        start = len(out)
+        cur = (_jac_mul((G1_GENERATOR[0], G1_GENERATOR[1], 1),
+                        pow(tau, start, R)) if start
+               else (G1_GENERATOR[0], G1_GENERATOR[1], 1))
+        jac_out = [cur]
+        tau_bits = [int(b) for b in bin(tau % R)[2:]]
+        for _ in range(max_degree - start - 1):
+            acc = None
+            for b in tau_bits:
+                acc = _jac_dbl(acc) if acc is not None else None
+                if b:
+                    acc = _jac_add(acc, cur)
+            cur = acc
+            jac_out.append(cur)
+        out.extend(_jac_batch_affine(jac_out))
         try:
             os.makedirs(cache_dir, exist_ok=True)
             with open(path, "wb") as f:

@@ -90,13 +90,13 @@ def wrap_scheduler_pi(setup: pl.PlonkSetup,
 # (transcript replay + Merkle + folds) is the remaining increment
 # (docs/ROUND3.md gap list).
 
-def build_binding_wrapper_circuit():
-    """PLONK circuit: PIs = [vk0..3, chunk0..3, packed, binding]; proves
+def build_binding_wrapper_circuit(vk_len: int = 4):
+    """PLONK circuit: PIs = [vk..., chunk0..3, packed, binding]; proves
     the 56-bit Horner packing AND binding = P2bn254(vk || chunks) with
     ~2.3k Poseidon2 gates."""
     from . import plonk_builder as pb
     b = pb.PlonkBuilder()
-    vk = b.inputs(4)
+    vk = b.inputs(vk_len)
     chunks = b.inputs(NUM_CHUNKS)
     t1 = b.lin(_SHIFT, chunks[0], 1, chunks[1])
     t2 = b.lin(_SHIFT, t1, 1, chunks[2])
@@ -109,9 +109,9 @@ def build_binding_wrapper_circuit():
 
 def wrap_with_binding(fw_vk: Sequence[int], scheduler_pi: Sequence[int],
                       crs=None, g2_powers=None):
-    """Prove the binding wrapper for a for-wrapper VK (4 Fr cap digests)
+    """Prove the binding wrapper for a for-wrapper VK (Fr cap digests)
     and the 4 scheduler PI chunks. Returns (setup, proof)."""
-    b, lay = build_binding_wrapper_circuit()
+    b, lay = build_binding_wrapper_circuit(vk_len=len(list(fw_vk)))
     circ = b.finalize()
     setup = pl.plonk_setup(circ, crs, g2_powers)
     asg = {v: int(x) % R for v, x in zip(lay["vk"], fw_vk)}
@@ -128,12 +128,15 @@ def verify_binding_proof(vk: pl.PlonkVerificationKey, proof: pl.PlonkProof,
                          ) -> bool:
     """PLONK-verify + recheck the exposed packing and binding digest."""
     from . import poseidon2_bn254 as p2b
-    if len(proof.public_inputs) != 4 + NUM_CHUNKS + 2:
+    k = len(proof.public_inputs) - NUM_CHUNKS - 2
+    if k < 1:
         return False
-    fw_vk = [int(v) % R for v in proof.public_inputs[:4]]
-    chunks = [int(v) % R for v in proof.public_inputs[4:4 + NUM_CHUNKS]]
-    packed = int(proof.public_inputs[8]) % R
-    binding = int(proof.public_inputs[9]) % R
+    if expected_fw_vk is not None and k != len(list(expected_fw_vk)):
+        return False
+    fw_vk = [int(v) % R for v in proof.public_inputs[:k]]
+    chunks = [int(v) % R for v in proof.public_inputs[k:k + NUM_CHUNKS]]
+    packed = int(proof.public_inputs[k + NUM_CHUNKS]) % R
+    binding = int(proof.public_inputs[k + NUM_CHUNKS + 1]) % R
     from ..prover.compression import compress_stark_pi_to_snark_pi
     if packed != compress_stark_pi_to_snark_pi(chunks):
         return False

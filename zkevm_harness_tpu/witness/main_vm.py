@@ -14,12 +14,13 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from ..circuits.main_vm_circuit import (NREGS, OP_ADD, OP_CTX, OP_DIV,
-                                        OP_EVT, OP_EVTL1, OP_EXT, OP_HEAPR,
-                                        OP_HEAPW, OP_JEQ, OP_JUMP, OP_NCALL,
-                                        OP_NOP, OP_PADD, OP_PPACK, OP_PSHR,
-                                        OP_RET, OP_RETP, OP_STOR, OP_STOW,
-                                        OP_SUB, VmGeometry)
+from ..circuits.main_vm_circuit import (NREGS, OP_ADD, OP_AND, OP_CTX,
+                                        OP_DIV, OP_EVT, OP_EVTL1, OP_EXT,
+                                        OP_HEAPR, OP_HEAPW, OP_JEQ, OP_JUMP,
+                                        OP_MUL, OP_NCALL, OP_NOP, OP_OR,
+                                        OP_PADD, OP_PPACK, OP_PSHR, OP_RET,
+                                        OP_RETP, OP_SHL, OP_SHR, OP_STOR,
+                                        OP_STOW, OP_SUB, OP_XOR, VmGeometry)
 from ..ops import goldilocks as gl
 from ..vm import isa
 from .tracer import WitnessTracer
@@ -147,12 +148,31 @@ def decode_cycle_rows(tracer: WitnessTracer) -> List[VmRow]:
             continue
         if isinstance(instr, isa.Nop):
             row = VmRow(op=OP_NOP, **base)
-        elif isinstance(instr, isa.BinOp) and instr.op in ("add", "sub"):
+        elif isinstance(instr, isa.BinOp) and instr.op in (
+                "add", "sub", "mul", "and", "or", "xor", "shl", "shr"):
             k0, e0, v0 = _operand(instr.src0, regs)
             k1, e1, v1 = _operand(instr.src1, regs)
             mask = (1 << 256) - 1
-            res = (v0 + v1) & mask if instr.op == "add" else (v0 - v1) & mask
-            row = VmRow(op=OP_ADD if instr.op == "add" else OP_SUB,
+            opmap = {"add": OP_ADD, "sub": OP_SUB, "mul": OP_MUL,
+                     "and": OP_AND, "or": OP_OR, "xor": OP_XOR,
+                     "shl": OP_SHL, "shr": OP_SHR}
+            if instr.op == "add":
+                res = (v0 + v1) & mask
+            elif instr.op == "sub":
+                res = (v0 - v1) & mask
+            elif instr.op == "mul":
+                res = (v0 * v1) & mask
+            elif instr.op == "and":
+                res = v0 & v1
+            elif instr.op == "or":
+                res = v0 | v1
+            elif instr.op == "xor":
+                res = v0 ^ v1
+            elif instr.op == "shl":
+                res = (v0 << (v1 & 0xFF)) & mask
+            else:  # shr
+                res = v0 >> (v1 & 0xFF)
+            row = VmRow(op=opmap[instr.op],
                         dst=int(instr.dst), s0_kind=k0, s0_val=e0,
                         s1_kind=k1, s1_val=e1, v0=v0, v1=v1, res=res, **base)
         elif isinstance(instr, isa.Jump):
