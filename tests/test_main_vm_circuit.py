@@ -568,3 +568,108 @@ def test_tampered_shift_amount_rejected(alu_rig):
     Wi[off["BS"] + s, r_idx] = 0
     Wi[off["BS"] + ((s + 1) % L), r_idx] = 1
     assert _alu_viol(alu_rig, Wi)
+
+
+# ---------------------------------------------------------------------------
+# Stage E: far-call / far-ret frame switches in-gates (the last frame EXT
+# rows closed; only mid-instruction panic unwinds remain EXT)
+# ---------------------------------------------------------------------------
+
+CALLEE = [
+    isa.BinOp("add", I(7), I(35), dst=3),   # r3 = 42 inside the callee
+    isa.RetData(data_start=I(0), data_len=I(4)),
+]
+
+FAR_BLOCK = [
+    isa.BinOp("add", I(1), I(2), dst=2),     # r2 = 3
+    isa.FarCallData(address=I(0xBB), exception_handler=5,
+                    calldata_start=I(0), calldata_len=I(8)),
+    isa.BinOp("add", R(3), R(2), dst=4),     # resumes HERE: r4 = 45
+    isa.Ret(),
+]
+
+
+@pytest.fixture(scope="module")
+def far_rig():
+    from zkevm_harness_tpu.vm.interpreter import deploy_contract
+    tracer = WitnessTracer(5)
+    tools = ProvingToolset(
+        storage=InMemoryStorage(), memory=SimpleMemory(),
+        decommitter=SimpleDecommitter(), event_sink=InMemoryEventSink(),
+        precompiles=DefaultPrecompilesProcessor(), tracer=tracer,
+        geometry=testing_geometry())
+    deploy_contract(tools, 0xBB, CALLEE)
+    vm = create_vm(tools, BlockProperties(block_number=1), 0xAA, code_page=0)
+    run_vm(vm, FAR_BLOCK, 100)
+    assert vm.finished
+    art = wmv.compute_main_vm_artifacts(tracer, GEO, capacity=16)
+    inst = art.instances[0]
+    ir = mvc.main_vm_ir(GEO)
+    W = mvc.main_vm_witness(ir, GEO, inst)
+    const = mvc._const_rows(GEO).T
+    pis = mvc.expected_public_inputs(GEO, inst)
+    return dict(inst=inst, ir=ir, W=W, const=const, pis=pis)
+
+
+def _far_viol(rig_d, Wi):
+    ir = rig_d["ir"]
+    perm = pk.identity_permutation(ir.num_witness, 1 << ir.log_n)
+    return satisfy.check_satisfied(ir, Wi,
+                                   np.asarray(rig_d["const"], dtype=object),
+                                   perm, rig_d["pis"])
+
+
+def test_far_call_rows_satisfy(far_rig):
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    rows = far_rig["inst"].rows
+    ops = [r.op for r in rows]
+    assert mvc.OP_FCALL in ops and mvc.OP_FRET in ops
+    fc = ops.index(mvc.OP_FCALL)
+    fr = ops.index(mvc.OP_FRET)
+    # callee executes between the frame switches, at pc 0
+    assert rows[fc + 1].pc == 0
+    # the far ret resumed the caller past the call site
+    assert rows[fr + 1].pc == 2
+    # returndata fat pointer written to r1 (and its tag set next row)
+    assert rows[fr].dst == 1 and rows[fr].fpop
+    assert rows[fr + 1].ptrs[0]
+    assert _far_viol(far_rig, gl.to_ints(far_rig["W"])) == []
+
+
+def test_far_ret_wrong_resume_pc_rejected(far_rig):
+    """A far RET resuming at the wrong pc cannot satisfy the stack unfold:
+    the popped tuple no longer cancels the far push."""
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    off = mvc._cols(GEO)
+    rows = far_rig["inst"].rows
+    fr = next(i for i, r in enumerate(rows) if r.op == mvc.OP_FRET)
+    Wi = gl.to_ints(far_rig["W"]).copy()
+    Wi[off["RPC"], fr] = int(Wi[off["RPC"], fr]) + 1
+    assert _far_viol(far_rig, Wi)
+
+
+def test_far_tag_lane_blocks_cross_matching(far_rig):
+    """Claiming the far pop as a NEAR pop (clearing FPOP, setting SPOP)
+    breaks the accumulator: the pushed tuple carries the FAR tag lane."""
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    off = mvc._cols(GEO)
+    rows = far_rig["inst"].rows
+    fr = next(i for i, r in enumerate(rows) if r.op == mvc.OP_FRET)
+    Wi = gl.to_ints(far_rig["W"]).copy()
+    Wi[off["FPOP"], fr] = 0
+    Wi[off["SPOP"], fr] = 1
+    assert _far_viol(far_rig, Wi)
+
+
+def test_far_call_forged_register_rejected(far_rig):
+    """Registers other than the r1 fat pointer are PRESERVED across the
+    frame switch — the old EXT free-for-all is gone."""
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    off = mvc._cols(GEO)
+    rows = far_rig["inst"].rows
+    fc = next(i for i, r in enumerate(rows) if r.op == mvc.OP_FCALL)
+    Wi = gl.to_ints(far_rig["W"]).copy()
+    # forge r2's first limb on the row AFTER the far call
+    col = off["REG"] + 1 * GEO.num_limbs
+    Wi[col, fc + 1] = (int(Wi[col, fc + 1]) + 1)
+    assert _far_viol(far_rig, Wi)

@@ -97,7 +97,16 @@ OP_CTX, OP_DIV, OP_PADD, OP_PSHR, OP_PPACK = 15, 16, 17, 18, 19
 # zkevm_circuits' mul/div/shift/binop gadgets — same statements here,
 # restructured for one shared convolution gate block.)
 OP_MUL, OP_AND, OP_OR, OP_XOR, OP_SHL, OP_SHR = 20, 21, 22, 23, 24, 25
-NOPS = 26
+# stage E (round 4): FAR-call frame switches leave EXT — OP_FCALL folds
+# <ret_pc, handler, depth, FAR-tag> into the stack accumulator (the same
+# fold/unfold argument near calls use, with a tag lane preventing
+# near/far cross-matching), pins pc' = 0 and preserves every register
+# except an optional calldata fat pointer in r1 (value oracle like CTX,
+# tag proven); OP_FRET/OP_FRETP unfold with the tag and pin pc' to the
+# restored return point / handler. The only remaining EXT rows are
+# mid-instruction panic unwinds (they still unfold through spop/fpop).
+OP_FCALL, OP_FRET, OP_FRETP = 26, 27, 28
+NOPS = 29
 _PTR_OPS = (OP_PADD, OP_PSHR, OP_PPACK)
 _LOG_OPS = (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1)
 _MEM_OPS = (OP_HEAPW, OP_HEAPR)
@@ -159,6 +168,7 @@ def _cols(geo: VmGeometry) -> Dict[str, int]:
     reg("RPC", 1)     # pop hint: the pushed return pc
     reg("PHD", 1)     # pop hint: the popped frame's handler
     reg("SPOP", 1)    # this row pops a local frame (stack argument)
+    reg("FPOP", 1)    # this row pops a FAR frame (stage E tag lane)
     reg("DEPTH", 1)   # near-call stack depth entering the row
     reg("PG", 1)      # heap-query page (folded into the mem fingerprint)
     reg("ADR", 3)     # log address lanes (folded into the log fingerprint)
@@ -242,21 +252,27 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         zb = W("ZB")
 
         spop = W("SPOP")
+        fpop = W("FPOP")
         notext = _one_minus(alg, ext)
 
         # --- booleanity ---------------------------------------------------
         if sel is None or sel == 0:
             for b in (op + dst + dst2 + s0 + s1
-                      + [s0i, s1i, v, W("EQF"), W("LTF"), spop, zb]
+                      + [s0i, s1i, v, W("EQF"), W("LTF"), spop, fpop, zb]
                       + [W("CAR", j) for j in range(NL)]
                       + [W("DCAR", j) for j in range(NL)]
                       + [W("LS", k) for k in range(256 // L)]
                       + [W("BS", t) for t in range(L)]):
                 out.append(alg.sub(alg.mul(b, b), b))
-            # pop/push exclusivity + RET/RETP rows must pop
-            out.append(alg.mul(spop, op[OP_NCALL]))
+            # pop/push exclusivity + RET/RETP rows must pop the right kind
+            pushes = alg.add(op[OP_NCALL], op[OP_FCALL])
+            out.append(alg.mul(spop, pushes))
+            out.append(alg.mul(fpop, pushes))
+            out.append(alg.mul(spop, fpop))
             out.append(alg.mul(op[OP_RET], _one_minus(alg, spop)))
             out.append(alg.mul(op[OP_RETP], _one_minus(alg, spop)))
+            out.append(alg.mul(op[OP_FRET], _one_minus(alg, fpop)))
+            out.append(alg.mul(op[OP_FRETP], _one_minus(alg, fpop)))
             # exactly one opcode on valid rows, none on padding
             ssum = op[0]
             for k in range(1, NOPS):
@@ -483,12 +499,14 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
                 out.append(alg.mul(ppck, alg.sub(W("RES", j), W("V0", j))))
             for j in range(4 * B32, NL):
                 out.append(alg.mul(ppck, alg.sub(W("RES", j), W("V1", j))))
-            # pointer-tag writeback: ptr ops tag their destination, every other
-            # writing op clears it, unselected registers carry their tag (EXT
-            # frame rows excluded like the value file)
+            # pointer-tag writeback: ptr ops AND far-call/ret fat-pointer
+            # writes (calldata in r1 / returndata in r1) tag their
+            # destination, every other writing op clears it, unselected
+            # registers carry their tag (EXT rows excluded like the values)
+            tagw = alg.add(ptrw, alg.add(op[OP_FCALL], op[OP_FRET]))
             for i in range(NREGS):
                 keep = _one_minus(alg, alg.add(dst[i], dst2[i]))
-                upd = alg.add(alg.mul(dst[i], ptrw), alg.mul(keep, ptrb[i]))
+                upd = alg.add(alg.mul(dst[i], tagw), alg.mul(keep, ptrb[i]))
                 out.append(alg.mul(notwrap, alg.mul(
                     notext, alg.sub(Wn("PTRB", i), upd))))
 
@@ -496,23 +514,26 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         if sel is None or sel == 5:
             pc, tgt, eqf = W("PC"), W("TGT"), W("EQF")
             pc_seq = alg.add_int(pc, 1)
-            # near calls enter their target; the matching RET restores the
-            # return point through the stack argument below
+            # near calls enter their target; far calls enter the callee at
+            # pc 0; the matching RET/FRET restores the return point through
+            # the stack argument below
             s_jmp = alg.add(op[OP_JUMP], op[OP_NCALL])
+            fcall = op[OP_FCALL]
             pc_next = alg.add(alg.mul(s_jmp, tgt),
                               alg.add(alg.mul(op[OP_JEQ],
                                               alg.add(alg.mul(eqf, tgt),
                                                       alg.mul(_one_minus(alg, eqf),
                                                               pc_seq))),
                                       alg.mul(_one_minus(alg,
-                                                         alg.add(s_jmp,
-                                                                 op[OP_JEQ])),
+                                                         alg.add(alg.add(
+                                                             s_jmp, fcall),
+                                                             op[OP_JEQ])),
                                               pc_seq)))
-            # sequential chain applies to non-EXT, non-RET/RETP rows (pops pin
-            # pc_next through the stack unfold instead)
-            pc_chained = _one_minus(alg, alg.add(ext,
-                                                 alg.add(op[OP_RET],
-                                                         op[OP_RETP])))
+            # sequential chain applies to non-EXT rows that are not pops
+            # (RET/RETP/FRET/FRETP pin pc_next through the stack unfold)
+            pc_chained = _one_minus(alg, alg.add(
+                ext, alg.add(alg.add(op[OP_RET], op[OP_RETP]),
+                             alg.add(op[OP_FRET], op[OP_FRETP]))))
             out.append(alg.mul(notwrap, alg.mul(v, alg.mul(
                 pc_chained, alg.sub(Wn("PC"), pc_next)))))
             # padding rows carry pc so the boundary PI is pinned
@@ -602,32 +623,41 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
             # return point, RETP to the popped frame's handler. Depth tags make
             # cross-level matches fail. (Reference: callstack as sponge-hashed
             # simulator state, circuit_encodings callstack_entry.rs:181.)
-            push = op[OP_NCALL]
+            # pushes: near calls AND far calls, with a FAR tag lane in the
+            # folded tuple so near/far frames can never cross-match
+            push = alg.add(op[OP_NCALL], fcall)
+            popf = alg.add(spop, fpop)
             depth, depth_n = W("DEPTH"), Wn("DEPTH")
             as_, as_n = W("AS"), Wn("AS")
             gs = W("GS")
-            t_push = alg.add(alg.mul(pch[0], alg.add_int(pc, 1)),
+            t_push = alg.add(alg.add(alg.mul(pch[0], alg.add_int(pc, 1)),
+                                     alg.mul(pch[3], fcall)),
                              alg.add(alg.mul(pch[1], W("HDL")),
                                      alg.mul(pch[2], depth)))
             out.append(alg.mul(notwrap, alg.mul(push, alg.sub(
                 as_n, alg.add(alg.mul(as_, gs), t_push)))))
             out.append(alg.mul(notwrap, alg.mul(push, alg.sub(
                 depth_n, alg.add_int(depth, 1)))))
-            t_pop = alg.add(alg.mul(pch[0], W("RPC")),
+            t_pop = alg.add(alg.add(alg.mul(pch[0], W("RPC")),
+                                    alg.mul(pch[3], fpop)),
                             alg.add(alg.mul(pch[1], W("PHD")),
                                     alg.mul(pch[2], depth_n)))
-            out.append(alg.mul(notwrap, alg.mul(spop, alg.sub(
+            out.append(alg.mul(notwrap, alg.mul(popf, alg.sub(
                 as_, alg.add(alg.mul(as_n, gs), t_pop)))))
-            out.append(alg.mul(notwrap, alg.mul(spop, alg.sub(
+            out.append(alg.mul(notwrap, alg.mul(popf, alg.sub(
                 alg.add_int(depth_n, 1), depth))))
-            keep_s = _one_minus(alg, alg.add(push, spop))
+            keep_s = _one_minus(alg, alg.add(push, popf))
             out.append(alg.mul(notwrap, alg.mul(keep_s, alg.sub(as_n, as_))))
             out.append(alg.mul(notwrap, alg.mul(keep_s,
                                                 alg.sub(depth_n, depth))))
-            # pop pc semantics
+            # pop pc semantics (near and far)
             out.append(alg.mul(notwrap, alg.mul(op[OP_RET],
                                                 alg.sub(Wn("PC"), W("RPC")))))
             out.append(alg.mul(notwrap, alg.mul(op[OP_RETP],
+                                                alg.sub(Wn("PC"), W("PHD")))))
+            out.append(alg.mul(notwrap, alg.mul(op[OP_FRET],
+                                                alg.sub(Wn("PC"), W("RPC")))))
+            out.append(alg.mul(notwrap, alg.mul(op[OP_FRETP],
                                                 alg.sub(Wn("PC"), W("PHD")))))
 
         # --- stage D: bitwise chunks + dynamic-shift machinery --------------
@@ -724,9 +754,9 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
                         for pf in _parts)
 
     n_constraints = (
-        (NOPS + 4 * NREGS + 7 + 2 * NL)  # booleans (+spop+zb+dst2+dcar)
+        (NOPS + 4 * NREGS + 8 + 2 * NL)  # booleans (+spop+fpop+zb+dst2+dcar)
         + (256 // L) + L                  # LS/BS shift-selector booleans
-        + 3                               # pop/push exclusivity
+        + 7                               # pop/push exclusivity (near+far)
         + 1 + 3                           # op sum + selector sums
         + 2 * NL                          # muxes
         + 2 * NL                          # add/sub chains
@@ -740,7 +770,7 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         + 4                               # pc (+padding carry), ts, validity
         + NPOW + 4 + (NPOW - 1)           # fp constancy (4 gammas) + chain
         + 6                               # 3 accumulators x (update+carry)
-        + 8                               # stack push/pop/carry + pop pc
+        + 10                              # stack push/pop/carry + pop pc
         + 6 * NL + 4)                     # stage D bitwise chunks + shifts
     assert sum(part_counts) == n_constraints, (part_counts, n_constraints)
 
@@ -911,6 +941,7 @@ def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
             W[off["RPC"], r] = row.pop_ret_pc
             W[off["PHD"], r] = row.pop_handler
             W[off["SPOP"], r] = 1 if row.spop else 0
+            W[off["FPOP"], r] = 1 if row.fpop else 0
             v0 = row.v0 & ((1 << (NL * L)) - 1)
             v1 = row.v1 & ((1 << (NL * L)) - 1)
             W[off["V0"]:off["V0"] + NL, r] = _limbs(v0, NL, L)
@@ -1113,12 +1144,14 @@ def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
                 fold(2, [1 if row.op == OP_HEAPW else 0, row.ts,
                          int(row.page)]
                      + _limbs(v0, NL, L) + _limbs(value, NL, L))
-            if row.op == OP_NCALL:
-                fold(3, [row.pc + 1, row.handler, depth])
+            if row.op in (OP_NCALL, OP_FCALL):
+                fold(3, [row.pc + 1, row.handler, depth,
+                         1 if row.op == OP_FCALL else 0])
                 depth += 1
-            elif row.spop:
+            elif row.spop or row.fpop:
                 depth -= 1
-                t = fields_fold([row.pop_ret_pc, row.pop_handler, depth])
+                t = fields_fold([row.pop_ret_pc, row.pop_handler, depth,
+                                 1 if row.fpop else 0])
                 accs[3] = (accs[3] - t) * gs_inv % P
     # padding rows carry the exit state — one broadcast per column instead
     # of a per-row python loop over the (n - len(rows)) tail

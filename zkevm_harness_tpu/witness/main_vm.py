@@ -16,6 +16,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..circuits.main_vm_circuit import (NREGS, OP_ADD, OP_AND, OP_CTX,
                                         OP_DIV, OP_EVT, OP_EVTL1, OP_EXT,
+                                        OP_FCALL, OP_FRET, OP_FRETP,
                                         OP_HEAPR, OP_HEAPW, OP_JEQ, OP_JUMP,
                                         OP_MUL, OP_NCALL, OP_NOP, OP_OR,
                                         OP_PADD, OP_PPACK, OP_PSHR, OP_RET,
@@ -51,9 +52,10 @@ class VmRow:
     addr: int = 0           # log-query address (3 fingerprint lanes)
     handler: int = 0        # NCALL exception handler (instruction field)
     spop: bool = False      # this row pops a local frame
+    fpop: bool = False      # this row pops a FAR frame (stage E)
     pop_ret_pc: int = 0     # popped frame's pushed return pc
     pop_handler: int = 0    # popped frame's exception handler
-    depth: int = 0          # near-call depth entering the row
+    depth: int = 0          # call-stack depth entering the row (near + far)
 
 
 @dataclasses.dataclass
@@ -120,31 +122,68 @@ def decode_cycle_rows(tracer: WitnessTracer) -> List[VmRow]:
         regs = [v for (v, _ptr) in state["registers"]]
         ptr_tags = tuple(bool(p) for (_v, p) in state["registers"])
         eqf, ltf, _ = state["flags"]
-        # near-call stack argument: any cycle that popped a LOCAL frame is
-        # a pop row (Ret instructions get proven pc semantics; other panic
-        # unwinds stay EXT but still unfold the stack accumulator)
+        # call-stack argument: any cycle that popped a frame is a pop row
+        # (Ret instructions get proven pc semantics — local AND far since
+        # stage E; other panic unwinds stay EXT but still unfold the
+        # accumulator through spop/fpop)
         pop = tracer.frame_pops.get(cyc)
         local_pop = bool(pop and pop.get("is_local"))
+        far_pop = bool(pop and not pop.get("is_local"))
         base = dict(pc=state["pc"], ts=state["timestamp"], regs=regs,
                     ptrs=ptr_tags,
                     flags=(bool(eqf), bool(ltf)), depth=near_depth,
-                    spop=local_pop,
-                    pop_ret_pc=pop["ret_pc"] if local_pop else 0,
-                    pop_handler=pop["handler"] if local_pop else 0)
+                    spop=local_pop, fpop=far_pop,
+                    pop_ret_pc=pop["ret_pc"] if pop else 0,
+                    pop_handler=pop["handler"] if pop else 0)
         instr = instrs.get(cyc)
         row = None
-        if local_pop:
+        if pop is not None:
             near_depth -= 1
         if isinstance(instr, isa.Ret) and local_pop:
             rows.append(VmRow(
                 op=OP_RETP if pop["panicked"] else OP_RET, **base))
             continue
+        if isinstance(instr, isa.Ret) and far_pop:
+            # far return: registers preserved except a RetData returndata
+            # fat pointer landing in r1 (the VALUE is oracle data like CTX
+            # rows; the tag and every other register are proven)
+            if pop["panicked"]:
+                rows.append(VmRow(op=OP_FRETP, **base))
+            elif isinstance(instr, isa.RetData):
+                nxt = (tracer.cycle_states[cyc + 1]
+                       if cyc + 1 < len(tracer.cycle_states)
+                       else tracer.final_state)
+                rows.append(VmRow(op=OP_FRET, dst=1,
+                                  res=nxt["registers"][0][0], **base))
+            else:
+                rows.append(VmRow(op=OP_FRET, **base))
+            continue
         if pop is not None and not isinstance(instr, isa.Ret):
             # a panic unwind fired on this cycle (ergs metering, invalid
             # opcode, kernel/pointer violation): the instruction's own
             # side effects never executed — EXT row (the stack unfold
-            # still applies through spop for local frames)
+            # still applies through spop/fpop)
             rows.append(VmRow(op=OP_EXT, **base))
+            continue
+        if isinstance(instr, isa.FarCall):
+            # far call: pc' = 0 in the callee, <ret_pc, handler, depth,
+            # FAR> folded into the stack accumulator; a FarCallData
+            # calldata fat pointer lands in r1 (value oracle, tag proven)
+            k0, e0, v0 = _operand(instr.address, regs)
+            kw = dict(base)
+            if isinstance(instr, isa.FarCallData):
+                nxt = (tracer.cycle_states[cyc + 1]
+                       if cyc + 1 < len(tracer.cycle_states)
+                       else tracer.final_state)
+                kw.update(dst=1)
+                row = VmRow(op=OP_FCALL, s0_kind=k0, s0_val=e0, v0=v0,
+                            handler=int(instr.exception_handler),
+                            res=nxt["registers"][0][0], **kw)
+            else:
+                row = VmRow(op=OP_FCALL, s0_kind=k0, s0_val=e0, v0=v0,
+                            handler=int(instr.exception_handler), **kw)
+            near_depth += 1
+            rows.append(row)
             continue
         if isinstance(instr, isa.Nop):
             row = VmRow(op=OP_NOP, **base)
@@ -339,13 +378,15 @@ def replay_accumulators(geo: VmGeometry, inst: VmCircuitInstance
             accs[1] = _fold(geo, accs[1], gammas[1], pows, log)
         if mem is not None:
             accs[2] = _fold(geo, accs[2], gammas[2], pows, mem)
-        if row.op == OP_NCALL:
+        if row.op in (OP_NCALL, OP_FCALL):
             accs[3] = (accs[3] * gammas[3]
-                       + tup_fold([row.pc + 1, row.handler, depth])) % P
+                       + tup_fold([row.pc + 1, row.handler, depth,
+                                   1 if row.op == OP_FCALL else 0])) % P
             depth += 1
-        elif row.spop:
+        elif row.spop or row.fpop:
             depth -= 1
-            t = tup_fold([row.pop_ret_pc, row.pop_handler, depth])
+            t = tup_fold([row.pop_ret_pc, row.pop_handler, depth,
+                          1 if row.fpop else 0])
             accs[3] = (accs[3] - t) * gs_inv % P
     return tuple(accs)
 
@@ -364,9 +405,9 @@ def draw_vm_challenges(rows: Sequence[VmRow], geo: VmGeometry
         for extra in (log, mem):
             if extra is not None:
                 flat += [f % P for f in extra]
-        if row.spop:
-            flat += [1, row.pop_ret_pc % P, row.pop_handler % P,
-                     row.depth % P]
+        if row.spop or row.fpop:
+            flat += [2 if row.fpop else 1, row.pop_ret_pc % P,
+                     row.pop_handler % P, row.depth % P]
     digest = gl.to_ints(p2.hash_elements(gl.from_int(flat or [0])))
     tr.absorb_ints([int(v) for v in digest] + [len(rows)])
     return (tr.challenge_base(), tr.challenge_base(), tr.challenge_base(),
@@ -496,8 +537,9 @@ def compute_main_vm_artifacts(tracer: WitnessTracer, geo: VmGeometry,
         exit_regs = [v for (v, _p) in exit_state["registers"]]
         exit_ptrs = tuple(bool(p) for (_v, p) in exit_state["registers"])
         eqf, ltf, _ = exit_state["flags"]
-        depth_out = depth + sum((1 if r.op == OP_NCALL else 0)
-                                - (1 if r.spop else 0) for r in chunk)
+        depth_out = depth + sum(
+            (1 if r.op in (OP_NCALL, OP_FCALL) else 0)
+            - (1 if (r.spop or r.fpop) else 0) for r in chunk)
         inst = VmCircuitInstance(
             index=i, rows=list(chunk), exit_regs=exit_regs,
             exit_pc=exit_state["pc"], exit_ts=exit_state["timestamp"],
