@@ -95,6 +95,52 @@ def cmd_prove_block(args):
     print(f"proof tower written to {args.out}")
 
 
+def cmd_generate_vks(args):
+    """One-shot all-layer VK generation (the reference's
+    generate_base_layer_vks / generate_recursive_layer_vks,
+    src/compute_setups.rs:65-612): every base type's VK at the given
+    geometry, plus per-type leaf and node VKs at the chosen recursion
+    arity, written to a LocalFileDataSource."""
+    import time
+    from .circuits import leaf_circuit as lc
+    from .circuits import node_circuit as nc
+    from .circuits.types import testing_geometry
+    from .prover import layers as ly
+    from .prover import plonkish as pk
+    from .utils.data_source import LocalFileDataSource
+
+    geometry = testing_geometry()
+    rec_cfg = pk.PlonkishConfig(rate=2, cap_size=4,
+                                num_queries=args.num_queries,
+                                final_fri_size=8)
+    source = LocalFileDataSource(args.out)
+    types = ([int(t) for t in args.types.split(",")] if args.types
+             else list(range(1, 14)))
+    for t in types:
+        t0 = time.time()
+        sd = ly.base_setup_for_type(t, geometry)
+        source.set_base_layer_vk(list(sd.vk), t)
+        print(f"[vks] base[{t}] vk written "
+              f"(2^{sd.ir.log_n} x {sd.ir.num_witness}, "
+              f"{time.time() - t0:.1f}s)", flush=True)
+        if args.recursion:
+            t0 = time.time()
+            b, _lay = lc.synthesize_leaf(sd.ir, sd.config, arity=args.arity,
+                                         base_circuit_type=t)
+            built = b.finalize()
+            lsetup = built.setup(rec_cfg)
+            source.set_recursion_layer_vk(lsetup.vk(), t + 2)
+            nb, _nl = nc.synthesize_node(built.ir, rec_cfg,
+                                         arity=args.arity)
+            nbuilt = nb.finalize()
+            nsetup = nbuilt.setup(rec_cfg)
+            source.set_recursion_layer_vk(nsetup.vk(), 2)
+            print(f"[vks] leaf[{t}] + node vks written "
+                  f"(leaf 2^{built.ir.log_n} x {built.ir.num_witness}, "
+                  f"{time.time() - t0:.1f}s)", flush=True)
+    print(f"verification keys written to {args.out}")
+
+
 def cmd_geometry(args):
     from .circuits.capacity import calibrated_cost_models, generate_geometry_config
 
@@ -146,6 +192,16 @@ def main(argv=None):
     pfb.add_argument("--out", default="proof_tower",
                      help="LocalFileDataSource directory for the tower")
     pfb.set_defaults(fn=cmd_prove_block)
+
+    pvk = sub.add_parser("generate-vks")
+    pvk.add_argument("--types", default="",
+                     help="comma-separated base types (default: all 13)")
+    pvk.add_argument("--recursion", action="store_true",
+                     help="also generate per-type leaf + node VKs")
+    pvk.add_argument("--arity", type=int, default=2)
+    pvk.add_argument("--num-queries", type=int, default=2)
+    pvk.add_argument("--out", default="vk_store")
+    pvk.set_defaults(fn=cmd_generate_vks)
 
     pg = sub.add_parser("geometry")
     pg.set_defaults(fn=cmd_geometry)
