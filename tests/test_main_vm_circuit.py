@@ -381,7 +381,8 @@ GEO256 = mvc.VmGeometry(log_n=8, limb_bits=8, num_limbs=32)  # full u256
 
 PTR_CALLEE = [
     isa.PtrAdd(ptr=1, delta=I(1), dst=2),      # advance calldata ptr
-    isa.PtrRead(ptr=2, offset=I(0), dst=3),    # reads 43 (ctx row)
+    isa.PtrRead(ptr=2, offset=I(0), dst=3),    # reads 43 (mem-bound row)
+    isa.PtrRead(ptr=2, offset=I(9), dst=6),    # OUT OF BOUNDS -> 0
     isa.PtrShrink(ptr=2, delta=I(1), dst=4),   # shrink to len 0
     isa.PtrPack(ptr=2, high=I(7 << 128), dst=5),
     isa.Ret(),
@@ -430,10 +431,11 @@ def test_ptr_ops_satisfy(ptr_rig):
     import zkevm_harness_tpu.ops.goldilocks as gl
     ops = [r.op for r in ptr_rig["inst"].rows]
     assert mvc.OP_PADD in ops and mvc.OP_PSHR in ops and mvc.OP_PPACK in ops
-    assert mvc.OP_CTX in ops  # the PtrRead row
+    assert mvc.OP_PREAD in ops  # the PtrRead row (stage F: mem-bound)
     assert _ptr_viol(ptr_rig, gl.to_ints(ptr_rig["W"])) == []
-    # the PtrRead row bound the read value through the register update
-    rd = next(r for r in ptr_rig["inst"].rows if r.op == mvc.OP_CTX)
+    # stage F: the PtrRead's VALUE is bound through the memory fingerprint
+    # (page + start+offset + value folded into AM), not just the register
+    rd = next(r for r in ptr_rig["inst"].rows if r.op == mvc.OP_PREAD)
     assert rd.res == 43
 
 
@@ -673,3 +675,18 @@ def test_far_call_forged_register_rejected(far_rig):
     col = off["REG"] + 1 * GEO.num_limbs
     Wi[col, fc + 1] = (int(Wi[col, fc + 1]) + 1)
     assert _far_viol(far_rig, Wi)
+
+
+def test_pread_forged_value_breaks_mem_fingerprint(ptr_rig):
+    """Forging the PtrRead value (both RES and the register update) now
+    breaks the MEMORY fingerprint fold — the old CTX hole is closed."""
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    off = mvc._cols(GEO256)
+    rows = ptr_rig["inst"].rows
+    r_idx = next(i for i, r in enumerate(rows) if r.op == mvc.OP_PREAD)
+    Wi = gl.to_ints(ptr_rig["W"]).copy()
+    NL = GEO256.num_limbs
+    Wi[off["RES"], r_idx] = (int(Wi[off["RES"], r_idx]) + 1)
+    Wi[off["REG"] + (rows[r_idx].dst - 1) * NL, r_idx + 1] = \
+        (int(Wi[off["REG"] + (rows[r_idx].dst - 1) * NL, r_idx + 1]) + 1)
+    assert _ptr_viol(ptr_rig, Wi)

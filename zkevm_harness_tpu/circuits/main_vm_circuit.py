@@ -106,7 +106,15 @@ OP_MUL, OP_AND, OP_OR, OP_XOR, OP_SHL, OP_SHR = 20, 21, 22, 23, 24, 25
 # restored return point / handler. The only remaining EXT rows are
 # mid-instruction panic unwinds (they still unfold through spop/fpop).
 OP_FCALL, OP_FRET, OP_FRETP = 26, 27, 28
-NOPS = 29
+# stage F (round 4): OP_PREAD binds fat-pointer reads through the memory
+# fingerprint — page/index derive IN-GATES from the pointer's segments
+# (page = V0[64:96], index = start + offset with a proven carry chain into
+# the REM lanes), the read VALUE rides RES into the same accumulator the
+# RAM-permutation circuit consumes, and out-of-bounds reads PROVE
+# offset >= length (or a nonzero high offset) and force RES = 0. The CTX
+# escape hatch now covers only Context/Precompile VALUES.
+OP_PREAD = 29
+NOPS = 30
 _PTR_OPS = (OP_PADD, OP_PSHR, OP_PPACK)
 _LOG_OPS = (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1)
 _MEM_OPS = (OP_HEAPW, OP_HEAPR)
@@ -612,7 +620,32 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
             # sort by (page, index, timestamp))
             mem_fields = ([op[OP_HEAPW], W("TS"), W("PG")]
                           + [W("V0", j) for j in range(NL)] + mem_value)
-            horner(s_mem, "AM", "GM", mem_fields)
+            # stage F: IN-BOUNDS PtrRead rows fold a READ of (page, start +
+            # offset) with the RES value into the SAME accumulator; the
+            # index limbs live in REM (proven by the stage-F carry chain).
+            # Three-way AM update replaces the two-way horner: heap op /
+            # in-bounds pread / carry.
+            pread_inb = alg.mul(op[OP_PREAD], _one_minus(alg, zb))
+            t_mem = None
+            for j, f in enumerate(mem_fields):
+                term = alg.mul(pch[j], f)
+                t_mem = term if t_mem is None else alg.add(t_mem, term)
+            zero_lane = alg.mul_int(W("V"), 0)  # rw_flag = 0 (read)
+            pr_fields = ([zero_lane, W("TS"), W("PG")]
+                         + [W("REM", j) for j in range(NL)]
+                         + [W("RES", j) for j in range(NL)])
+            t_pr = None
+            for j, f in enumerate(pr_fields):
+                term = alg.mul(pch[j], f)
+                t_pr = term if t_pr is None else alg.add(t_pr, term)
+            am, am_n, gm = W("AM"), Wn("AM"), W("GM")
+            out.append(alg.mul(notwrap, alg.mul(s_mem, alg.sub(
+                am_n, alg.add(alg.mul(am, gm), t_mem)))))
+            out.append(alg.mul(notwrap, alg.mul(pread_inb, alg.sub(
+                am_n, alg.add(alg.mul(am, gm), t_pr)))))
+            keep_m = _one_minus(alg, alg.add(s_mem, pread_inb))
+            out.append(alg.mul(notwrap, alg.mul(keep_m,
+                                                alg.sub(am_n, am))))
 
             # --- near-call stack argument (fold/unfold accumulator) ------------
             # push (NCALL): AS' = AS*GS + <ret_pc, handler, depth>; a pop row
@@ -725,6 +758,77 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
             for t in range(L):
                 s_sel = alg.add(s_sel, alg.mul_int(bs[t], t))
             out.append(alg.mul(shiftop, alg.sub(s_sel, s_lo)))
+
+            # --- stage F: fat-pointer read binding ---------------------------
+            pread = op[OP_PREAD]
+            B32 = 32 // L
+            # source must be a TAGGED pointer register, never an immediate
+            ptrb6 = [W("PTRB", i) for i in range(NREGS)]
+            s0_6 = [W("S0SEL", i) for i in range(NREGS)]
+            src_tag6 = None
+            for i in range(NREGS):
+                t6 = alg.mul(s0_6[i], ptrb6[i])
+                src_tag6 = t6 if src_tag6 is None else alg.add(src_tag6, t6)
+            out.append(alg.mul(pread, alg.add_int(src_tag6, P - 1)))
+            out.append(alg.mul(pread, W("S0IMM")))
+            # page lane = the pointer's page segment (bits 64..96)
+            pg_sum = None
+            for k in range(B32):
+                t6 = alg.mul_int(W("V0", 2 * B32 + k), 1 << (L * k))
+                pg_sum = t6 if pg_sum is None else alg.add(pg_sum, t6)
+            out.append(alg.mul(pread, alg.sub(W("PG"), pg_sum)))
+            # zh = [offset has nonzero high limbs] via an inverse gadget
+            s_hi = None
+            for k in range(B32, NL):
+                s_hi = W("V1", k) if s_hi is None else alg.add(s_hi,
+                                                               W("V1", k))
+            zh = alg.mul(s_hi, W("ZINV"))
+            out.append(alg.mul(pread, alg.mul(s_hi, _one_minus(alg, zh))))
+            inb = alg.mul(pread, _one_minus(alg, zb))
+            # in-bounds: the offset fits 32 bits...
+            for k in range(B32, NL):
+                out.append(alg.mul(inb, W("V1", k)))
+            # ...index = start + offset with a boolean carry chain into REM
+            for j in range(B32):
+                cin = W("CAR", j - 1) if j else None
+                lhs = alg.add(W("V0", B32 + j), W("V1", j))
+                if cin is not None:
+                    lhs = alg.add(lhs, cin)
+                rhs = alg.add(W("REM", j), alg.mul_int(W("CAR", j), 1 << L))
+                out.append(alg.mul(inb, alg.sub(lhs, rhs)))
+            out.append(alg.mul(inb, alg.sub(W("REM", B32),
+                                            W("CAR", B32 - 1))))
+            for k in range(B32 + 1, NL):
+                out.append(alg.mul(inb, W("REM", k)))
+            # high DIF limbs unused on pread rows
+            for k in range(B32, NL):
+                out.append(alg.mul(pread, W("DIF", k)))
+            # in-bounds: offset + DIF + 1 == length (=> offset < length)
+            for j in range(B32):
+                cin = W("DCAR", j - 1) if j else None
+                lhs = alg.add(W("V1", j), W("DIF", j))
+                if j == 0:
+                    lhs = alg.add_int(lhs, 1)
+                if cin is not None:
+                    lhs = alg.add(lhs, cin)
+                rhs = alg.add(W("V0", j), alg.mul_int(W("DCAR", j), 1 << L))
+                out.append(alg.mul(inb, alg.sub(lhs, rhs)))
+            out.append(alg.mul(inb, W("DCAR", B32 - 1)))
+            # out-of-bounds with a 32-bit offset: length + DIF == offset
+            # (=> offset >= length); a nonzero high offset (zh = 1) is
+            # out-of-bounds by itself
+            oobl = alg.mul(alg.mul(pread, zb), _one_minus(alg, zh))
+            for j in range(B32):
+                cin = W("DCAR", j - 1) if j else None
+                lhs = alg.add(W("V0", j), W("DIF", j))
+                if cin is not None:
+                    lhs = alg.add(lhs, cin)
+                rhs = alg.add(W("V1", j), alg.mul_int(W("DCAR", j), 1 << L))
+                out.append(alg.mul(oobl, alg.sub(lhs, rhs)))
+            out.append(alg.mul(oobl, W("DCAR", B32 - 1)))
+            # out-of-bounds reads yield ZERO (the interpreter's semantics)
+            for j in range(NL):
+                out.append(alg.mul(pread, alg.mul(zb, W("RES", j))))
         return out
 
     import functools as _ft
@@ -771,7 +875,9 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         + NPOW + 4 + (NPOW - 1)           # fp constancy (4 gammas) + chain
         + 6                               # 3 accumulators x (update+carry)
         + 10                              # stack push/pop/carry + pop pc
-        + 6 * NL + 4)                     # stage D bitwise chunks + shifts
+        + 6 * NL + 4                      # stage D bitwise chunks + shifts
+        + 4 * NL + 6                      # stage F pread binding (part 6)
+        + 1)                              # stage F 3-way AM update (part 5)
     assert sum(part_counts) == n_constraints, (part_counts, n_constraints)
 
     pis: List[Tuple[int, int]] = [
@@ -1144,6 +1250,57 @@ def main_vm_witness(ir: pk.PlonkishIR, geo: VmGeometry, inst) -> gl.GF:
                 fold(2, [1 if row.op == OP_HEAPW else 0, row.ts,
                          int(row.page)]
                      + _limbs(v0, NL, L) + _limbs(value, NL, L))
+            if row.op == OP_PREAD:
+                # stage F: page/index/compare witnesses + the mem fold
+                B32 = 32 // L
+                length = v0 & 0xFFFFFFFF
+                start = (v0 >> 32) & 0xFFFFFFFF
+                v0l = _limbs(v0, NL, L)
+                off_l = _limbs(v1, NL, L)
+                W[off["PG"], r] = int(row.page) % P
+                s_hi = sum(off_l[B32:])
+                W[off["ZINV"], r] = pow(s_hi, P - 2, P) if s_hi else 0
+                oob = not (v1 < length)
+                W[off["ZB"], r] = 1 if oob else 0
+                if not oob:
+                    idx = start + v1
+                    idx_l = _limbs(idx, NL, L)
+                    for j in range(NL):
+                        W[off["REM"] + j, r] = idx_l[j]
+                    cin = 0
+                    for j in range(B32):
+                        t = v0l[B32 + j] + off_l[j] + cin
+                        cout, rr = divmod(t - idx_l[j], 1 << L)
+                        assert rr == 0 and cout in (0, 1)
+                        W[off["CAR"] + j, r] = cout
+                        cin = cout
+                    assert idx_l[B32] == cin, "pread index carry broke"
+                    dif = length - v1 - 1
+                    dif_l = _limbs(dif, NL, L)
+                    cin = 1
+                    for j in range(B32):
+                        W[off["DIF"] + j, r] = dif_l[j]
+                        t = off_l[j] + dif_l[j] + cin
+                        cout, rr = divmod(t - v0l[j], 1 << L)
+                        assert rr == 0 and cout in (0, 1)
+                        W[off["DCAR"] + j, r] = cout
+                        cin = cout
+                    assert cin == 0, "pread bound compare broke"
+                    fold(2, [0, row.ts, int(row.page)] + idx_l
+                         + _limbs(res, NL, L))
+                elif s_hi == 0:
+                    # low offset >= length: length + DIF == offset
+                    dif = v1 - length
+                    dif_l = _limbs(dif, NL, L)
+                    cin = 0
+                    for j in range(B32):
+                        W[off["DIF"] + j, r] = dif_l[j]
+                        t = v0l[j] + dif_l[j] + cin
+                        cout, rr = divmod(t - off_l[j], 1 << L)
+                        assert rr == 0 and cout in (0, 1)
+                        W[off["DCAR"] + j, r] = cout
+                        cin = cout
+                    assert cin == 0, "pread oob compare broke"
             if row.op in (OP_NCALL, OP_FCALL):
                 fold(3, [row.pc + 1, row.handler, depth,
                          1 if row.op == OP_FCALL else 0])

@@ -255,4 +255,9 @@ def scheduler_aux_values(sched_wit) -> List[int]:
     for h in (sched_wit.aux_output.rollup_state_diff_for_compression,
               sched_wit.aux_output.l1_messages_linear_hash):
         out += [int.from_bytes(h[i:i + 4], "big") for i in range(0, 32, 4)]
+    # EIP-4844 blob output commitments: the block commitment BINDS each
+    # blob's keccak(versioned_hash || evaluation_point || opening_value)
+    # exactly like the reference scheduler consumes them
+    for h in getattr(sched_wit, "eip4844_output_hashes", ()):
+        out += [int.from_bytes(h[i:i + 4], "big") for i in range(0, 32, 4)]
     return out

@@ -75,6 +75,7 @@ class FullChainResult:
     scheduler_pi: List[int]  # 4-lane block commitment
     final: Optional[dict]    # compression output + snark_public_input
     snark: Optional[dict]    # BN254 PLONK wrapper proof/vk
+    eip4844: List[dict] = dataclasses.field(default_factory=list)
 
 
 def prove_block_full_chain(code, chain_types: Sequence[int],
@@ -89,6 +90,8 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
                            for_wrapper: bool = False,
                            leaf_arity: Optional[int] = None,
                            snark_mode: str = "pi",
+                           blobs: Optional[Sequence[bytes]] = None,
+                           blob_kzg_settings=None,
                            progress=None, source=None) -> FullChainResult:
     """Prove one block through every layer. Returns the assembled tower;
     raises if any link fails verification. `source` (e.g. a
@@ -105,6 +108,30 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
         if progress:
             progress(msg)
 
+    # -- 0. EIP-4844 blob branch (complex_tests/mod.rs:995-1075) --------------
+    # Per blob: the full witness chain (KZG commitment, versioned hash,
+    # evaluation point, Horner opening) plus a REAL fold-circuit proof; the
+    # blob OUTPUT COMMITMENTS feed the scheduler's aux values below, so the
+    # block commitment binds every blob.
+    eip4844_records: List[dict] = []
+    if blobs:
+        from .utils import kzg as kzg_mod
+        from .utils.native import keccak256
+        from .witness import eip4844 as w4844
+        settings = blob_kzg_settings or kzg_mod.KzgSettings.testing(16)
+        n_el = settings.domain_size
+        for blob in blobs:
+            chunks, linear_hash, versioned_hash, output_hash = \
+                w4844.generate_eip4844_witness(blob, settings)
+            x = int.from_bytes(keccak256(linear_hash + versioned_hash)[16:],
+                               "big") % kzg_mod.R
+            elements = [int.from_bytes(c, "little") for c in chunks]
+            eip4844_records.append(dict(
+                elements=elements, x=x, linear_hash=linear_hash,
+                versioned_hash=versioned_hash, output_hash=output_hash,
+                n_elements=n_el))
+    blob_outputs = tuple(r["output_hash"] for r in eip4844_records)
+
     # -- 1.-4. base + leaf + node + scheduler via the DAG --------------------
     # The WHOLE tower runs through run_dag (run_block tower=True): real
     # leaf/node/scheduler tasks with store-guarded skip-if-present resume
@@ -116,7 +143,8 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
                                 cycle_limit=cycle_limit, source=source,
                                 tower=True, recursion_cfg=recursion_cfg,
                                 leaf_arity=leaf_arity,
-                                block_number=block_number)
+                                block_number=block_number,
+                                eip4844_outputs=blob_outputs)
         base_setups = {t: ly.base_setup_for_type(t, geometry)
                        for t in chain_types}
     say("tower proven through the DAG")
@@ -166,6 +194,21 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
                               ir=rigs[("node_final", t)][0],
                               cfg=recursion_cfg)
         say(f"tower[{t}]: {len(chunk_proofs)} leaves -> node")
+
+    # prove each blob's fold circuit (real, verified, recorded)
+    for bi, rec in enumerate(eip4844_records):
+        proof4844 = ly.prove_eip4844(rec["elements"], rec["x"],
+                                     n_elements=rec["n_elements"],
+                                     limb_bits=8, source=blk.source)
+        assert ly.verify_eip4844(rec["elements"], rec["x"], proof4844,
+                                 n_elements=rec["n_elements"],
+                                 limb_bits=8), \
+            f"eip4844 proof for blob {bi} failed verification"
+        rec["proof"] = proof4844
+        blk.source.set({"kind": "eip4844", "real": True, "proof": proof4844,
+                        "output_hash": rec["output_hash"]},
+                       "eip4844_proof", bi)
+        say(f"eip4844 blob {bi} proven (output bound in the scheduler aux)")
 
     srec = blk.source.get_scheduler_proof()
     assert srec is not None and srec.get("real"), \
@@ -242,4 +285,4 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
         block=blk, chain_types=chain_types, base_proofs=base_proofs,
         base_setups=base_setups, leaves=leaves, leaf_chunks=leaf_chunks,
         nodes=nodes, scheduler=scheduler, scheduler_pi=sched_pi,
-        final=final, snark=snark)
+        final=final, snark=snark, eip4844=eip4844_records)

@@ -56,7 +56,8 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
               tower: bool = False,
               recursion_cfg=None,
               leaf_arity: Optional[int] = None,
-              block_number: int = 1) -> BlockProvingResult:
+              block_number: int = 1,
+              eip4844_outputs=()) -> BlockProvingResult:
     """With `tower=True` the DAG's leaf/node/scheduler tasks are REAL
     proofs (not metadata): each leaf verifies its base-proof chunk
     in-circuit against the task's recursion-queue segment, nodes splice
@@ -162,8 +163,9 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
     # scheduler witness assembled BEFORE the DAG runs: the real scheduler
     # task consumes its aux values in-circuit
     first_last = {t: (m.first, m.last) for t, m in makers.items()}
-    sched_wit = sw.assemble_scheduler_witness(block_number, artifacts,
-                                              first_last)
+    sched_wit = sw.assemble_scheduler_witness(
+        block_number, artifacts, first_last,
+        eip4844_output_hashes=tuple(eip4844_outputs))
 
     # per-type dispatch: (prove, verify) closures over the instance payload
     # and its binding challenges — types 4 (no challenges) and 11/12 (shared

@@ -19,7 +19,7 @@ from ..circuits.main_vm_circuit import (NREGS, OP_ADD, OP_AND, OP_CTX,
                                         OP_FCALL, OP_FRET, OP_FRETP,
                                         OP_HEAPR, OP_HEAPW, OP_JEQ, OP_JUMP,
                                         OP_MUL, OP_NCALL, OP_NOP, OP_OR,
-                                        OP_PADD, OP_PPACK, OP_PSHR, OP_RET,
+                                        OP_PADD, OP_PPACK, OP_PREAD, OP_PSHR, OP_RET,
                                         OP_RETP, OP_SHL, OP_SHR, OP_STOR,
                                         OP_STOW, OP_SUB, OP_XOR, VmGeometry)
 from ..ops import goldilocks as gl
@@ -295,13 +295,21 @@ def decode_cycle_rows(tracer: WitnessTracer) -> List[VmRow]:
                         s0_val=int(instr.ptr), s1_kind=k1, s1_val=e1,
                         v0=v0, v1=v1, res=res, **base)
         elif isinstance(instr, isa.PtrRead):
-            # single-writeback row: the read VALUE is bound only through
-            # the register update (page-tagged mem fingerprint pending)
+            # stage F: the read is BOUND through the page-tagged memory
+            # fingerprint — page/index derive in-gates from the fat
+            # pointer's segments, the value rides RES into the same
+            # accumulator the RAM-permutation circuit consumes;
+            # out-of-bounds reads prove off >= length and force RES = 0
             nxt = (tracer.cycle_states[cyc + 1]
                    if cyc + 1 < len(tracer.cycle_states)
                    else tracer.final_state)
             res = nxt["registers"][int(instr.dst) - 1][0]
-            row = VmRow(op=OP_CTX, dst=int(instr.dst), res=res, **base)
+            k1, e1, v1 = _operand(instr.offset, regs)
+            ptr_val = regs[int(instr.ptr) - 1]
+            page = (ptr_val >> 64) & 0xFFFFFFFF
+            row = VmRow(op=OP_PREAD, dst=int(instr.dst), s0_kind="reg",
+                        s0_val=int(instr.ptr), s1_kind=k1, s1_val=e1,
+                        v0=ptr_val, v1=v1, res=res, page=page, **base)
         elif isinstance(instr, isa.NearCall):
             row = VmRow(op=OP_NCALL, tgt=int(instr.target),
                         handler=int(instr.exception_handler), **base)
@@ -353,6 +361,13 @@ def row_fingerprint_fields(geo: VmGeometry, row: VmRow):
         value = row.res if row.op == OP_HEAPR else row.v1
         mem = ([1 if row.op == OP_HEAPW else 0, row.ts, int(row.page)]
                + _limbs(row.v0, NL, L) + _limbs(value, NL, L))
+    if row.op == OP_PREAD:
+        length = row.v0 & 0xFFFFFFFF
+        start = (row.v0 >> 32) & 0xFFFFFFFF
+        if row.v1 < length:  # in-bounds: folded into the mem fingerprint
+            mem = ([0, row.ts, int(row.page)]
+                   + _limbs(start + row.v1, NL, L)
+                   + _limbs(row.res, NL, L))
     return code, log, mem
 
 
@@ -483,6 +498,17 @@ def crosscheck_query_binding(tracer: WitnessTracer, geo: VmGeometry,
                 acc_mem = fold(acc_mem, g_mem,
                                [1 if q.rw_flag else 0, q.timestamp,
                                 int(q.location.page)]
+                               + _limbs(q.location.index, NL, L)
+                               + _limbs(q.value, NL, L))
+            elif row.op == OP_PREAD and row.v1 < (row.v0 & 0xFFFFFFFF):
+                qs = mem_by_cycle.get(cycle, [])
+                _req(len(qs) == 1,
+                     f"cycle {cycle}: in-bounds PtrRead must trace a query")
+                q = qs[0]
+                _req(not q.rw_flag,
+                     f"cycle {cycle}: PtrRead query must be a read")
+                acc_mem = fold(acc_mem, g_mem,
+                               [0, q.timestamp, int(q.location.page)]
                                + _limbs(q.location.index, NL, L)
                                + _limbs(q.value, NL, L))
             elif row.op in (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1):

@@ -35,6 +35,10 @@ class SchedulerCircuitInstanceWitness:
     memory_queue_state: QueueState
     first_last_closed_form_inputs: Dict[int, Tuple[object, object]]
     aux_output: BlockAuxilaryOutput
+    # EIP-4844 blob output commitments (keccak(versioned_hash ||
+    # evaluation_point || opening_value) per blob) — absorbed into the
+    # scheduler's block commitment (complex_tests/mod.rs:995-1075)
+    eip4844_output_hashes: Tuple[bytes, ...] = ()
     # patched in after recursion proving (complex_tests/mod.rs:948-975):
     node_layer_vk_commitment: Optional[Tuple[int, int, int, int]] = None
     leaf_layer_parameters: Optional[List] = None
@@ -62,6 +66,7 @@ def assemble_scheduler_witness(
         block_number: int, artifacts: BlockArtifacts,
         first_last: Dict[int, Tuple[CircuitInstance, CircuitInstance]],
         bootloader_heap_tail: Tuple[int, ...] = (0,) * 12,
+        eip4844_output_hashes: Tuple[bytes, ...] = (),
 ) -> SchedulerCircuitInstanceWitness:
     aux = BlockAuxilaryOutput(
         rollup_state_diff_for_compression=_hash_log_queries(
@@ -77,4 +82,5 @@ def assemble_scheduler_witness(
         memory_queue_state=QueueState(tail=tuple(artifacts.memory_queue.tail),
                                       length=len(artifacts.memory_queue)),
         first_last_closed_form_inputs=dict(first_last),
-        aux_output=aux)
+        aux_output=aux,
+        eip4844_output_hashes=tuple(eip4844_output_hashes))
