@@ -516,3 +516,19 @@ def powers_host(base: int, count: int) -> np.ndarray:
         out[i] = acc
         acc = (acc * base) % P
     return out
+
+
+@functools.lru_cache(maxsize=96)
+def powers_dev_cached(base: int, count: int, mult: int = 1) -> "GF":
+    """Device-resident [mult * base^i]_{i<count} mod p, memoized.
+
+    The prover's twiddle/coset/denominator tables (w_pows, u_pows, xs,
+    unscale, FRI per-round inverse domains) are challenge-independent
+    constants of the circuit shape — recomputing them was an O(n) python
+    loop (up to 2^22 iterations for the eval-domain unscale) plus an
+    O(n) upload PER PROVE, all serialized on the host side of the
+    dispatch stream. Cached, a warm prove skips both."""
+    tbl = powers_host(base, count)
+    if mult != 1:
+        tbl = ((tbl.astype(object) * (mult % P)) % P).astype(np.uint64)
+    return from_int(tbl)

@@ -82,13 +82,13 @@ def _fold_once(cw: GF2, alpha: GF2, inv_domain: GF) -> GF2:
 
 
 def _inv_domain_half(n: int, shift: int) -> GF:
-    """[1/d_0 .. 1/d_{n/2-1}] for d_i = shift * w^i, w of order n (host)."""
+    """[1/d_0 .. 1/d_{n/2-1}] for d_i = shift * w^i, w of order n — a
+    shape constant, cached device-resident (the per-round host power loop
+    + upload serialized the otherwise-async fold loop)."""
     log_n = n.bit_length() - 1
     w_inv = pow(gl.primitive_root_of_unity(log_n), P - 2, P)
     s_inv = pow(shift, P - 2, P)
-    tbl = gl.powers_host(w_inv, n // 2)
-    tbl = (tbl.astype(object) * s_inv) % P  # object ints
-    return gl.from_int(tbl)
+    return gl.powers_dev_cached(w_inv, n // 2, mult=s_inv)
 
 
 def _gf2_to_np(x: GF2) -> np.ndarray:
@@ -152,8 +152,7 @@ def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig,
     n_f = final_cw.shape[0]
     c0 = nt.intt(final_cw.c0)
     c1 = nt.intt(final_cw.c1)
-    s_inv_pows = gl.powers_host(pow(cur_shift, P - 2, P), n_f)
-    unscale = gl.from_int(s_inv_pows.astype(object))
+    unscale = gl.powers_dev_cached(pow(cur_shift, P - 2, P), n_f)
     c0 = gl.mul(c0, unscale)
     c1 = gl.mul(c1, unscale)
     final_coeffs = [(int(a), int(b))

@@ -969,6 +969,39 @@ def _deep_partial_fn(ncols: int, has_next: bool):
     return _PHASE_CACHE[key]
 
 
+def _ext_powers_fn(k: int):
+    """[x^1 .. x^k] as a device GF2 vector (log-depth scan) — replaces the
+    host fi.emul power loops so the alpha/gamma_deep challenges never need a
+    host fetch (each fetch drained the whole async pipeline over the
+    remote-TPU tunnel)."""
+    key = ("ext_powers", k)
+    if key not in _PHASE_CACHE:
+
+        def f(x: GF2) -> GF2:
+            xb = GF2(GF(jnp.broadcast_to(x.c0.lo, (k,)),
+                        jnp.broadcast_to(x.c0.hi, (k,))),
+                     GF(jnp.broadcast_to(x.c1.lo, (k,)),
+                        jnp.broadcast_to(x.c1.hi, (k,))))
+            return jax.lax.associative_scan(gl.ext_mul, xb, axis=0)
+
+        _PHASE_CACHE[key] = _phase_jit(f)
+    return _PHASE_CACHE[key]
+
+
+def _ext_concat(vs: List[GF2]) -> GF2:
+    return GF2(gl.concatenate([v.c0 for v in vs]),
+               gl.concatenate([v.c1 for v in vs]))
+
+
+def _ext_interleave(v: GF2) -> GF:
+    """(k,) ext vector -> (2k,) base vector [c0_0, c1_0, c0_1, c1_1, ...]
+    (the transcript absorb order of OOD pairs)."""
+    k = v.c0.lo.shape[0]
+    lo = jnp.stack([v.c0.lo, v.c1.lo], axis=-1).reshape(2 * k)
+    hi = jnp.stack([v.c0.hi, v.c1.hi], axis=-1).reshape(2 * k)
+    return GF(lo, hi)
+
+
 def _oods_to_gf2(oods: List[Tuple[int, int]]) -> GF2:
     arr = np.asarray(oods if oods else np.zeros((0, 2)), dtype=object)
     return GF2(gl.from_int(arr[:, 0] if len(oods) else np.zeros(0, dtype=object)),
@@ -1069,17 +1102,24 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         tr.absorb_gf_device(wit_tree.cap)
 
     # -- stage 2: copy-permutation columns --------------------------------
-    beta = tr.challenge_ext_ints()
+    # challenges are drawn as DEVICE scalars on the Goldilocks path (no host
+    # fetch => no pipeline drain per draw over the remote-TPU tunnel); the
+    # Bn254 for-wrapper sponge is host-side and keeps the int draws
+    dev_fs = backend is None
+
+    def _draw_ext() -> GF2:
+        if dev_fs:
+            return tr.challenge_ext()
+        return gl.ext_from_ints(*tr.challenge_ext_ints())
+
+    beta_gf = _draw_ext()
     _sp.__exit__(None, None, None)
     _sp = tracing.span("stage2")
     _sp.__enter__()
-    gamma = tr.challenge_ext_ints()
-    beta_gf = gl.ext_from_ints(*beta)
-    gamma_gf = gl.ext_from_ints(*gamma)
+    gamma_gf = _draw_ext()
     w_gen = gl.primitive_root_of_unity(ir.log_n)
-    w_pows = gl.from_int(gl.powers_host(w_gen, n).astype(object))
-    ks = gl.powers_host(K_COSET_GEN, max(ir.num_witness, 1)).astype(object)
-    ks_vec = gl.from_int(ks)
+    w_pows = gl.powers_dev_cached(w_gen, n)
+    ks_vec = gl.powers_dev_cached(K_COSET_GEN, max(ir.num_witness, 1))
 
     stage2 = _stage2_fn(ir.num_witness, ir.copy_chunk)(
         witness, setup.sigma_cols, beta_gf, gamma_gf, w_pows, ks_vec)
@@ -1109,10 +1149,8 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     _sp = tracing.span("stage3")
     _sp.__enter__()
     if has_lk:
-        theta = tr.challenge_ext_ints()
-        beta_lk = tr.challenge_ext_ints()
-        theta_gf = gl.ext_from_ints(*theta)
-        beta_lk_gf = gl.ext_from_ints(*beta_lk)
+        theta_gf = _draw_ext()
+        beta_lk_gf = _draw_ext()
         stage3 = _stage3_fn(ir)(witness, setup.table_cols, m_cols,
                                 theta_gf, beta_lk_gf)
         s3_coeffs = nt.intt(stage3)
@@ -1126,7 +1164,6 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
             tr.absorb_gf_device(s3_tree.cap)
         del stage3
     else:
-        theta = beta_lk = None
         theta_gf = beta_lk_gf = gl.ext_zeros(())
         s3_coeffs = s3_lde = s3_tree = None
 
@@ -1139,7 +1176,7 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     _sp.__exit__(None, None, None)
     _sp = tracing.span("quotient_cosets")
     _sp.__enter__()
-    alpha = tr.challenge_ext_ints()
+    alpha_gf = _draw_ext()
     const_coeffs = nt.intt(setup.const_cols) if ir.num_const else None
     sigma_coeffs = nt.intt(setup.sigma_cols)
     table_coeffs = nt.intt(setup.table_cols) if n_tables else None
@@ -1148,17 +1185,12 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     n_constraints = (ir.num_gate_constraints + len(chunks)
                      + ((len(ir.lookup_sets) + n_tables + 1) if has_lk else 0)
                      + 1 + (1 if has_lk else 0) + len(ir.public_input_cells))
-    apow_list = []
-    ap = (1, 0)
-    for _ in range(n_constraints):
-        ap = fi.emul(ap, alpha)
-        apow_list.append(ap)
-    apows = _oods_to_gf2(apow_list)
+    apows = _ext_powers_fn(n_constraints)(alpha_gf)
 
     n_eval = n * lde_eval
     v = gl.primitive_root_of_unity(n_eval.bit_length() - 1)
     u = pow(v, lde_eval, P)
-    u_pows = gl.from_int(gl.powers_host(u, n).astype(object))
+    u_pows = gl.powers_dev_cached(u, n)
     pi_vals = gl.from_int(np.asarray(public_inputs if public_inputs else
                                      np.zeros(0, dtype=object), dtype=object))
     coset_eval = _coset_fn(ir)
@@ -1193,8 +1225,7 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     _sp.__exit__(None, None, None)
     _sp = tracing.span("quotient_commit")
     _sp.__enter__()
-    unscale = gl.from_int(gl.powers_host(pow(shift, P - 2, P),
-                                         n_eval).astype(object))
+    unscale = gl.powers_dev_cached(pow(shift, P - 2, P), n_eval)
     if hbm_edge:
         # unfused sequence at the HBM edge: the fused kernel's transients
         # (stack + two 8n-point INTTs + unscale live at once) blow the
@@ -1235,14 +1266,13 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     _sp.__exit__(None, None, None)
     _sp = tracing.span("ood")
     _sp.__enter__()
-    z_pt = tr.challenge_ext_ints()
-    z_gf = gl.ext_from_ints(*z_pt)
-    zw = fi.escale(z_pt, w_gen)
-    zw_gf = gl.ext_from_ints(*zw)
+    z_gf = _draw_ext()
+    zw_gf = gl.ext_mul_base(z_gf, gl.from_int(w_gen))
 
-    # per-bundle evaluations at the OOD points: dispatch ALL evals async,
-    # then ONE batched device fetch — the per-bundle fetch pattern cost a
-    # tunnel round-trip per list (~2 s of the r4 warm profile)
+    # per-bundle evaluations at the OOD points: all evals dispatch async and
+    # stay DEVICE-resident — the transcript absorbs them on device and DEEP
+    # consumes them on device, so the host fetch (a full pipeline drain over
+    # the remote-TPU tunnel) happens ONCE, after FRI, for proof assembly
     ev_specs = [("witness", wit_coeffs, z_gf), ("stage2", s2_coeffs, z_gf),
                 ("stage3", s3_coeffs, z_gf), ("const", const_coeffs, z_gf),
                 ("sigma", sigma_coeffs, z_gf), ("table", table_coeffs, z_gf),
@@ -1252,6 +1282,98 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
                 ("stage3_next", s3_coeffs, zw_gf)]
     ev_dev = {name: (nt.eval_poly_at(coeffs, pt) if coeffs is not None
                      else None) for name, coeffs, pt in ev_specs}
+    # transcript absorb order (must match verify): witness, witness_next,
+    # stage2, stage2_next, stage3, stage3_next, table, const, sigma, quotient
+    _absorb_order = ["witness", "witness_next", "stage2", "stage2_next",
+                     "stage3", "stage3_next", "table", "const", "sigma",
+                     "quotient"]
+    _ood_vec = _ext_interleave(_ext_concat(
+        [ev_dev[k] for k in _absorb_order if ev_dev[k] is not None]))
+    if dev_fs:
+        tr.absorb_gf_device(_ood_vec)
+    else:
+        tr.absorb_ints([int(v) for v in gl.to_u64(_ood_vec)])
+
+    # -- stage 5: DEEP + FRI ----------------------------------------------
+    _sp.__exit__(None, None, None)
+    _sp = tracing.span("deep")
+    _sp.__enter__()
+    gamma_deep_gf = _draw_ext()
+    if lean:
+        # lean-HBM mode streams DEEP one bundle at a time (below); keep the
+        # coefficient bundles, concatenating the setup side once
+        setup_coeffs_all = gl.concatenate(
+            [b for b in (const_coeffs, sigma_coeffs, table_coeffs)
+             if b is not None], axis=0)
+        const_coeffs = sigma_coeffs = table_coeffs = None
+        setup_lde = None
+    else:
+        setup_coeffs_all = None
+        setup_lde = nt.coset_lde(gl.concatenate(
+            [setup.const_cols, setup.sigma_cols, setup.table_cols], axis=0),
+            rate)
+    ood_setup_dev = _ext_concat(
+        [ev_dev[k] for k in ("const", "sigma", "table")
+         if ev_dev[k] is not None])
+    s2_w = bundle_sizes[1]
+    s3_w = bundle_sizes[2]
+    setup_w = bundle_sizes[3] + bundle_sizes[4] + bundle_sizes[5]
+    n_deep_terms = (2 * ir.num_witness + 2 * s2_w
+                    + (2 * s3_w if has_lk else 0)
+                    + setup_w + 2 * num_q_chunks)
+    gpows = _ext_powers_fn(n_deep_terms)(gamma_deep_gf)
+    xs = gl.powers_dev_cached(
+        gl.primitive_root_of_unity(n_comm.bit_length() - 1), n_comm,
+        mult=shift)
+    if lean:
+        # streamed DEEP: the combination is additive over bundles, so each
+        # commitment LDE is recomputed from its coefficients, folded into
+        # the accumulator, and released — peak HBM holds ONE bundle LDE
+        # instead of all five (the 2^20 x 130 fix). Gamma-power order
+        # matches _deep_fn / the verifier exactly.
+        inv_xz, inv_xzw = _deep_invs_fn()(z_gf, zw_gf, xs)
+        deep = gl.ext_zeros((n_comm,))
+        stream = [(wit_coeffs, ev_dev["witness"], ev_dev["witness_next"]),
+                  (s2_coeffs, ev_dev["stage2"], ev_dev["stage2_next"])]
+        if has_lk:
+            stream.append((s3_coeffs, ev_dev["stage3"],
+                           ev_dev["stage3_next"]))
+        stream += [(setup_coeffs_all, ood_setup_dev, None),
+                   (q_coeffs, ev_dev["quotient"], None)]
+        gp_off = 0
+        for coeffs_b, ood_z, ood_zw in stream:
+            w_b = coeffs_b.shape[0]
+            lde_b = _lde_from_coeffs(coeffs_b, n_comm)
+            gp_z = gpows[gp_off:gp_off + w_b]
+            gp_off += w_b
+            if ood_zw is not None:
+                gp_zw = gpows[gp_off:gp_off + w_b]
+                gp_off += w_b
+            else:
+                gp_zw = None
+            deep = _deep_partial_fn(w_b, ood_zw is not None)(
+                deep, lde_b, ood_z, ood_zw, gp_z, gp_zw, inv_xz, inv_xzw)
+            if hbm_edge:
+                deep = jax.block_until_ready(deep)
+            del lde_b
+        assert gp_off == n_deep_terms
+    else:
+        deep = _deep_fn(ir)(
+            wit_lde, s2_lde, s3_lde, setup_lde, q_lde,
+            ev_dev["witness"], ev_dev["witness_next"],
+            ev_dev["stage2"], ev_dev["stage2_next"],
+            ev_dev["stage3"] if has_lk else _oods_to_gf2([]),
+            ev_dev["stage3_next"] if has_lk else _oods_to_gf2([]),
+            ood_setup_dev, ev_dev["quotient"],
+            z_gf, zw_gf, gpows, xs)
+    _sp.__exit__(None, None, None)
+    fri_cfg = cfg.fri_config(n_comm)
+    with tracing.span("fri"):
+        fri_proof = fri_prove(deep, shift, tr, fri_cfg, backend=backend)
+
+    # OOD values to host for proof assembly — ONE fetch, after the pipeline
+    # has already drained at fri's query draw (the old pre-absorb fetch was
+    # a hard sync in the middle of the stream)
     ev_host = jax.device_get({name: (e.c0.lo, e.c0.hi, e.c1.lo, e.c1.hi)
                               for name, e in ev_dev.items()
                               if e is not None})
@@ -1274,91 +1396,6 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     ood_witness_next = _pairs("witness_next")
     ood_stage2_next = _pairs("stage2_next")
     ood_stage3_next = _pairs("stage3_next")
-    tr.absorb_ints([v for pair in
-                    (ood_witness + ood_witness_next + ood_stage2
-                     + ood_stage2_next + ood_stage3 + ood_stage3_next
-                     + ood_table + ood_const + ood_sigma + ood_quotient)
-                    for v in pair])
-
-    # -- stage 5: DEEP + FRI ----------------------------------------------
-    _sp.__exit__(None, None, None)
-    _sp = tracing.span("deep")
-    _sp.__enter__()
-    gamma_deep = tr.challenge_ext_ints()
-    if lean:
-        # lean-HBM mode streams DEEP one bundle at a time (below); keep the
-        # coefficient bundles, concatenating the setup side once
-        setup_coeffs_all = gl.concatenate(
-            [b for b in (const_coeffs, sigma_coeffs, table_coeffs)
-             if b is not None], axis=0)
-        const_coeffs = sigma_coeffs = table_coeffs = None
-        setup_lde = None
-    else:
-        setup_coeffs_all = None
-        setup_lde = nt.coset_lde(gl.concatenate(
-            [setup.const_cols, setup.sigma_cols, setup.table_cols], axis=0),
-            rate)
-    ood_setup = ood_const + ood_sigma + ood_table
-    s2_w = bundle_sizes[1]
-    s3_w = bundle_sizes[2]
-    setup_w = bundle_sizes[3] + bundle_sizes[4] + bundle_sizes[5]
-    n_deep_terms = (2 * ir.num_witness + 2 * s2_w
-                    + (2 * s3_w if has_lk else 0)
-                    + setup_w + 2 * num_q_chunks)
-    gp_list = []
-    gp = (1, 0)
-    for _ in range(n_deep_terms):
-        gp = fi.emul(gp, gamma_deep)
-        gp_list.append(gp)
-    gpows = _oods_to_gf2(gp_list)
-    xs_host = gl.powers_host(gl.primitive_root_of_unity(n_comm.bit_length() - 1),
-                             n_comm).astype(object)
-    xs = gl.from_int((xs_host * shift) % P)
-    if lean:
-        # streamed DEEP: the combination is additive over bundles, so each
-        # commitment LDE is recomputed from its coefficients, folded into
-        # the accumulator, and released — peak HBM holds ONE bundle LDE
-        # instead of all five (the 2^20 x 130 fix). Gamma-power order
-        # matches _deep_fn / the verifier exactly.
-        inv_xz, inv_xzw = _deep_invs_fn()(z_gf, zw_gf, xs)
-        deep = gl.ext_zeros((n_comm,))
-        stream = [(wit_coeffs, ood_witness, ood_witness_next),
-                  (s2_coeffs, ood_stage2, ood_stage2_next)]
-        if has_lk:
-            stream.append((s3_coeffs, ood_stage3, ood_stage3_next))
-        stream += [(setup_coeffs_all, ood_setup, None),
-                   (q_coeffs, ood_quotient, None)]
-        gp_off = 0
-        for coeffs_b, ood_z, ood_zw in stream:
-            w_b = coeffs_b.shape[0]
-            lde_b = _lde_from_coeffs(coeffs_b, n_comm)
-            gp_z = gpows[gp_off:gp_off + w_b]
-            gp_off += w_b
-            if ood_zw is not None:
-                gp_zw = gpows[gp_off:gp_off + w_b]
-                gp_off += w_b
-            else:
-                gp_zw = None
-            deep = _deep_partial_fn(w_b, ood_zw is not None)(
-                deep, lde_b, _oods_to_gf2(ood_z),
-                _oods_to_gf2(ood_zw) if ood_zw is not None else None,
-                gp_z, gp_zw, inv_xz, inv_xzw)
-            if hbm_edge:
-                deep = jax.block_until_ready(deep)
-            del lde_b
-        assert gp_off == n_deep_terms
-    else:
-        deep = _deep_fn(ir)(
-            wit_lde, s2_lde, s3_lde, setup_lde, q_lde,
-            _oods_to_gf2(ood_witness), _oods_to_gf2(ood_witness_next),
-            _oods_to_gf2(ood_stage2), _oods_to_gf2(ood_stage2_next),
-            _oods_to_gf2(ood_stage3), _oods_to_gf2(ood_stage3_next),
-            _oods_to_gf2(ood_setup), _oods_to_gf2(ood_quotient),
-            z_gf, zw_gf, gpows, xs)
-    _sp.__exit__(None, None, None)
-    fri_cfg = cfg.fri_config(n_comm)
-    with tracing.span("fri"):
-        fri_proof = fri_prove(deep, shift, tr, fri_cfg, backend=backend)
 
     # -- stage 6: query openings ------------------------------------------
     _sp = tracing.span("openings")

@@ -44,7 +44,11 @@ class Transcript:
         state[T - 1] = domain_tag % gl.P
         self._state = gl.from_int(state)
         self._buffer: List[int] = []
-        self._squeezed: List[int] = []
+        # squeeze window: lanes [0, RATE) of the current state; _sq_idx is
+        # the next unread lane (RATE = exhausted/invalidated), _sq_host the
+        # lazily-fetched host ints of the window (device draws never fetch)
+        self._sq_idx = RATE
+        self._sq_host = None
         # duplex semantics: reading challenges does NOT advance the state; a
         # permutation happens lazily only when more than RATE challenges are
         # drawn from one state. This keeps the in-circuit transcript replay
@@ -56,7 +60,8 @@ class Transcript:
     # -- absorbing ---------------------------------------------------------
 
     def absorb_ints(self, values: Sequence[int]):
-        self._squeezed = []  # any new absorption invalidates pending squeeze
+        self._sq_idx = RATE  # any new absorption invalidates pending squeeze
+        self._sq_host = None
         self._read_since_permute = False
         self._buffer.extend(int(v) % gl.P for v in values)
         n_chunks = len(self._buffer) // RATE
@@ -82,7 +87,8 @@ class Transcript:
         values: pending buffered ints are prepended, full rate-chunks are
         permuted in one scanned dispatch, and the sub-chunk remainder is
         fetched (tiny) into the int buffer."""
-        self._squeezed = []
+        self._sq_idx = RATE
+        self._sq_host = None
         self._read_since_permute = False
         flat = gl.GF(values.lo.reshape(-1), values.hi.reshape(-1))
         if self._buffer:
@@ -118,24 +124,45 @@ class Transcript:
 
     # -- squeezing ---------------------------------------------------------
 
+    def _refill(self):
+        self._flush()
+        if self._read_since_permute:
+            # drawing more than RATE challenges from one state: advance
+            self._state = p2.permute(self._state)
+        self._sq_idx = 0
+        self._sq_host = None
+        self._read_since_permute = True
+
     def _squeeze_one(self) -> int:
-        if not self._squeezed:
-            self._flush()
-            if self._read_since_permute:
-                # drawing more than RATE challenges from one state: advance
-                self._state = p2.permute(self._state)
-            out = gl.to_ints(self._state)[:RATE]
-            self._squeezed = [int(v) for v in out]
-            self._read_since_permute = True
-        return self._squeezed.pop(0)
+        if self._sq_idx >= RATE:
+            self._refill()
+        if self._sq_host is None:
+            self._sq_host = [int(v) for v in gl.to_ints(self._state)[:RATE]]
+        v = self._sq_host[self._sq_idx]
+        self._sq_idx += 1
+        return v
+
+    def _squeeze_one_dev(self) -> gl.GF:
+        """Squeeze one lane as a DEVICE scalar — no host fetch, so a long
+        challenge->kernel->absorb->challenge chain (the FRI fold loop, the
+        prover's stage challenges) dispatches fully async instead of
+        draining the device pipeline at every draw (each drain is a full
+        round-trip over the remote-TPU tunnel). Exactly the same transcript
+        state evolution as _squeeze_one."""
+        if self._sq_idx >= RATE:
+            self._refill()
+        i = self._sq_idx
+        self._sq_idx += 1
+        return gl.GF(self._state.lo[i], self._state.hi[i])
 
     def challenge_base(self) -> int:
         return self._squeeze_one()
 
     def challenge_ext(self) -> gl.GF2:
-        c0 = self._squeeze_one()
-        c1 = self._squeeze_one()
-        return gl.ext_from_ints(c0, c1)
+        """Extension challenge as device scalars (no host fetch)."""
+        c0 = self._squeeze_one_dev()
+        c1 = self._squeeze_one_dev()
+        return gl.GF2(c0, c1)
 
     def challenge_ext_ints(self):
         return self._squeeze_one(), self._squeeze_one()
