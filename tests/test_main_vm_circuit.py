@@ -690,3 +690,99 @@ def test_pread_forged_value_breaks_mem_fingerprint(ptr_rig):
     Wi[off["REG"] + (rows[r_idx].dst - 1) * NL, r_idx + 1] = \
         (int(Wi[off["REG"] + (rows[r_idx].dst - 1) * NL, r_idx + 1]) + 1)
     assert _ptr_viol(ptr_rig, Wi)
+
+
+# ---------------------------------------------------------------------------
+# Stage G: mid-instruction panic unwinds in-gates (the last EXT rows closed;
+# OP_EXT now matches no decoder path for executable instructions)
+# ---------------------------------------------------------------------------
+
+PANIC_BLOCK = [
+    isa.BinOp("add", I(5), I(6), dst=3),           # 0: r3 = 11 (NOT a pointer)
+    isa.NearCall(target=4, exception_handler=3),   # 1
+    isa.BinOp("add", R(3), I(1), dst=4),           # 2 (never reached)
+    isa.Ret(),                                     # 3: handler -> root ret
+    isa.PtrAdd(ptr=3, delta=I(1), dst=5),          # 4: SoftPanic (untagged src)
+    isa.Ret(),                                     # 5 (never)
+]
+
+
+@pytest.fixture(scope="module")
+def panic_rig():
+    tracer = _trace(PANIC_BLOCK)
+    art = wmv.compute_main_vm_artifacts(tracer, GEO, capacity=GEO.n)
+    inst = art.instances[0]
+    ir = mvc.main_vm_ir(GEO)
+    W = mvc.main_vm_witness(ir, GEO, inst)
+    const = mvc._const_rows(GEO).T
+    pis = mvc.expected_public_inputs(GEO, inst)
+    return dict(art=art, inst=inst, ir=ir, W=W, const=const, pis=pis)
+
+
+def _panic_viol(rig_d, Wi):
+    ir = rig_d["ir"]
+    perm = pk.identity_permutation(ir.num_witness, 1 << ir.log_n)
+    return satisfy.check_satisfied(ir, Wi,
+                                   np.asarray(rig_d["const"], dtype=object),
+                                   perm, rig_d["pis"])
+
+
+def test_panic_unwind_rows_satisfy(panic_rig):
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    rows = panic_rig["inst"].rows
+    ops = [r.op for r in rows]
+    # add, ncall, panic (at the PtrAdd cycle), handler ret = root halt
+    assert ops == [mvc.OP_ADD, mvc.OP_NCALL, mvc.OP_PANIC, mvc.OP_EXT]
+    pr = rows[2]
+    assert pr.spop and not pr.fpop and pr.pop_handler == 3
+    # the unwind resumed the parent at the handler
+    assert rows[3].pc == 3
+    # registers preserved across the unwind (r3 still 11, r5 never written)
+    assert rows[3].regs[2] == 11 and rows[3].regs[4] == 0
+    # the block is stack-balanced
+    assert panic_rig["art"].final_accs[3] == 1
+    assert _panic_viol(panic_rig, gl.to_ints(panic_rig["W"])) == []
+
+
+def test_panic_wrong_resume_pc_rejected(panic_rig):
+    """Claiming the panic resumed anywhere but the popped handler breaks
+    either the pinned pc' gate or the stack-unfold/balance argument."""
+    inst, ir = panic_rig["inst"], panic_rig["ir"]
+    rows = [dc.replace(r) for r in inst.rows]
+    rows[2] = dc.replace(rows[2], pop_handler=4)
+    forged = dc.replace(inst, rows=rows)
+    W = mvc.main_vm_witness(ir, GEO, forged)
+    Wi = np.asarray(W.lo, dtype=object) + (np.asarray(W.hi, dtype=object) << 32)
+    viol = satisfy.check_satisfied(
+        ir, Wi, np.asarray(panic_rig["const"], dtype=object),
+        pk.identity_permutation(ir.num_witness, 1 << ir.log_n),
+        mvc.expected_public_inputs(GEO, forged))
+    assert viol or wmv.replay_accumulators(GEO, forged)[3] != 1
+
+
+def test_panic_forged_register_rejected(panic_rig):
+    """A panic row writes NO register: forging any register's next value
+    (the old EXT escape hatch) is now unsatisfiable."""
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    off = mvc._cols(GEO)
+    Wi = gl.to_ints(panic_rig["W"]).copy()
+    NL = GEO.num_limbs
+    # forge r5's value entering the row after the panic
+    Wi[off["REG"] + 4 * NL, 3] = (int(Wi[off["REG"] + 4 * NL, 3]) + 1)
+    assert _panic_viol(panic_rig, Wi)
+
+
+def test_panic_selected_destination_rejected(panic_rig):
+    """Selecting a writeback destination on a panic row violates the
+    stage-G no-destination gate even if the write itself is consistent."""
+    import zkevm_harness_tpu.ops.goldilocks as gl
+    off = mvc._cols(GEO)
+    Wi = gl.to_ints(panic_rig["W"]).copy()
+    NL = GEO.num_limbs
+    Wi[off["DST"] + 4, 2] = 1  # dst = r5 on the panic row
+    # make the write self-consistent: RES limbs already equal r5 (= 0)?
+    # keep RES as-is; forge the register to match RES so only the
+    # no-destination gate can reject
+    for j in range(NL):
+        Wi[off["REG"] + 4 * NL + j, 3] = int(Wi[off["RES"] + j, 2])
+    assert _panic_viol(panic_rig, Wi)

@@ -114,7 +114,19 @@ OP_FCALL, OP_FRET, OP_FRETP = 26, 27, 28
 # offset >= length (or a nonzero high offset) and force RES = 0. The CTX
 # escape hatch now covers only Context/Precompile VALUES.
 OP_PREAD = 29
-NOPS = 30
+# stage G (round 4): mid-instruction panic unwinds (ergs exhaustion,
+# invalid opcode, kernel/fat-pointer violations) leave EXT — OP_PANIC is a
+# pop row (spop/fpop required) whose aborted instruction never executed:
+# pc' = the popped frame's handler (like RETP/FRETP), the register file,
+# pointer tags and flags are PROVEN preserved (the writeback gates apply
+# with no destination selected), and no log/memory fold fires. OP_EXT now
+# matches NO decoder path — it remains only as the explicit escape hatch
+# for genuinely unknown instructions (vm/interpreter.py would refuse to
+# execute them anyway). Reference: panics route through the same callstack
+# unwind the ret path uses (zk_evm cycle.rs panic handling; callstack
+# sponge witness circuit_encodings callstack_entry.rs:181).
+OP_PANIC = 30
+NOPS = 31
 _PTR_OPS = (OP_PADD, OP_PSHR, OP_PPACK)
 _LOG_OPS = (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1)
 _MEM_OPS = (OP_HEAPW, OP_HEAPR)
@@ -281,6 +293,15 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
             out.append(alg.mul(op[OP_RETP], _one_minus(alg, spop)))
             out.append(alg.mul(op[OP_FRET], _one_minus(alg, fpop)))
             out.append(alg.mul(op[OP_FRETP], _one_minus(alg, fpop)))
+            # stage G: a panic-unwind row must pop exactly one frame (near
+            # or far) and selects NO destination (its register preservation
+            # then follows from the ordinary writeback gates)
+            out.append(alg.mul(op[OP_PANIC],
+                               _one_minus(alg, alg.add(spop, fpop))))
+            pdsum = alg.add(dst[0], dst2[0])
+            for i in range(1, NREGS):
+                pdsum = alg.add(pdsum, alg.add(dst[i], dst2[i]))
+            out.append(alg.mul(op[OP_PANIC], pdsum))
             # exactly one opcode on valid rows, none on padding
             ssum = op[0]
             for k in range(1, NOPS):
@@ -538,10 +559,12 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
                                                              op[OP_JEQ])),
                                               pc_seq)))
             # sequential chain applies to non-EXT rows that are not pops
-            # (RET/RETP/FRET/FRETP pin pc_next through the stack unfold)
+            # (RET/RETP/FRET/FRETP and stage-G PANIC pin pc_next through
+            # the stack unfold)
             pc_chained = _one_minus(alg, alg.add(
-                ext, alg.add(alg.add(op[OP_RET], op[OP_RETP]),
-                             alg.add(op[OP_FRET], op[OP_FRETP]))))
+                alg.add(ext, op[OP_PANIC]),
+                alg.add(alg.add(op[OP_RET], op[OP_RETP]),
+                        alg.add(op[OP_FRET], op[OP_FRETP]))))
             out.append(alg.mul(notwrap, alg.mul(v, alg.mul(
                 pc_chained, alg.sub(Wn("PC"), pc_next)))))
             # padding rows carry pc so the boundary PI is pinned
@@ -691,6 +714,10 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
             out.append(alg.mul(notwrap, alg.mul(op[OP_FRET],
                                                 alg.sub(Wn("PC"), W("RPC")))))
             out.append(alg.mul(notwrap, alg.mul(op[OP_FRETP],
+                                                alg.sub(Wn("PC"), W("PHD")))))
+            # stage G: a panic unwind resumes the parent at the popped
+            # frame's exception handler (interpreter._unwind_panic)
+            out.append(alg.mul(notwrap, alg.mul(op[OP_PANIC],
                                                 alg.sub(Wn("PC"), W("PHD")))))
 
         # --- stage D: bitwise chunks + dynamic-shift machinery --------------
@@ -860,7 +887,8 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
     n_constraints = (
         (NOPS + 4 * NREGS + 8 + 2 * NL)  # booleans (+spop+fpop+zb+dst2+dcar)
         + (256 // L) + L                  # LS/BS shift-selector booleans
-        + 7                               # pop/push exclusivity (near+far)
+        + 7 + 2                           # pop/push exclusivity (near+far)
+                                          # + stage G panic pop/no-dst
         + 1 + 3                           # op sum + selector sums
         + 2 * NL                          # muxes
         + 2 * NL                          # add/sub chains
@@ -874,7 +902,8 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         + 4                               # pc (+padding carry), ts, validity
         + NPOW + 4 + (NPOW - 1)           # fp constancy (4 gammas) + chain
         + 6                               # 3 accumulators x (update+carry)
-        + 10                              # stack push/pop/carry + pop pc
+        + 10 + 1                          # stack push/pop/carry + pop pc
+                                          # + stage G panic pc pin
         + 6 * NL + 4                      # stage D bitwise chunks + shifts
         + 4 * NL + 6                      # stage F pread binding (part 6)
         + 1)                              # stage F 3-way AM update (part 5)

@@ -19,7 +19,8 @@ from ..circuits.main_vm_circuit import (NREGS, OP_ADD, OP_AND, OP_CTX,
                                         OP_FCALL, OP_FRET, OP_FRETP,
                                         OP_HEAPR, OP_HEAPW, OP_JEQ, OP_JUMP,
                                         OP_MUL, OP_NCALL, OP_NOP, OP_OR,
-                                        OP_PADD, OP_PPACK, OP_PREAD, OP_PSHR, OP_RET,
+                                        OP_PADD, OP_PANIC, OP_PPACK,
+                                        OP_PREAD, OP_PSHR, OP_RET,
                                         OP_RETP, OP_SHL, OP_SHR, OP_STOR,
                                         OP_STOW, OP_SUB, OP_XOR, VmGeometry)
 from ..ops import goldilocks as gl
@@ -159,11 +160,12 @@ def decode_cycle_rows(tracer: WitnessTracer) -> List[VmRow]:
                 rows.append(VmRow(op=OP_FRET, **base))
             continue
         if pop is not None and not isinstance(instr, isa.Ret):
-            # a panic unwind fired on this cycle (ergs metering, invalid
-            # opcode, kernel/pointer violation): the instruction's own
-            # side effects never executed — EXT row (the stack unfold
-            # still applies through spop/fpop)
-            rows.append(VmRow(op=OP_EXT, **base))
+            # stage G: a panic unwind fired on this cycle (ergs metering,
+            # invalid opcode, kernel/pointer violation): the instruction's
+            # own side effects never executed — OP_PANIC proves pc' = the
+            # popped handler and register/flag preservation in-gates; the
+            # stack unfold applies through spop/fpop
+            rows.append(VmRow(op=OP_PANIC, **base))
             continue
         if isinstance(instr, isa.FarCall):
             # far call: pc' = 0 in the callee, <ret_pc, handler, depth,
