@@ -67,7 +67,7 @@ def from_int(values: Union[int, Sequence[int], np.ndarray]) -> GF:
     (cols x n) object arrays — the loop was ~10 s per MainVM instance."""
     if isinstance(values, np.ndarray) and values.dtype in (np.uint64,
                                                            np.uint32):
-        u = values.astype(np.uint64)  # no object boxing at all
+        u = values.astype(np.uint64, copy=False)  # no object boxing at all
     else:
         arr = np.asarray(values, dtype=object)
         try:
