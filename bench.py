@@ -3,13 +3,16 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Workload: the flagship MainVM-shaped circuit (degree-8 gate set, copy
-permutation in chunks of 4, 2^16 range-check lookup) at the PRODUCTION
-shape — 2^20 rows x 130 columns (the reference MainVM instance geometry:
-vm_main.rs 130 copy columns, TARGET_CIRCUIT_TRACE_LENGTH 2^20) — trace
+permutation in chunks of 4, 2^16 range-check lookup) at production WIDTH —
+the default headline shape is 2^19 rows x 130 columns (reference MainVM
+geometry: vm_main.rs 130 copy columns); the full production shape
+2^20 x 130 (TARGET_CIRCUIT_TRACE_LENGTH 2^20) runs as an UPGRADE attempt
+after the headline exists (opt-out via ZKTPU_BENCH_UPGRADE=0 for sessions
+with a cold compile cache — see UPGRADE_SHAPES). Pipeline measured: trace
 commit, copy/lookup stages, coset-streamed quotient, streamed DEEP, FRI.
 Reported as trace cells/sec (rows x columns per second, warm) so runs at
 different shapes stay comparable; falls back to smaller shapes only if the
-full one cannot run (the fallback is visible in the metric name).
+headline shape cannot run (the fallback is visible in the metric name).
 
 Each shape runs in its OWN subprocess: a device OOM poisons the client
 process and can wedge the remote-TPU tunnel, so fallbacks must start from
@@ -39,10 +42,11 @@ SHAPES = [(19, 130, 3000), (18, 32, 1500)]
 # The 2^20x130 upgrade shape sits at the single-chip HBM edge: a device OOM
 # can wedge the remote-TPU tunnel for HOURS (CLAUDE.md), and its kernels are
 # shape-keyed so a cold cache means a 60-90 min remote compile — either one
-# blows the driver's window AFTER a good headline already exists. Opt-in via
-# ZKTPU_BENCH_UPGRADE=1 for sessions that have pre-warmed 2^20 kernels.
+# blows the driver's window AFTER a good headline already exists. The upgrade
+# only ever improves an existing headline (failures append to "notes"), so it
+# runs by default; opt OUT via ZKTPU_BENCH_UPGRADE=0 for cold-cache sessions.
 UPGRADE_SHAPES = ([(20, 130, 3600)]
-                  if os.environ.get("ZKTPU_BENCH_UPGRADE") == "1" else [])
+                  if os.environ.get("ZKTPU_BENCH_UPGRADE") != "0" else [])
 _MAINVM_TIMEOUT_S = 3000
 
 

@@ -55,31 +55,52 @@ def cmd_verify(args):
 
 
 def cmd_prove_block(args):
-    """Prove a demo block through the FULL tower (base -> leaf -> node ->
-    scheduler -> compression -> SNARK wrapper) at testing geometry, writing
-    every real proof to a LocalFileDataSource in the reference's naming
-    scheme — the operator surface of the product (reference README "How to
-    use": external_calls::run + resume from the proof storage)."""
+    """Prove a block through the FULL tower (base -> leaf -> node ->
+    scheduler -> compression -> SNARK wrapper), writing every real proof to
+    a LocalFileDataSource in the reference's naming scheme — the operator
+    surface of the product (reference README "How to use":
+    external_calls::run + resume from the proof storage).
+
+    The block comes from `--artifact block.json` (a TestArtifact: entry
+    code + predeployed contracts, utils/test_artifacts.py), `--asm f.asm`
+    (EraVM assembly through the vm/eravm front end), or the built-in demo
+    block when neither is given."""
     from . import full_chain as fc
     from .prover import plonkish as pk
     from .utils.data_source import LocalFileDataSource
     from .vm import isa
 
-    I = isa.imm
-    block = [
-        isa.StorageWrite(I(1), I(100)),
-        isa.Event(I(2), I(3)),
-        isa.HeapWrite(I(0), I(55)),
-        isa.HeapRead(I(0), 2),
-        isa.HeapWrite(I(1), I(66)),
-        isa.HeapRead(I(1), 3),
-        isa.HeapWrite(I(2), I(77)),
-        isa.HeapRead(I(2), 4),
-        isa.NearCall(target=10, exception_handler=9),
-        isa.Ret(),
-        isa.StorageWrite(I(9), I(200)),
-        isa.Ret(),
-    ]
+    contracts = None
+    if args.artifact:
+        from .utils.test_artifacts import load_artifact
+        art = load_artifact(args.artifact)
+        block = list(art.entry_point_code)
+        contracts = dict(art.predeployed_contracts)
+        print(f"[prove-block] artifact {args.artifact}: entry "
+              f"0x{art.entry_point_address:x}, "
+              f"{len(contracts)} predeployed contracts")
+    elif args.asm:
+        from .vm import eravm
+        with open(args.asm) as f:
+            _words, block = eravm.assemble_era_program(f.read())
+        print(f"[prove-block] assembled {args.asm}: "
+              f"{len(block)} instructions")
+    else:
+        I = isa.imm
+        block = [
+            isa.StorageWrite(I(1), I(100)),
+            isa.Event(I(2), I(3)),
+            isa.HeapWrite(I(0), I(55)),
+            isa.HeapRead(I(0), 2),
+            isa.HeapWrite(I(1), I(66)),
+            isa.HeapRead(I(1), 3),
+            isa.HeapWrite(I(2), I(77)),
+            isa.HeapRead(I(2), 4),
+            isa.NearCall(target=10, exception_handler=9),
+            isa.Ret(),
+            isa.StorageWrite(I(9), I(200)),
+            isa.Ret(),
+        ]
     cfg = pk.PlonkishConfig(rate=2, cap_size=4, num_queries=args.num_queries,
                             final_fri_size=8)
     source = LocalFileDataSource(args.out)
@@ -89,6 +110,7 @@ def cmd_prove_block(args):
         compression_cfg=cfg, wrap=not args.no_wrap,
         for_wrapper=args.for_wrapper,
         compression_layers=args.compression_layers,
+        contracts=contracts, cycle_limit=args.cycle_limit,
         progress=lambda m: print(f"[prove-block] {m}", flush=True),
         source=source)
     print(f"block commitment: {[int(v) for v in result.scheduler_pi]}")
@@ -142,9 +164,16 @@ def cmd_generate_vks(args):
 
 
 def cmd_geometry(args):
-    from .circuits.capacity import calibrated_cost_models, generate_geometry_config
-
-    cfg = generate_geometry_config(calibrated_cost_models())
+    """--measured searches the REAL gate library (this framework's own
+    capacities, capacity.measured_geometry); default reproduces the
+    committed reference-parity values (calibrated models)."""
+    if args.measured:
+        from .circuits.capacity import measured_geometry
+        cfg = measured_geometry(verbose=True)
+    else:
+        from .circuits.capacity import (calibrated_cost_models,
+                                        generate_geometry_config)
+        cfg = generate_geometry_config(calibrated_cost_models())
     print(json.dumps(cfg.__dict__, indent=1))
 
 
@@ -189,6 +218,11 @@ def main(argv=None):
                      help="hash the final compression with Bn256 Poseidon2")
     pfb.add_argument("--no-wrap", action="store_true",
                      help="stop after the scheduler proof")
+    pfb.add_argument("--artifact", default=None,
+                     help="TestArtifact JSON (entry code + predeploys)")
+    pfb.add_argument("--asm", default=None,
+                     help="EraVM .asm text file (vm/eravm dialect)")
+    pfb.add_argument("--cycle-limit", type=int, default=10_000)
     pfb.add_argument("--out", default="proof_tower",
                      help="LocalFileDataSource directory for the tower")
     pfb.set_defaults(fn=cmd_prove_block)
@@ -204,6 +238,9 @@ def main(argv=None):
     pvk.set_defaults(fn=cmd_generate_vks)
 
     pg = sub.add_parser("geometry")
+    pg.add_argument("--measured", action="store_true",
+                    help="binary-search the real synthesized circuit "
+                         "geometries instead of the calibrated models")
     pg.set_defaults(fn=cmd_geometry)
 
     pb = sub.add_parser("bench-kernels")

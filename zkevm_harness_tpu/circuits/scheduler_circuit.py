@@ -145,7 +145,10 @@ class SchedulerMultiLayout:
     """Scheduler over HETEROGENEOUS node children: one verifier slot per
     base type, each with its OWN node IR/config/VK vars (the full-chain
     shape, where every type's leaf — and hence node — circuit differs
-    because its inner base circuit differs)."""
+    because its inner base circuit differs), plus one verifier slot per
+    EIP-4844 blob fold proof (the reference scheduler consumes
+    eip4844_proofs + VK in its witness and verifies them in-circuit —
+    src/tests/complex_tests/mod.rs:993-1007, external_calls.rs:529)."""
     builder: bd.CircuitBuilder
     type_ids: List[int]
     child_layouts: List[vc.VerifierLayout]
@@ -153,12 +156,21 @@ class SchedulerMultiLayout:
     block_number_var: int
     aux_vars: List[int]
     prefix_lens: List[int]
+    blob_layouts: List[vc.VerifierLayout] = dataclasses.field(
+        default_factory=list)
+    blob_vk_vars: List[List[int]] = dataclasses.field(default_factory=list)
+
+
+BLOB_SLOT_TAG = 4844  # domain-separates blob slots in the commitment absorb
 
 
 def synthesize_scheduler_multi(children: Sequence[Tuple[pk.PlonkishIR,
                                                         pk.PlonkishConfig]],
                                type_ids: Sequence[int], aux_len: int = 0,
-                               slots: int = 8
+                               slots: int = 8,
+                               blob_children: Sequence[
+                                   Tuple[pk.PlonkishIR,
+                                         pk.PlonkishConfig]] = ()
                                ) -> Tuple[bd.CircuitBuilder,
                                           SchedulerMultiLayout]:
     """Block-level aggregation root over per-type node proofs of DIFFERENT
@@ -167,6 +179,14 @@ def synthesize_scheduler_multi(children: Sequence[Tuple[pk.PlonkishIR,
       - its queue head capacity lanes are ZERO (queue consumed whole);
       - absorb [t || node VK_t || node PI prefix_t (leaf VK_t + base VK_t)
         || tail_t] into the block commitment.
+    Per EIP-4844 blob slot b (one per blob, `blob_children` gives each fold
+    circuit's shape):
+      - verify the blob's fold proof against its own (committed) VK;
+      - absorb [BLOB_SLOT_TAG || fold VK_b || fold PIs_b (binding
+        challenges, binding accumulator, evaluation-point limbs, opening
+        limbs)] into the block commitment — so the commitment
+        cryptographically attests the blob openings, not just their
+        host-computed output hashes.
     The 4-lane Poseidon2 commitment is the circuit's only public output
     (plus block number/aux bound inside it)."""
     assert len(children) == len(type_ids)
@@ -185,6 +205,15 @@ def synthesize_scheduler_multi(children: Sequence[Tuple[pk.PlonkishIR,
         lay = vc.synthesize_proof_check(b, node_ir, node_cfg,
                                         vk_vars=vk_vars)
         child_layouts.append(lay)
+    blob_vk_vars: List[List[int]] = []
+    blob_layouts: List[vc.VerifierLayout] = []
+    for blob_ir, blob_cfg in blob_children:
+        sh = vc.inner_shape(blob_ir, blob_cfg)
+        vk_vars = b.inputs(sh.cap_size * vc.DIGEST)
+        blob_vk_vars.append(vk_vars)
+        lay = vc.synthesize_proof_check(b, blob_ir, blob_cfg,
+                                        vk_vars=vk_vars)
+        blob_layouts.append(lay)
 
     absorb = [block_number_var] + list(aux_vars)
     for tid, lay, vk_vars, pl in zip(type_ids, child_layouts, node_vk_vars,
@@ -195,22 +224,30 @@ def synthesize_scheduler_multi(children: Sequence[Tuple[pk.PlonkishIR,
         absorb += vk_vars
         absorb += lay.inner_pi_vars[:pl]       # leaf VK_t || base VK_t
         absorb += lay.inner_pi_vars[pl + 4:]   # tail_t (12)
+    for lay, vk_vars in zip(blob_layouts, blob_vk_vars):
+        absorb.append(b.constant(BLOB_SLOT_TAG))
+        absorb += vk_vars
+        absorb += lay.inner_pi_vars
     digest = vc.hash_row(b, absorb)
     for v in digest:
         b.mark_public(v)
     return b, SchedulerMultiLayout(
         builder=b, type_ids=list(type_ids), child_layouts=child_layouts,
         node_vk_vars=node_vk_vars, block_number_var=block_number_var,
-        aux_vars=aux_vars, prefix_lens=prefix_lens)
+        aux_vars=aux_vars, prefix_lens=prefix_lens,
+        blob_layouts=blob_layouts, blob_vk_vars=blob_vk_vars)
 
 
 def scheduler_multi_assignments(lay: SchedulerMultiLayout,
                                 node_vks: Sequence[Sequence[int]],
                                 node_proofs: Sequence[pk.PlonkishProof],
                                 block_number: int,
-                                aux_values: Sequence[int] = ()
+                                aux_values: Sequence[int] = (),
+                                blob_vks: Sequence[Sequence[int]] = (),
+                                blob_proofs: Sequence[pk.PlonkishProof] = ()
                                 ) -> Dict[int, int]:
     assert len(node_proofs) == len(lay.child_layouts) == len(node_vks)
+    assert len(blob_proofs) == len(lay.blob_layouts) == len(blob_vks)
     asg: Dict[int, int] = {lay.block_number_var: int(block_number) % P}
     assert len(aux_values) == len(lay.aux_vars)
     for var, val in zip(lay.aux_vars, aux_values):
@@ -218,6 +255,8 @@ def scheduler_multi_assignments(lay: SchedulerMultiLayout,
     for child_lay, vk, proof in zip(lay.child_layouts, node_vks,
                                     node_proofs):
         asg.update(vc.verifier_assignments(child_lay, vk, proof))
+    for blob_lay, vk, proof in zip(lay.blob_layouts, blob_vks, blob_proofs):
+        asg.update(vc.verifier_assignments(blob_lay, vk, proof))
     return asg
 
 
@@ -225,7 +264,9 @@ def scheduler_multi_public_inputs(lay: SchedulerMultiLayout,
                                   node_vks: Sequence[Sequence[int]],
                                   node_proofs: Sequence[pk.PlonkishProof],
                                   block_number: int,
-                                  aux_values: Sequence[int] = ()
+                                  aux_values: Sequence[int] = (),
+                                  blob_vks: Sequence[Sequence[int]] = (),
+                                  blob_proofs: Sequence[pk.PlonkishProof] = ()
                                   ) -> List[int]:
     """The block commitment, recomputed host-side with the SAME
     hash_elements chain the circuit replays."""
@@ -239,6 +280,10 @@ def scheduler_multi_public_inputs(lay: SchedulerMultiLayout,
         absorb += [int(v) % P for v in vk]
         absorb += pis[:pl]
         absorb += pis[pl + 4:]
+    for vk, proof in zip(blob_vks, blob_proofs):
+        absorb.append(BLOB_SLOT_TAG)
+        absorb += [int(v) % P for v in vk]
+        absorb += [int(v) % P for v in proof.public_inputs]
     digest = gl.to_ints(p2.hash_elements(gl.from_int(absorb)))
     return [int(v) for v in digest]
 

@@ -129,6 +129,10 @@ class GeometryConfig:
     cycles_per_sha256_circuit: int = 2206
     cycles_per_ecrecover_circuit: int = 7
     limit_for_l1_messages_pudata_hasher: int = 774
+    # state-tree depth for the type-10 circuit (production 256; the
+    # testing-geometry analogue reduces it so CPU tests can PROVE paths —
+    # the hashing rules are depth-uniform, witness/tree.py)
+    storage_tree_depth: int = 256
 
 
 def testing_geometry() -> GeometryConfig:

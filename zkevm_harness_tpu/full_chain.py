@@ -99,8 +99,6 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
     get/set naming scheme (complex_tests/mod.rs:588-592 resume protocol)."""
     geometry = geometry or testing_geometry()
     chain_types = tuple(sorted(int(t) for t in chain_types))
-    assert 10 not in chain_types, \
-        "type 10 proofs are read/write pairs; chain support is TPU-scale work"
     recursion_cfg = recursion_cfg or pk.PlonkishConfig(
         rate=2, cap_size=4, num_queries=2, final_fri_size=8)
 
@@ -110,10 +108,18 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
 
     # -- 0. EIP-4844 blob branch (complex_tests/mod.rs:995-1075) --------------
     # Per blob: the full witness chain (KZG commitment, versioned hash,
-    # evaluation point, Horner opening) plus a REAL fold-circuit proof; the
-    # blob OUTPUT COMMITMENTS feed the scheduler's aux values below, so the
-    # block commitment binds every blob.
+    # evaluation point, Horner opening) plus a REAL fold-circuit proof. The
+    # fold proofs are block-independent, so they are proven FIRST and fed
+    # into the scheduler task as in-circuit verifier slots (the reference
+    # passes eip4844_proofs + VK into the scheduler witness and the
+    # scheduler circuit verifies them — complex_tests/mod.rs:993-1007);
+    # the blob OUTPUT COMMITMENTS additionally feed the scheduler's aux
+    # values, so the block commitment binds both the host-side hashes and
+    # the proven openings.
+    from .utils.data_source import InMemoryDataSource
+    source = source or InMemoryDataSource()
     eip4844_records: List[dict] = []
+    eip4844_slots: List[dict] = []
     if blobs:
         from .utils import kzg as kzg_mod
         from .utils.native import keccak256
@@ -132,6 +138,26 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
                 n_elements=n_el))
     blob_outputs = tuple(r["output_hash"] for r in eip4844_records)
 
+    with ly.engine_override(base_cfg):
+        for bi, rec in enumerate(eip4844_records):
+            proof4844 = ly.prove_eip4844(rec["elements"], rec["x"],
+                                         n_elements=rec["n_elements"],
+                                         limb_bits=8, source=source)
+            assert ly.verify_eip4844(rec["elements"], rec["x"], proof4844,
+                                     n_elements=rec["n_elements"],
+                                     limb_bits=8), \
+                f"eip4844 proof for blob {bi} failed verification"
+            rec["proof"] = proof4844
+            sd, _prog = ly.create_eip4844_setup_data(rec["n_elements"],
+                                                     limb_bits=8)
+            eip4844_slots.append({"ir": sd.ir, "cfg": sd.config,
+                                  "vk": sd.vk, "proof": proof4844})
+            source.set({"kind": "eip4844", "real": True, "proof": proof4844,
+                        "output_hash": rec["output_hash"]},
+                       "eip4844_proof", bi)
+            say(f"eip4844 blob {bi} proven (verified in-circuit by the "
+                "scheduler below)")
+
     # -- 1.-4. base + leaf + node + scheduler via the DAG --------------------
     # The WHOLE tower runs through run_dag (run_block tower=True): real
     # leaf/node/scheduler tasks with store-guarded skip-if-present resume
@@ -144,10 +170,11 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
                                 tower=True, recursion_cfg=recursion_cfg,
                                 leaf_arity=leaf_arity,
                                 block_number=block_number,
-                                eip4844_outputs=blob_outputs)
+                                eip4844_outputs=blob_outputs,
+                                eip4844_slots=eip4844_slots)
         base_setups = {t: ly.base_setup_for_type(t, geometry)
                        for t in chain_types}
-    say("tower proven through the DAG")
+    say("tower proven through the DAG (blob slots verified in-scheduler)")
 
     base_proofs: Dict[int, List[pk.PlonkishProof]] = {}
     for t in chain_types:
@@ -194,21 +221,6 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
                               ir=rigs[("node_final", t)][0],
                               cfg=recursion_cfg)
         say(f"tower[{t}]: {len(chunk_proofs)} leaves -> node")
-
-    # prove each blob's fold circuit (real, verified, recorded)
-    for bi, rec in enumerate(eip4844_records):
-        proof4844 = ly.prove_eip4844(rec["elements"], rec["x"],
-                                     n_elements=rec["n_elements"],
-                                     limb_bits=8, source=blk.source)
-        assert ly.verify_eip4844(rec["elements"], rec["x"], proof4844,
-                                 n_elements=rec["n_elements"],
-                                 limb_bits=8), \
-            f"eip4844 proof for blob {bi} failed verification"
-        rec["proof"] = proof4844
-        blk.source.set({"kind": "eip4844", "real": True, "proof": proof4844,
-                        "output_hash": rec["output_hash"]},
-                       "eip4844_proof", bi)
-        say(f"eip4844 blob {bi} proven (output bound in the scheduler aux)")
 
     srec = blk.source.get_scheduler_proof()
     assert srec is not None and srec.get("real"), \

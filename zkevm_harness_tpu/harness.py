@@ -57,7 +57,8 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
               recursion_cfg=None,
               leaf_arity: Optional[int] = None,
               block_number: int = 1,
-              eip4844_outputs=()) -> BlockProvingResult:
+              eip4844_outputs=(),
+              eip4844_slots=()) -> BlockProvingResult:
     """With `tower=True` the DAG's leaf/node/scheduler tasks are REAL
     proofs (not metadata): each leaf verifies its base-proof chunk
     in-circuit against the task's recursion-queue segment, nodes splice
@@ -66,7 +67,13 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
     waves apply to the whole tower (the reference's basic_test protocol,
     complex_tests/mod.rs:323-331,588-592). Tower tasks follow the same
     real-proof eligibility as base tasks ("full" = all types, "spot" =
-    spot_types)."""
+    spot_types).
+
+    `eip4844_slots`: per-blob dicts {"ir", "cfg", "vk", "proof"} of
+    already-proven blob fold proofs; the scheduler task grows one
+    in-circuit verifier slot per blob, so the block commitment attests the
+    blob openings (complex_tests/mod.rs:993-1007 parity). The fold proofs
+    are block-independent, so they are proven before the DAG runs."""
     geometry = geometry or testing_geometry()
     source = source or InMemoryDataSource()
 
@@ -116,7 +123,12 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
         8: (artifacts.ram_permutation.instances,
             artifacts.ram_permutation.challenges,
             geometry.cycles_per_ram_permutation),
-        10: (artifacts.storage_application.instances, None,
+        # type 10: the decomposer's (read, write) pairs FLATTEN into
+        # individual path instances so the recursion tower verifies each
+        # path proof as one leaf slot (queue order read_i, write_i binds
+        # the pairing; root chaining is pinned by the PI root bits)
+        10: ([p for pair in artifacts.storage_application.instances
+              for p in pair], None,
              geometry.cycles_per_storage_application),
         9: (artifacts.storage_sorter.instances,
             artifacts.storage_sorter.challenges,
@@ -189,8 +201,8 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
                 w.invocations[0], p)),
         8: (lambda w, c, s: ly.prove_ram_instance(w, c[0], c[1], s),
             lambda w, c, p: ly.verify_ram_instance(w, c[0], c[1], p)),
-        10: (lambda w, c, s: ly.prove_storage_application_query(w, s),
-             lambda w, c, p: ly.verify_storage_application_query(w, p)),
+        10: (lambda w, c, s: ly.prove_storage_application_path(w, s),
+             lambda w, c, p: ly.verify_storage_application_path(w, p)),
         9: (lambda w, c, s: ly.prove_storage_instance(w, c[0], c[1], s),
             lambda w, c, p: ly.verify_storage_instance(w, c[0], c[1], p)),
         11: (lambda w, c, s: ly.prove_events_instance(
@@ -222,12 +234,25 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
         return prove_mode == "full" or (prove_mode == "spot"
                                         and base_t in spot_types)
 
-    def _leaf_rig(base_t: int, k: int):
-        key = ("leaf", base_t, k)
+    from .witness.recursion import RECURSION_ARITY
+    eff_arity = leaf_arity or RECURSION_ARITY
+
+    def _type_is_ragged(base_t: int) -> bool:
+        """A type whose queue splits into MULTIPLE chunks with a short
+        tail chunk needs ONE shared (padded) leaf circuit so all its
+        leaves — and hence the node's children — share a VK (the
+        reference's padding-proof protocol,
+        recursive_aggregation.rs:385-389)."""
+        n = artifacts.per_circuit[base_t].num_instances
+        return n > eff_arity and n % eff_arity != 0
+
+    def _leaf_rig(base_t: int, k: int, padded: bool = False):
+        key = ("leaf", base_t, k, padded)
         if key not in rigs:
             sd = ly.base_setup_for_type(base_t, geometry)
             b, lay = lc.synthesize_leaf(sd.ir, sd.config, arity=k,
-                                        base_circuit_type=base_t)
+                                        base_circuit_type=base_t,
+                                        padded=padded)
             built = b.finalize()
             setup = built.setup(rec_cfg)
             rigs[key] = (b, lay, built, setup, sd)
@@ -246,9 +271,22 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
         lw = task.payload
         base_t = lw.base_circuit_type
         chunk = [deps[d.key()]["proof"] for d in task.deps]
-        b, lay, built, setup, sd = _leaf_rig(base_t, len(chunk))
+        padded = _type_is_ragged(base_t)
+        synth_arity = eff_arity if padded else len(chunk)
+        b, lay, built, setup, sd = _leaf_rig(base_t, synth_arity, padded)
+        padding = None
+        if padded and len(chunk) < synth_arity:
+            # reference protocol: instance 0's proof is the type's padding
+            # proof (complex_tests/mod.rs:326,395)
+            prec = source.get_base_layer_proof(base_t, 0)
+            padding = prec["proof"] if prec else chunk[0]
+            if source.get_base_layer_padding_proof(base_t) is None:
+                source.set_base_layer_padding_proof(
+                    {"kind": "base_padding", "real": True,
+                     "proof": padding}, base_t)
         W = b.fill_witness(lc.leaf_assignments(lay, sd.vk, chunk,
-                                               queue_head=lw.queue_head))
+                                               queue_head=lw.queue_head,
+                                               padding_proof=padding))
         proof = pk.prove(built.ir, setup, W, rec_cfg)
         expect = lc.leaf_public_inputs(lay, sd.vk, chunk,
                                        queue_head=lw.queue_head)
@@ -261,14 +299,16 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
             "leaf tail diverged from its recursion-queue segment"
         rigs[("leaf_final", base_t)] = (built.ir, setup.vk())
         return {"kind": "leaf", "real": True, "circuit_type": base_t,
-                "proof": proof, "vk": setup.vk(), "arity": len(chunk),
+                "proof": proof, "vk": setup.vk(), "arity": synth_arity,
+                "num_real": len(chunk),
                 "public_inputs": proof.public_inputs}
 
     def _ensure_leaf_final(base_t: int, k: int, vk):
         """Re-synthesize the leaf rig after a resume skipped the leaf task
-        (synthesis is deterministic in (base ir, cfg, arity))."""
+        (synthesis is deterministic in (base ir, cfg, arity, raggedness))."""
         if ("leaf_final", base_t) not in rigs:
-            _b, _lay, built, setup, _sd = _leaf_rig(base_t, k)
+            _b, _lay, built, setup, _sd = _leaf_rig(
+                base_t, k, _type_is_ragged(base_t))
             assert setup.vk() == list(vk), \
                 "resumed leaf VK does not match the re-synthesized circuit"
             rigs[("leaf_final", base_t)] = (built.ir, setup.vk())
@@ -285,7 +325,8 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
             child_ir, _ = rigs[("node_final", base_t)]
         child_vk = children[0]["vk"]
         assert all(c["vk"] == child_vk for c in children), \
-            "node children must share one VK (pad ragged leaf chunks)"
+            "node children must share one VK (ragged chunks synthesize " \
+            "padded leaves at the fixed arity, so this cannot fire)"
         child_proofs = [c["proof"] for c in children]
         nb, nlay, nbuilt, nsetup = _node_rig(base_t, len(children),
                                              child_ir)
@@ -321,17 +362,23 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
                 assert nsetup.vk() == list(node_recs[t]["vk"])
                 rigs[("node_final", t)] = (nbuilt.ir, nsetup.vk())
         shapes = [(rigs[("node_final", t)][0], rec_cfg) for t in real_types]
+        blob_shapes = [(s["ir"], s["cfg"]) for s in eip4844_slots]
+        blob_vks = [s["vk"] for s in eip4844_slots]
+        blob_prfs = [s["proof"] for s in eip4844_slots]
         sb, slay = sc_circ.synthesize_scheduler_multi(
-            shapes, type_ids=tuple(real_types), aux_len=len(aux))
+            shapes, type_ids=tuple(real_types), aux_len=len(aux),
+            blob_children=blob_shapes)
         sbuilt = sb.finalize()
         node_vks = [node_recs[t]["vk"] for t in real_types]
         node_prfs = [node_recs[t]["proof"] for t in real_types]
         sW = sb.fill_witness(sc_circ.scheduler_multi_assignments(
-            slay, node_vks, node_prfs, block_number, aux))
+            slay, node_vks, node_prfs, block_number, aux,
+            blob_vks=blob_vks, blob_proofs=blob_prfs))
         ssetup = sbuilt.setup(rec_cfg)
         proof = pk.prove(sbuilt.ir, ssetup, sW, rec_cfg)
         sched_pi = sc_circ.scheduler_multi_public_inputs(
-            slay, node_vks, node_prfs, block_number, aux)
+            slay, node_vks, node_prfs, block_number, aux,
+            blob_vks=blob_vks, blob_proofs=blob_prfs)
         assert [int(v) for v in proof.public_inputs] == \
             [int(v) % P for v in sched_pi], "scheduler PI mismatch"
         assert pk.verify(sbuilt.ir, ssetup.vk(), proof, rec_cfg), \
@@ -340,6 +387,7 @@ def run_block(code: Sequence[isa.Instruction], entry_address: int = 0xAA,
         return {"kind": "scheduler", "real": True, "proof": proof,
                 "vk": ssetup.vk(), "types": real_types,
                 "public_inputs": proof.public_inputs,
+                "num_blob_slots": len(eip4844_slots),
                 "scheduler_pi": [int(v) % P for v in sched_pi]}
 
     def prove_fn(task: sch.ProofTask, deps):

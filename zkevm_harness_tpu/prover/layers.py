@@ -800,12 +800,13 @@ def verify_ecrecover_invocation(inv, proof, vk=None) -> bool:
 
 
 def storage_application_setup_data(
-        psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG, source=None
-        ) -> Tuple[SetupData, sappcirc.PathGeometry]:
-    """Type-10 setup: one depth-256 Blake2s path per proof (production
-    scale: 3084 rows x ~2.9k columns; proving runs on TPU)."""
-    geo = sappcirc.PathGeometry(depth=256)
-    key = ("base_storage_app", geo.log_n) + _cfg_key()
+        psc: ProofSystemConfig = BASE_LAYER_PROOF_CONFIG, source=None,
+        depth: int = 256) -> Tuple[SetupData, sappcirc.PathGeometry]:
+    """Type-10 setup: one Blake2s path per proof at the state-tree depth
+    (production 256: 3084 rows x ~2.9k columns, proving runs on TPU;
+    reduced depths are the testing-geometry analogue)."""
+    geo = sappcirc.PathGeometry(depth=depth)
+    key = ("base_storage_app", depth, geo.log_n) + _cfg_key()
     if key not in _SETUP_CACHE:
         ir = sappcirc.path_ir(geo)
         cfg = _engine_config(psc)
@@ -820,9 +821,10 @@ def storage_application_setup_data(
 
 
 def prove_storage_application_path(inst, source=None):
-    """Prove ONE PathInstanceInputs (type 10): a depth-256 Blake2s Merkle
-    opening of the state tree."""
-    sd, geo = storage_application_setup_data(source=source)
+    """Prove ONE PathInstanceInputs (type 10): a Blake2s Merkle opening of
+    the state tree at the instance's depth (production 256)."""
+    sd, geo = storage_application_setup_data(source=source,
+                                             depth=len(inst.path_bits))
     witness = sappcirc.path_witness(sd.ir, geo, inst)
     proof = pk.prove(sd.ir, sd.setup, witness, sd.config)
     expected = sappcirc.expected_public_inputs(geo, inst)
@@ -858,7 +860,7 @@ def verify_storage_application_query(pair, qproof) -> bool:
 
 
 def verify_storage_application_path(inst, proof, vk=None) -> bool:
-    sd, geo = storage_application_setup_data()
+    sd, geo = storage_application_setup_data(depth=len(inst.path_bits))
     expected = sappcirc.expected_public_inputs(geo, inst)
     if [int(x) for x in proof.public_inputs] != \
             [int(x) % pk.gl.P for x in expected]:
@@ -975,10 +977,10 @@ def real_base_instance_public_inputs(ctype: int, inst_w, challenges,
             _ecrecover_program(), h, inv.r % eccirc.SECP_N,
             inv.s % eccirc.SECP_N, inv.recovered_point)
     if ctype == int(BaseLayerCircuitType.STORAGE_APPLICATION):
-        geo = sappcirc.PathGeometry(depth=256)
-        read_inst, write_inst = inst_w
-        return (sappcirc.expected_public_inputs(geo, read_inst)
-                + sappcirc.expected_public_inputs(geo, write_inst))
+        # instances are individual PATHS (read/write flattened) so the
+        # recursion tower can verify each as one proof slot
+        geo = sappcirc.PathGeometry(depth=len(inst_w.path_bits))
+        return sappcirc.expected_public_inputs(geo, inst_w)
     raise KeyError(ctype)
 
 
@@ -1008,7 +1010,8 @@ def base_setup_for_type(ctype: int, geometry) -> SetupData:
     if ctype == 9:
         return storage_setup_data(g.cycles_per_storage_sorter)[0]
     if ctype == 10:
-        return storage_application_setup_data()[0]
+        return storage_application_setup_data(
+            depth=getattr(g, "storage_tree_depth", 256))[0]
     if ctype in (11, 12):
         return events_setup_data(g.cycles_per_events_or_l1_messages_sorter,
                                  circuit_type=ctype)[0]

@@ -181,7 +181,10 @@ def build_closed_form(ctype: int, inst_w, challenges, is_first: bool,
                          int.from_bytes(inv.msg_hash, "big") % P])
         return ClosedFormInput(is_first, is_last, (), tuple(obs_out), (), ())
 
-    if t == 10:  # storage application: read/write path pair, no FSM
+    if t == 10:  # storage application: one Merkle PATH per instance
+        # (read/write flattened for the tower); the queue digest binds the
+        # full PI vector incl. leaf/path/root bits, so root chaining is
+        # pinned by the recursion queue contents
         return ClosedFormInput(is_first, is_last, (), (), (), ())
 
     raise KeyError(ctype)

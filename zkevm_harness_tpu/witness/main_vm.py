@@ -432,6 +432,10 @@ def draw_vm_challenges(rows: Sequence[VmRow], geo: VmGeometry
     # (np.asarray(list, object) + .astype(uint64) was ~5 s at 500k elements)
     arr = (np.fromiter(flat, dtype=np.uint64, count=len(flat)) if flat
            else np.zeros(1, dtype=np.uint64))
+    # gl.from_u64 requires canonical (< P) input and does not reduce; a
+    # missed `% P` above must fail loudly, not corrupt the FS digest
+    if flat and int(arr.max()) >= P:
+        raise ValueError("draw_vm_challenges: non-canonical fingerprint limb")
     digest = gl.to_ints(p2.hash_elements(gl.from_u64(arr)))
     tr.absorb_ints([int(v) for v in digest] + [len(rows)])
     return (tr.challenge_base(), tr.challenge_base(), tr.challenge_base(),

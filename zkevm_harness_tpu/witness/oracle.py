@@ -202,7 +202,7 @@ def create_artifacts_from_tracer(tracer: WitnessTracer,
     from ..witness.storage_application import (
         compute_storage_application_artifacts, storage_key_to_index)
     from ..witness.tree import SparseStorageTree
-    pre_tree = SparseStorageTree()
+    pre_tree = SparseStorageTree(depth=getattr(g, "storage_tree_depth", 256))
     for (shard, address, key), value in sorted(
             (initial_storage or {}).items()):
         if shard == 0 and value:

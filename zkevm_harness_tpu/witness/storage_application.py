@@ -58,9 +58,10 @@ def path_circuit_instances(qw: "StorageApplicationQueryWitness"):
     pre-state leaf under the pre-root, the write path proves the post
     leaf under the post-root with the SAME siblings."""
     from ..circuits.storage_application_circuit import PathInstanceInputs
-    from .tree import DEPTH, index_to_int
+    from .tree import index_to_int
     idx = index_to_int(qw.index)
-    bits = [(idx >> level) & 1 for level in range(DEPTH)]
+    depth = len(qw.read_path)  # tree depth (production 256; tests reduce)
+    bits = [(idx >> level) & 1 for level in range(depth)]
     read_inst = PathInstanceInputs(
         leaf_preimage=(qw.leaf_before[0].to_bytes(8, "big")
                        + qw.leaf_before[1]),

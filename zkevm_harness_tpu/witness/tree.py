@@ -64,15 +64,20 @@ class LeafQuery:
 
 
 class SparseStorageTree:
-    """In-memory sparse tree; only touched nodes are materialized."""
+    """In-memory sparse tree; only touched nodes are materialized.
 
-    def __init__(self):
+    `depth` defaults to the production 256; reduced depths give the SAME
+    hashing rules over a shallower tree (the testing-geometry analogue for
+    the type-10 circuit, whose per-path cost is depth-proportional)."""
+
+    def __init__(self, depth: int = DEPTH):
+        self.depth = depth
         self.next_enumeration_index = 1
         self.leafs: Dict[int, StorageLeaf] = {}
-        self.layers: List[Dict[int, bytes]] = [dict() for _ in range(DEPTH)]
+        self.layers: List[Dict[int, bytes]] = [dict() for _ in range(depth)]
         self.empty_hashes: List[bytes] = []
         cur = leaf_hash(0, b"\x00" * 32)
-        for _ in range(DEPTH):
+        for _ in range(depth):
             self.empty_hashes.append(cur)
             cur = node_hash(cur, cur)
         self.root = cur
@@ -87,7 +92,8 @@ class SparseStorageTree:
     def get_leaf(self, index: bytes) -> LeafQuery:
         idx = index_to_int(index)
         leaf = self.leafs.get(idx, StorageLeaf())
-        path = [self._node(level, idx ^ (1 << level)) for level in range(DEPTH)]
+        path = [self._node(level, idx ^ (1 << level))
+                for level in range(self.depth)]
         return LeafQuery(leaf=leaf, first_write=False, index=index,
                          merkle_path=path)
 
@@ -103,7 +109,7 @@ class SparseStorageTree:
         leaf = self.leafs[idx]
         cur = leaf_hash(leaf.index, leaf.value)
         path = []
-        for level in range(DEPTH):
+        for level in range(self.depth):
             self._set_node(level, idx, cur)
             sib = self._node(level, idx ^ (1 << level))
             path.append(sib)
@@ -143,7 +149,7 @@ class SparseStorageTree:
     def verify_inclusion(root: bytes, query: LeafQuery) -> bool:
         idx = index_to_int(query.index)
         cur = leaf_hash(query.leaf.index, query.leaf.value)
-        for level in range(DEPTH):
+        for level in range(len(query.merkle_path)):
             sib = query.merkle_path[level]
             if (idx >> level) & 1:
                 cur = node_hash(sib, cur)
