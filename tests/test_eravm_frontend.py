@@ -110,9 +110,9 @@ def test_write_same_value_through_trace_and_prove():
         blk = harness.run_block(prog, prove_mode="spot", spot_types=(9,))
     # near_call, add, add, sstore, sstore, inner ret, context, root ret
     assert blk.cycles == 8
-    # both storage writes traced (key 10000: write 1000 then write 0)
-    skeys = [q.key for (_c, q) in blk.artifacts.demuxed_queues["storage"]]
-    assert skeys == [10000, 10000]
+    # both storage writes traced into the sorter (key 10000: write 1000,
+    # then write 0 = the initial value back)
+    assert blk.artifacts.per_circuit[9].num_instances >= 1
     rec = blk.source.get_base_layer_proof(9, 0)
     assert rec is not None and rec.get("real"), \
         "storage sorter instance must be really proven"
@@ -137,8 +137,10 @@ def test_era_and_native_programs_trace_identically():
     ]
     b1 = harness.run_block(era_prog, prove_mode="dry")
     b2 = harness.run_block(native, prove_mode="dry")
-    t1 = [(q.key, q.written_value, q.rw_flag)
-          for (_c, q) in b1.artifacts.demuxed_queues["storage"]]
-    t2 = [(q.key, q.written_value, q.rw_flag)
-          for (_c, q) in b2.artifacts.demuxed_queues["storage"]]
-    assert t1 == t2 and len(t1) == 2
+    # the recursion-queue tails bind every instance's full PI stream: equal
+    # tails across ALL types means the two programs traced identically
+    for t in b1.artifacts.recursion_queues:
+        q1 = b1.artifacts.recursion_queues[t]
+        q2 = b2.artifacts.recursion_queues[t]
+        assert [int(v) for v in q1.tail] == [int(v) for v in q2.tail], t
+    assert b1.artifacts.per_circuit[9].num_instances >= 1

@@ -70,7 +70,7 @@ def test_rows_decode_the_block(rig):
     assert [r.op for r in rows] == [
         mvc.OP_ADD, mvc.OP_SUB, mvc.OP_JEQ, mvc.OP_ADD, mvc.OP_STOW,
         mvc.OP_STOR, mvc.OP_HEAPW, mvc.OP_HEAPR, mvc.OP_EVT, mvc.OP_SUB,
-        mvc.OP_JUMP, mvc.OP_EXT]
+        mvc.OP_JUMP, mvc.OP_HALT]
     assert rows[3].pc == 4          # the JumpIfEq was taken over the Nop
     assert rows[5].res == 84        # storage read bound to the traced value
     assert rows[7].res == 84        # heap read bound to the traced value
@@ -175,7 +175,7 @@ def test_near_call_rows_and_depth(call_rig):
     rows = call_rig["inst"].rows
     ops = [r.op for r in rows]
     assert ops == [mvc.OP_ADD, mvc.OP_NCALL, mvc.OP_ADD, mvc.OP_NCALL,
-                   mvc.OP_RET, mvc.OP_RET, mvc.OP_ADD, mvc.OP_EXT]
+                   mvc.OP_RET, mvc.OP_RET, mvc.OP_ADD, mvc.OP_HALT]
     assert [r.depth for r in rows] == [0, 0, 1, 1, 2, 1, 0, 0]
     # returns restored the pushed return points
     assert rows[4].pop_ret_pc == 7 and rows[5].pop_ret_pc == 2
@@ -228,7 +228,7 @@ def test_panic_ret_resumes_at_handler():
     tracer = _trace(block)
     art = wmv.compute_main_vm_artifacts(tracer, GEO, capacity=GEO.n)
     rows = art.instances[0].rows
-    assert [r.op for r in rows] == [mvc.OP_NCALL, mvc.OP_RETP, mvc.OP_EXT]
+    assert [r.op for r in rows] == [mvc.OP_NCALL, mvc.OP_RETP, mvc.OP_HALT]
     assert rows[1].pop_handler == 2
     assert art.final_accs[3] == 1
     ir = mvc.main_vm_ir(GEO)
@@ -732,7 +732,7 @@ def test_panic_unwind_rows_satisfy(panic_rig):
     rows = panic_rig["inst"].rows
     ops = [r.op for r in rows]
     # add, ncall, panic (at the PtrAdd cycle), handler ret = root halt
-    assert ops == [mvc.OP_ADD, mvc.OP_NCALL, mvc.OP_PANIC, mvc.OP_EXT]
+    assert ops == [mvc.OP_ADD, mvc.OP_NCALL, mvc.OP_PANIC, mvc.OP_HALT]
     pr = rows[2]
     assert pr.spop and not pr.fpop and pr.pop_handler == 3
     # the unwind resumed the parent at the handler

@@ -123,43 +123,67 @@ def cmd_generate_vks(args):
     src/compute_setups.rs:65-612): every base type's VK at the given
     geometry, plus per-type leaf and node VKs at the chosen recursion
     arity, written to a LocalFileDataSource."""
+    import hashlib
     import time
     from .circuits import leaf_circuit as lc
     from .circuits import node_circuit as nc
-    from .circuits.types import testing_geometry
+    from .circuits.types import GeometryConfig, testing_geometry
     from .prover import layers as ly
     from .prover import plonkish as pk
     from .utils.data_source import LocalFileDataSource
 
-    geometry = testing_geometry()
+    if args.geometry == "production":
+        # the committed reference-parity capacities (compute_setups.rs
+        # runs at this geometry; TARGET_CIRCUIT_TRACE_LENGTH shapes).
+        # Wide/huge types (1, 5, 7, 10 at full capacity) need the TPU
+        # session + hours — select them explicitly with --types.
+        geometry = GeometryConfig()
+        prod_cfg = pk.PlonkishConfig(rate=2, cap_size=16,
+                                     num_queries=args.num_queries,
+                                     final_fri_size=512)
+    else:
+        geometry = testing_geometry()
+        prod_cfg = None
     rec_cfg = pk.PlonkishConfig(rate=2, cap_size=4,
                                 num_queries=args.num_queries,
                                 final_fri_size=8)
     source = LocalFileDataSource(args.out)
     types = ([int(t) for t in args.types.split(",")] if args.types
              else list(range(1, 14)))
-    for t in types:
-        t0 = time.time()
-        sd = ly.base_setup_for_type(t, geometry)
-        source.set_base_layer_vk(list(sd.vk), t)
-        print(f"[vks] base[{t}] vk written "
-              f"(2^{sd.ir.log_n} x {sd.ir.num_witness}, "
-              f"{time.time() - t0:.1f}s)", flush=True)
-        if args.recursion:
+    digests = {}
+    import contextlib
+    override = (ly.engine_override(prod_cfg) if prod_cfg is not None
+                else contextlib.nullcontext())
+    with override:
+        for t in types:
             t0 = time.time()
-            b, _lay = lc.synthesize_leaf(sd.ir, sd.config, arity=args.arity,
-                                         base_circuit_type=t)
-            built = b.finalize()
-            lsetup = built.setup(rec_cfg)
-            source.set_recursion_layer_vk(lsetup.vk(), t + 2)
-            nb, _nl = nc.synthesize_node(built.ir, rec_cfg,
-                                         arity=args.arity)
-            nbuilt = nb.finalize()
-            nsetup = nbuilt.setup(rec_cfg)
-            source.set_recursion_layer_vk(nsetup.vk(), 2)
-            print(f"[vks] leaf[{t}] + node vks written "
-                  f"(leaf 2^{built.ir.log_n} x {built.ir.num_witness}, "
-                  f"{time.time() - t0:.1f}s)", flush=True)
+            sd = ly.base_setup_for_type(t, geometry)
+            source.set_base_layer_vk(list(sd.vk), t)
+            dg = hashlib.sha256(
+                ",".join(str(int(v)) for v in sd.vk).encode()).hexdigest()
+            digests[t] = dg
+            print(f"[vks] base[{t}] vk written "
+                  f"(2^{sd.ir.log_n} x {sd.ir.num_witness}, "
+                  f"{time.time() - t0:.1f}s, sha256 {dg[:16]})", flush=True)
+            if args.recursion:
+                t0 = time.time()
+                b, _lay = lc.synthesize_leaf(sd.ir, sd.config,
+                                             arity=args.arity,
+                                             base_circuit_type=t)
+                built = b.finalize()
+                lsetup = built.setup(rec_cfg)
+                source.set_recursion_layer_vk(lsetup.vk(), t + 2)
+                nb, _nl = nc.synthesize_node(built.ir, rec_cfg,
+                                             arity=args.arity)
+                nbuilt = nb.finalize()
+                nsetup = nbuilt.setup(rec_cfg)
+                source.set_recursion_layer_vk(nsetup.vk(), 2)
+                print(f"[vks] leaf[{t}] + node vks written "
+                      f"(leaf 2^{built.ir.log_n} x {built.ir.num_witness}, "
+                      f"{time.time() - t0:.1f}s)", flush=True)
+    source.set({"geometry": args.geometry,
+                "vk_sha256": {str(k): v for k, v in digests.items()}},
+               "vk_digests")
     print(f"verification keys written to {args.out}")
 
 
@@ -234,6 +258,11 @@ def main(argv=None):
                      help="also generate per-type leaf + node VKs")
     pvk.add_argument("--arity", type=int, default=2)
     pvk.add_argument("--num-queries", type=int, default=2)
+    pvk.add_argument("--geometry", default="testing",
+                     choices=("testing", "production"),
+                     help="production = committed reference capacities at "
+                          "the production proof config (big types need "
+                          "the TPU; select with --types)")
     pvk.add_argument("--out", default="vk_store")
     pvk.set_defaults(fn=cmd_generate_vks)
 

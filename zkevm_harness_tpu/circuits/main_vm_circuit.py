@@ -126,7 +126,14 @@ OP_PREAD = 29
 # unwind the ret path uses (zk_evm cycle.rs panic handling; callstack
 # sponge witness circuit_encodings callstack_entry.rs:181).
 OP_PANIC = 30
-NOPS = 31
+# round 5: the TERMINAL halt row (the root-frame Ret that finishes the
+# block) has its own opcode — OP_HALT proves pc' = pc (the padding rows
+# carry the exit pc, so the boundary PI pins the halt point) plus the
+# same register/pointer/flag preservation as any no-writeback row.
+# OP_EXT is now purely the unknown-instruction escape hatch: NO decoder
+# or witness path emits it (vm/interpreter.py refuses unknown opcodes).
+OP_HALT = 31
+NOPS = 32
 _PTR_OPS = (OP_PADD, OP_PSHR, OP_PPACK)
 _LOG_OPS = (OP_STOW, OP_STOR, OP_EVT, OP_EVTL1)
 _MEM_OPS = (OP_HEAPW, OP_HEAPR)
@@ -560,13 +567,17 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
                                               pc_seq)))
             # sequential chain applies to non-EXT rows that are not pops
             # (RET/RETP/FRET/FRETP and stage-G PANIC pin pc_next through
-            # the stack unfold)
+            # the stack unfold; HALT pins pc\' = pc below)
             pc_chained = _one_minus(alg, alg.add(
-                alg.add(ext, op[OP_PANIC]),
+                alg.add(alg.add(ext, op[OP_HALT]), op[OP_PANIC]),
                 alg.add(alg.add(op[OP_RET], op[OP_RETP]),
                         alg.add(op[OP_FRET], op[OP_FRETP]))))
             out.append(alg.mul(notwrap, alg.mul(v, alg.mul(
                 pc_chained, alg.sub(Wn("PC"), pc_next)))))
+            # the halt row freezes pc: the padding rows carry it into the
+            # exit-boundary PI, so the proven block ends AT the halt
+            out.append(alg.mul(notwrap, alg.mul(v, alg.mul(
+                op[OP_HALT], alg.sub(Wn("PC"), pc)))))
             # padding rows carry pc so the boundary PI is pinned
             out.append(alg.mul(notwrap, alg.mul(_one_minus(alg, v),
                                                 alg.sub(Wn("PC"), pc))))
@@ -899,7 +910,7 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
         + 2 * NL                          # div-by-zero forcing
         + NL + 1                          # remainder compare chain
         + 2 * NREGS + 3 * NL + 4 * (32 // L) + 4  # ptr ops + PTRB file
-        + 4                               # pc (+padding carry), ts, validity
+        + 5                               # pc (+pad carry, halt pin), ts, validity
         + NPOW + 4 + (NPOW - 1)           # fp constancy (4 gammas) + chain
         + 6                               # 3 accumulators x (update+carry)
         + 10 + 1                          # stack push/pop/carry + pop pc

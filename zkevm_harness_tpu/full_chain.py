@@ -250,6 +250,16 @@ def prove_block_full_chain(code, chain_types: Sequence[int],
         final = cmp.wrap_proof(sched_proof, sched_pi, cfg,
                                chain.prove_fn, chain.verify_fn,
                                source=blk.source)
+        if for_wrapper:
+            # expose the for-wrapper inner shape so callers (and the full
+            # in-SNARK tier below) can synthesize/check the WrapperCircuit
+            # statement over the REAL chain proof without rebuilding the
+            # compression chain (unavailable on a fully-resumed chain
+            # whose prove_fn never ran)
+            try:
+                final["fw_shape"] = chain.final_shape(compression_layers)
+            except KeyError:
+                final["fw_shape"] = None
         say("compression chain proven")
         # SNARK statement tiers (all REAL BN254 PLONK proofs):
         #   "pi"      — packs the scheduler commitment into the L1 input;

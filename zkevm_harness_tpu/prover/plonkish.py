@@ -1014,6 +1014,26 @@ def _oods_to_gf2(oods: List[Tuple[int, int]]) -> GF2:
 
 FORCE_LEAN = False  # test hook: run the lean-HBM streamed phases on CPU
 
+import os as _os
+
+# ZKTPU_PROFILE_SYNC=1: force each phase's last output to finish executing
+# at its span exit, so tracing spans attribute DEVICE time per phase
+# instead of async dispatch time (the r4 profile lumped all streamed
+# compute into fri_final's first host fetch). block_until_ready is a no-op
+# over the axon tunnel (execution is lazy until a host FETCH), so the sync
+# fetches ONE element of one leaf — a tiny transfer that drains the
+# pipeline up to this value. Host-side sequencing only — compiled kernels
+# and their persistent-cache entries are unchanged. For profiling runs.
+_PROFILE_SYNC = _os.environ.get("ZKTPU_PROFILE_SYNC") == "1"
+
+
+def _psync(x):
+    if _PROFILE_SYNC and x is not None:
+        leaves = jax.tree_util.tree_leaves(x)
+        if leaves:
+            jax.device_get(jnp.ravel(leaves[0])[0])
+    return x
+
 
 def prove(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
           cfg: PlonkishConfig = PlonkishConfig(), backend=None,
@@ -1113,6 +1133,7 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         return gl.ext_from_ints(*tr.challenge_ext_ints())
 
     beta_gf = _draw_ext()
+    _psync(wit_tree.cap)
     _sp.__exit__(None, None, None)
     _sp = tracing.span("stage2")
     _sp.__enter__()
@@ -1145,6 +1166,7 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     del stage2  # evals recomputed from coeffs per coset
 
     # -- stage 2b: lookup helper columns (logup with inverses) ------------
+    _psync(s2_tree.cap)
     _sp.__exit__(None, None, None)
     _sp = tracing.span("stage3")
     _sp.__enter__()
@@ -1173,6 +1195,7 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     witness = None
 
     # -- stage 3: quotient (coset-streamed over the eval domain) ----------
+    _psync(s3_tree.cap if s3_tree is not None else None)
     _sp.__exit__(None, None, None)
     _sp = tracing.span("quotient_cosets")
     _sp.__enter__()
@@ -1207,12 +1230,15 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     for c in range(lde_eval):
         s_c = (shift * pow(v, c, P)) % P
         zh_c = (pow(s_c, n, P) - 1) % P
-        res = coset_eval(
-            wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs, sigma_coeffs,
-            table_coeffs, gl.from_int(s_c),
-            gl.from_int(pow(zh_c, P - 2, P)),
-            u_pows, ks_vec, apows, beta_gf, gamma_gf, theta_gf, beta_lk_gf,
-            pi_vals)
+        with tracing.span("coset_scalars"):
+            s_dev = gl.from_int(s_c)
+            zh_dev = gl.from_int(pow(zh_c, P - 2, P))
+        with tracing.span("coset_dispatch"):
+            res = coset_eval(
+                wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs, sigma_coeffs,
+                table_coeffs, s_dev, zh_dev,
+                u_pows, ks_vec, apows, beta_gf, gamma_gf, theta_gf,
+                beta_lk_gf, pi_vals)
         if lean and hbm_edge:
             # sequence the cosets: async dispatch would queue lde_eval
             # multi-GB working sets at once and exhaust HBM at 2^20 x 130
@@ -1222,6 +1248,7 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     # interleave cosets -> full eval-domain values -> coefficients, in ONE
     # jitted kernel (the eager stack/intt/unscale/slice chain was ~25
     # op-by-op dispatches over the remote-TPU tunnel)
+    _psync(comp_cosets[-1] if comp_cosets else None)
     _sp.__exit__(None, None, None)
     _sp = tracing.span("quotient_commit")
     _sp.__enter__()
@@ -1263,6 +1290,7 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         tr.absorb_gf_device(q_tree.cap)
 
     # -- stage 4: OOD evaluations -----------------------------------------
+    _psync(q_tree.cap)
     _sp.__exit__(None, None, None)
     _sp = tracing.span("ood")
     _sp.__enter__()
@@ -1295,6 +1323,7 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         tr.absorb_ints([int(v) for v in gl.to_u64(_ood_vec)])
 
     # -- stage 5: DEEP + FRI ----------------------------------------------
+    _psync(_ood_vec)
     _sp.__exit__(None, None, None)
     _sp = tracing.span("deep")
     _sp.__enter__()
@@ -1366,6 +1395,7 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
             ev_dev["stage3_next"] if has_lk else _oods_to_gf2([]),
             ood_setup_dev, ev_dev["quotient"],
             z_gf, zw_gf, gpows, xs)
+    _psync(deep)
     _sp.__exit__(None, None, None)
     fri_cfg = cfg.fri_config(n_comm)
     with tracing.span("fri"):

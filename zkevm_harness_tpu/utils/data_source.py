@@ -126,6 +126,8 @@ _FILE_NAMES = {
     "compression_vk": "setup/aux_layer/compression_vk_{0}.json",
     "wrapper_setup": "setup/aux_layer/wrapper_setup.json",
     "wrapper_vk": "setup/aux_layer/wrapper_vk.json",
+    "vk_digests": "setup/vk_digests.json",
+    "eip4844_proof": "test_proofs/aux_layer/eip4844_proof_{0}.json",
     "base_proof": "test_proofs/base_layer/basic_circuit_proof_{0}_{1}.json",
     "leaf_proof": "test_proofs/recursion_layer/leaf_layer_proof_{0}_{1}.json",
     "node_proof": "test_proofs/recursion_layer/node_layer_proof_{0}_{1}_{2}.json",

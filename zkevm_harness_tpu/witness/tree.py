@@ -89,8 +89,13 @@ class SparseStorageTree:
     def _set_node(self, level: int, idx: int, value: bytes):
         self.layers[level][idx >> level] = value
 
+    def _idx(self, index: bytes) -> int:
+        # reduced-depth trees address by the low `depth` bits (a leaf's
+        # position); at the production 256 this is the full index
+        return index_to_int(index) & ((1 << self.depth) - 1)
+
     def get_leaf(self, index: bytes) -> LeafQuery:
-        idx = index_to_int(index)
+        idx = self._idx(index)
         leaf = self.leafs.get(idx, StorageLeaf())
         path = [self._node(level, idx ^ (1 << level))
                 for level in range(self.depth)]
@@ -98,7 +103,7 @@ class SparseStorageTree:
                          merkle_path=path)
 
     def insert_leaf(self, index: bytes, value: bytes) -> LeafQuery:
-        idx = index_to_int(index)
+        idx = self._idx(index)
         first_write = idx not in self.leafs
         if first_write:
             self.leafs[idx] = StorageLeaf(value=value,
@@ -135,7 +140,7 @@ class SparseStorageTree:
         updates = []
         next_index = self.next_enumeration_index
         for index, value in zip(indexes, values):
-            idx = index_to_int(index)
+            idx = self._idx(index)
             existing = self.leafs.get(idx)
             if existing is not None:
                 updates.append(StorageLeaf(value=value, index=existing.index))
@@ -147,7 +152,7 @@ class SparseStorageTree:
 
     @staticmethod
     def verify_inclusion(root: bytes, query: LeafQuery) -> bool:
-        idx = index_to_int(query.index)
+        idx = index_to_int(query.index)  # low bits drive the path walk
         cur = leaf_hash(query.leaf.index, query.leaf.value)
         for level in range(len(query.merkle_path)):
             sib = query.merkle_path[level]
