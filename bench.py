@@ -233,9 +233,15 @@ def main():
     if headline is None:
         raise SystemExit(f"all bench shapes failed: {last_err}")
 
-    # secondary: the real-MainVM product metric (non-fatal)
-    if _tunnel_ready(600):
-        headline["secondary"] = _run_mainvm_child()
+    # secondary: the real-MainVM product metric (non-fatal). A wedged
+    # tunnel can take far longer than 10 min to heal (CLAUDE.md) — keep
+    # probing up to 30 min and RETRY the child once after a re-heal
+    # (BENCH_r04's secondary died exactly here)
+    if _tunnel_ready(1800):
+        sec = _run_mainvm_child()
+        if "error" in sec and _tunnel_ready(900):
+            sec = _run_mainvm_child()
+        headline["secondary"] = sec
     else:
         headline["secondary"] = {"error": "tunnel wedged before main_vm_real"}
     _emit(headline)

@@ -56,11 +56,63 @@ def _ram_instance(geo, seed=5):
     return rc.instance_inputs(art.instances[0], art.challenges)
 
 
+def arity32(inner_logn: int, queries: int):
+    """The production-ARITY axis: one leaf verifying 32 REAL base proofs
+    (RECURSION_ARITY=32, recursion_layer/mod.rs:25). Reduced FRI per slot
+    keeps the outer circuit within single-chip HBM; the 50-query soundness
+    axis is covered by the single-slot run (main)."""
+    cfg = pk.PlonkishConfig(rate=2, cap_size=4, num_queries=queries,
+                            final_fri_size=8)
+    log_n = inner_logn
+    ir = rc.ram_ir(log_n, 1)
+    geo = rc.RamGeometry(log_n, 1)
+    setup = rc.ram_setup(ir, geo, cfg)
+    proofs = []
+    t0 = time.time()
+    for i in range(32):
+        inst = _ram_instance(geo, seed=100 + i)
+        W = rc.ram_witness(ir, geo, inst)
+        p = pk.prove(ir, setup, W, cfg)
+        assert pk.verify(ir, setup.vk(), p, cfg)
+        proofs.append(p)
+        if i in (0, 31):
+            print(f"base[{i}] proven ({time.time()-t0:.1f}s cum)",
+                  flush=True)
+    t0 = time.time()
+    b, lay = lc.synthesize_leaf(ir, cfg, arity=32, base_circuit_type=8)
+    built = b.finalize()
+    print(f"arity-32 leaf synth {time.time()-t0:.1f}s -> "
+          f"2^{built.ir.log_n} x {built.ir.num_witness}", flush=True)
+    t0 = time.time()
+    vsetup = built.setup(cfg)
+    print(f"leaf setup {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    W = b.fill_witness(lc.leaf_assignments(lay, setup.vk(), proofs))
+    print(f"leaf fill {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    lproof = pk.prove(built.ir, vsetup, W, cfg)
+    print(f"leaf prove (cold) {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    lproof = pk.prove(built.ir, vsetup, W, cfg)
+    dt = time.time() - t0
+    assert pk.verify(built.ir, vsetup.vk(), lproof, cfg)
+    expect = lc.leaf_public_inputs(lay, setup.vk(), proofs)
+    assert [int(v) for v in lproof.public_inputs] == \
+        [int(v) % gl.P for v in expect]
+    print(f"ARITY32_LEAF_OK warm {dt:.1f}s "
+          f"(2^{built.ir.log_n} x {built.ir.num_witness})", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--inner-logn", type=int, default=14)
     ap.add_argument("--queries", type=int, default=50)
+    ap.add_argument("--arity32", action="store_true",
+                    help="prove ONE leaf over 32 real base proofs "
+                         "(reduced per-slot FRI) instead")
     args = ap.parse_args()
+    if args.arity32:
+        return arity32(8, 2)
 
     cfg = pk.PlonkishConfig(rate=2, cap_size=16, num_queries=args.queries,
                             final_fri_size=512)

@@ -155,17 +155,32 @@ def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig,
     unscale = gl.powers_dev_cached(pow(cur_shift, P - 2, P), n_f)
     c0 = gl.mul(c0, unscale)
     c1 = gl.mul(c1, unscale)
+    # ONE batched fetch for the final coefficients AND every layer cap:
+    # each gl.to_ints was its own tunnel round-trip (~0.2 s over the
+    # remote-TPU link), so the per-item loop cost ~12 RTTs per prove
+    fetch = {"c0": (c0.lo, c0.hi), "c1": (c1.lo, c1.hi)}
+    if backend is None:
+        for i, tree in enumerate(trees):
+            fetch[f"cap{i}"] = (tree.cap.lo, tree.cap.hi)
+    got = jax.device_get(fetch)
+
+    def _u64(pair):
+        lo, hi = (np.asarray(a, dtype=np.uint64) for a in pair)
+        return lo | (hi << np.uint64(32))
+
     final_coeffs = [(int(a), int(b))
-                    for a, b in zip(gl.to_ints(c0), gl.to_ints(c1))]
+                    for a, b in zip(_u64(got["c0"]), _u64(got["c1"]))]
     # one absorb call == one scanned permutation kernel; the per-pair loop
     # was n_f/4 sequential device permutes (same transcript state either
     # way — absorb_ints buffering is associative over call boundaries)
     tr.absorb_ints([v for pair in final_coeffs for v in pair])
 
-    # caps fetched once, after the transcript no longer needs the device
-    for tree in trees:
-        caps_np.append(np.asarray(tree.cap, dtype=object) if backend
-                       else gl.to_ints(tree.cap))
+    if backend is not None:
+        for tree in trees:
+            caps_np.append(np.asarray(tree.cap, dtype=object))
+    else:
+        for i in range(len(trees)):
+            caps_np.append(_u64(got[f"cap{i}"]))
 
     # queries
     positions = tr.query_indices(cfg.num_queries, n0)
@@ -190,13 +205,22 @@ def fri_prove(codeword: GF2, shift: int, tr: Transcript, cfg: FriConfig,
             staged.append((leaves, ("host", backend.open(tree, leaf_idx))))
         else:
             staged.append((leaves, ("dev", mk.open_indices(tree, leaf_idx))))
-    fetched = jax.device_get([(lv.lo, lv.hi) for lv, _p in staged])
-    for (lv, (kind, pth)), (lo, hi) in zip(staged, fetched):
+    # leaves AND device merkle paths in ONE fetch (per-layer gl.to_ints
+    # was one RTT per committed layer)
+    fetched = jax.device_get(
+        [((lv.lo, lv.hi),
+          (pth.lo, pth.hi) if kind == "dev" else None)
+         for lv, (kind, pth) in staged])
+    for (lv, (kind, pth)), ((lo, hi), pp) in zip(staged, fetched):
         lo = np.asarray(lo, dtype=np.uint64)
         hi = np.asarray(hi, dtype=np.uint64)
         leaves_np = (lo | (hi << np.uint64(32))).astype(object)
-        openings.append(FriLayerOpening(
-            leaves_np, pth if kind == "host" else gl.to_ints(pth)))
+        if kind == "dev":
+            plo, phi = (np.asarray(a, dtype=np.uint64) for a in pp)
+            paths_np = plo | (phi << np.uint64(32))
+        else:
+            paths_np = pth
+        openings.append(FriLayerOpening(leaves_np, paths_np))
 
     _sp.__exit__(None, None, None)
     return FriProof(caps=caps_np, final_poly=final_coeffs, openings=openings,

@@ -1471,13 +1471,23 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
             paths_dev[name] = ("host", backend.open(tree, idx_set))
         else:
             paths_dev[name] = ("dev", mk.open_indices(tree, idx_arr))
-    fetched = jax.device_get({name: (v.lo, v.hi)
-                              for name, v in vals_dev.items()})
+    # row values AND device merkle paths in ONE fetch (the per-tree
+    # gl.to_ints calls were one ~0.2 s tunnel round-trip each)
+    fetched = jax.device_get(
+        {name: ((v.lo, v.hi),
+                ((paths_dev[name][1].lo, paths_dev[name][1].hi)
+                 if paths_dev[name][0] == "dev" else None))
+         for name, v in vals_dev.items()})
     for name, _c, _t in all_trees:
-        lo, hi = (np.asarray(a, dtype=np.uint64) for a in fetched[name])
+        (vlo, vhi), pp = fetched[name]
+        lo, hi = (np.asarray(a, dtype=np.uint64) for a in (vlo, vhi))
         vals = lo | (hi << np.uint64(32))
         kind, pth_raw = paths_dev[name]
-        pth = pth_raw if kind == "host" else gl.to_ints(pth_raw)
+        if kind == "host":
+            pth = pth_raw
+        else:
+            plo, phi = (np.asarray(a, dtype=np.uint64) for a in pp)
+            pth = plo | (phi << np.uint64(32))
         openings[name] = {int(i): [int(v) for v in vals[k]]
                           for k, i in enumerate(idx_set)}
         paths[name] = {int(i): pth[k] for k, i in enumerate(idx_set)}
@@ -1490,10 +1500,22 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         s3_cap = (np.asarray(s3_tree.cap, dtype=object) if has_lk
                   else np.zeros((0,), dtype=object))
     else:
-        wit_cap = gl.to_ints(wit_tree.cap)
-        s2_cap = gl.to_ints(s2_tree.cap)
-        q_cap = gl.to_ints(q_tree.cap)
-        s3_cap = (gl.to_ints(s3_tree.cap) if has_lk
+        # one batched cap fetch (was 3-4 RTTs)
+        cap_fetch = {"w": (wit_tree.cap.lo, wit_tree.cap.hi),
+                     "s2": (s2_tree.cap.lo, s2_tree.cap.hi),
+                     "q": (q_tree.cap.lo, q_tree.cap.hi)}
+        if has_lk:
+            cap_fetch["s3"] = (s3_tree.cap.lo, s3_tree.cap.hi)
+        cap_got = jax.device_get(cap_fetch)
+
+        def _cap_u64(key):
+            lo, hi = (np.asarray(a, dtype=np.uint64) for a in cap_got[key])
+            return lo | (hi << np.uint64(32))
+
+        wit_cap = _cap_u64("w")
+        s2_cap = _cap_u64("s2")
+        q_cap = _cap_u64("q")
+        s3_cap = (_cap_u64("s3") if has_lk
                   else np.zeros((0, 4), dtype=object))
     return PlonkishProof(
         public_inputs=public_inputs,

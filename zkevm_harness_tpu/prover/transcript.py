@@ -168,10 +168,39 @@ class Transcript:
         return self._squeeze_one(), self._squeeze_one()
 
     def query_indices(self, count: int, domain_size: int) -> np.ndarray:
-        """`count` indices in [0, domain_size); domain_size a power of two."""
+        """`count` indices in [0, domain_size); domain_size a power of two.
+
+        Exactly the _squeeze_one chain, but the per-refill host fetch is
+        BATCHED: all refill states advance on device first, then ONE
+        device_get reads every needed lane (the per-refill fetch was one
+        ~0.2 s tunnel round-trip each — ceil(count/RATE) per FRI prove)."""
         mask = domain_size - 1
         assert domain_size & mask == 0
         out = np.empty(count, dtype=np.uint32)
+        staged = []  # (state, [(out_index, lane), ...]) in draw order
         for i in range(count):
-            out[i] = self._squeeze_one() & mask
+            if self._sq_idx >= RATE:
+                self._refill()
+            if self._sq_host is not None:
+                out[i] = self._sq_host[self._sq_idx] & mask
+            else:
+                if not staged or staged[-1][0] is not self._state:
+                    staged.append((self._state, []))
+                staged[-1][1].append((i, self._sq_idx))
+            self._sq_idx += 1
+        if staged:
+            import jax
+            got = jax.device_get([(st.lo, st.hi) for st, _ in staged])
+            last_vals = None
+            for (st, picks), (lo, hi) in zip(staged, got):
+                vals = (np.asarray(lo, dtype=np.uint64)
+                        | (np.asarray(hi, dtype=np.uint64) << np.uint64(32)))
+                for i, lane in picks:
+                    out[i] = int(vals[lane]) & mask
+                if st is self._state:
+                    last_vals = vals
+            if last_vals is not None:
+                # keep later scalar draws consistent with the cached-lane
+                # protocol (_squeeze_one would have set _sq_host)
+                self._sq_host = [int(v) for v in last_vals[:RATE]]
         return out
