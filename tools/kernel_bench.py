@@ -71,6 +71,19 @@ def main():
     results.append({"kernel": "poseidon2_permute", "perms_per_s": round(perms),
                     "sol_frac": round(perms / sol, 4)})
 
+    from zkevm_harness_tpu.ops import pallas_kernels as pks
+    if pks.HAVE_PALLAS and jax.default_backend() == "tpu":
+        # plumbing check: pallas VMEM-resident kernel vs the XLA scan path
+        want = gl.to_u64(p2._permute_xla(states))
+        got = gl.to_u64(pks.pallas_poseidon2_permute(states))
+        ok = bool(np.array_equal(want, got))
+        dt = bench_chained(pks.pallas_poseidon2_permute, states)
+        perms = (1 << 16) / dt
+        results.append({"kernel": "poseidon2_permute_pallas",
+                        "perms_per_s": round(perms),
+                        "sol_frac": round(perms / sol, 4),
+                        "matches_xla": ok})
+
     cols = gl.from_u64(rng.integers(0, 1 << 63, size=(16, 1 << 16),
                                     dtype=np.uint64))
     dt = bench_chained(nt.ntt, cols)

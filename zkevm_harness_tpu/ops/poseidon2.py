@@ -52,9 +52,24 @@ def _internal_linear(x: GF, diag: GF) -> GF:
                                           x.shape))
 
 
-@jax.jit
 def permute(state: GF) -> GF:
-    """Poseidon2 permutation on state (..., 12)."""
+    """Poseidon2 permutation on state (..., 12).
+
+    Dispatch is trace-time static: on TPU, batches that tile the Pallas
+    block go through the VMEM-resident kernel (all 30 rounds on-chip —
+    the scanned XLA path round-trips the (B, 12) carry through HBM every
+    round); everything else (CPU, small/ragged batches) keeps the scanned
+    XLA path. Both are bit-identical (tests/test_pallas.py) so proofs and
+    goldens do not depend on the route. Opt out: ZKTPU_PALLAS=0.
+    """
+    from . import pallas_kernels as pks
+    if pks.poseidon2_supported(state.shape):
+        return pks.pallas_poseidon2_permute(state)
+    return _permute_xla(state)
+
+
+@jax.jit
+def _permute_xla(state: GF) -> GF:
     assert state.shape[-1] == T
     ext_np, int_np, diag_np = _const_tables()
     ext_rc = gl.from_int(ext_np)          # (R_F, T)
