@@ -371,12 +371,59 @@ class CircuitBuilder:
                     out.append(alg.add(alg.add(t1, t2), t3))
             return out
 
+        def eval_plonk_part(alg, w, w_next, c):
+            out = []
+            for s in range(S):
+                a, b, o = w[3 * s], w[3 * s + 1], w[3 * s + 2]
+                qm, ql, qr, qo, qc = (c[5 * s + i] for i in range(5))
+                v = alg.add(alg.mul(qm, alg.mul(a, b)), alg.mul(ql, a))
+                v = alg.add(v, alg.mul(qr, b))
+                v = alg.add(v, alg.mul(qo, o))
+                out.append(alg.add(v, qc))
+            return out
+
+        def eval_tiles_part(alg, w, w_next, c):
+            out = []
+            rc = [c[5 * S + i] for i in range(T)]
+            s_lin, s_ext, s_int = (c[5 * S + T], c[5 * S + T + 1],
+                                   c[5 * S + T + 2])
+            for t in range(tiles):
+                base = p2_base + T * t
+                state = [w[base + i] for i in range(T)]
+                nxt = [w_next[base + i] for i in range(T)]
+                lin_out = p2c._external_linear_alg(alg, state)
+                sboxed = [p2c._pow7_alg(alg, alg.add(state[i], rc[i]))
+                          for i in range(T)]
+                ext_out = p2c._external_linear_alg(alg, sboxed)
+                s_prime = list(state)
+                s_prime[0] = sboxed[0]
+                int_out = p2c._internal_linear_alg(alg, s_prime, diag)
+                for i in range(T):
+                    t1 = alg.mul(s_lin, alg.sub(nxt[i], lin_out[i]))
+                    t2 = alg.mul(s_ext, alg.sub(nxt[i], ext_out[i]))
+                    t3 = alg.mul(s_int, alg.sub(nxt[i], int_out[i]))
+                    out.append(alg.add(alg.add(t1, t2), t3))
+            return out
+
+        # degree stratification (prover-only, proofs bit-identical —
+        # prover/plonkish._coset_fn_strat): the PLONK slot constraints are
+        # qm*a*b + linear -> degree 3 (quotient < 2n, 2 cosets); only the
+        # Poseidon2 tile rounds are degree 8 (selector * x^7)
+        parts = ((eval_plonk_part, eval_tiles_part) if tiles
+                 else (eval_plonk_part,))
+        counts = ((S, T * tiles) if tiles else (S,))
+        degs = ((3, 8) if tiles else (3,))
+        cols = ((tuple(range(3 * S)),
+                 tuple(range(p2_base, p2_base + T * tiles))) if tiles
+                else (tuple(range(3 * S)),))
         return pk.PlonkishIR(
             log_n=log_n, num_witness=num_witness, num_const=num_const,
             gate_degree=8 if tiles else 3,
             num_gate_constraints=S + T * tiles,
             eval_gates=eval_gates, copy_chunk=copy_chunk,
-            public_input_cells=pis)
+            public_input_cells=pis,
+            eval_gates_parts=parts, gate_part_counts=counts,
+            gate_part_degrees=degs, gate_part_cols=cols)
 
     # -- witness evaluation ------------------------------------------------
 

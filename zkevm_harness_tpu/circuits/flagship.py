@@ -34,6 +34,16 @@ def flagship_ir(log_n: int = 16, width: int = 32) -> pk.PlonkishIR:
                 alg.add_int(alg.mul(w[j - 1], w[j - 2]), j), w[j])))
         return out
 
+    def eval_sbox(alg, w, w_next, c):
+        return [alg.mul(c[0], alg.sub(alg.mul(alg.mul(
+            alg.mul(w[0], w[0]), alg.mul(w[0], w[0])),
+            alg.mul(alg.mul(w[0], w[0]), w[0])), w[1]))]
+
+    def eval_chain(alg, w, w_next, c):
+        return [alg.mul(c[0], alg.sub(
+            alg.add_int(alg.mul(w[j - 1], w[j - 2]), j), w[j]))
+            for j in chain]
+
     table = np.arange(min(1 << 16, 1 << log_n), dtype=object).reshape(-1, 1)
     return pk.PlonkishIR(
         log_n=log_n, num_witness=width, num_const=1, gate_degree=8,
@@ -42,6 +52,15 @@ def flagship_ir(log_n: int = 16, width: int = 32) -> pk.PlonkishIR:
         public_input_cells=((0, 0), (1, 0)),
         lookup_tables=(table,),
         lookup_sets=((0, (width - 1,)),),
+        # degree stratification (prover-only, bit-identical proofs): ONLY
+        # the S-box gate is degree 8; the mul-add chain is sel*w*w -> 3,
+        # so its quotient (< 2n) needs 2 of the 8 cosets, copy (chunk 4)
+        # needs 4, and lookup/boundary/PI need 1 — the bulk of the coset
+        # NTT + eval work runs on a fraction of the domain
+        eval_gates_parts=(eval_sbox, eval_chain),
+        gate_part_counts=(1, len(chain)),
+        gate_part_degrees=(8, 3),
+        gate_part_cols=((0, 1), tuple(range(1, width - 2))),
     )
 
 

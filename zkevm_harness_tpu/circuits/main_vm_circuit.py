@@ -969,14 +969,17 @@ def main_vm_ir(geo: VmGeometry) -> pk.PlonkishIR:
     for i in range(CH):
         lookup_sets.append((2, (off["VBC"] + i,)))
 
-    return pk.PlonkishIR(
+    # stratify: derived part degrees (2,4,4,6,4,6,5) put only two parts on
+    # the full 8-coset domain; everything else (incl. the full-width copy
+    # NTTs) runs on <= 4 cosets — proofs bit-identical (plonkish.stratify)
+    return pk.stratify(pk.PlonkishIR(
         log_n=geo.log_n, num_witness=off["_width"], num_const=NUM_CONST,
         gate_degree=6, num_gate_constraints=n_constraints,
         eval_gates=eval_gates, copy_chunk=4,
         public_input_cells=tuple(pis),
         lookup_tables=(table, xor_table, chunk_table),
         lookup_sets=tuple(lookup_sets),
-        eval_gates_parts=_parts, gate_part_counts=part_counts)
+        eval_gates_parts=_parts, gate_part_counts=part_counts))
 
 
 def _one_minus(alg, x):

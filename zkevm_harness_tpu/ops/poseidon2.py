@@ -52,15 +52,16 @@ def _internal_linear(x: GF, diag: GF) -> GF:
                                           x.shape))
 
 
-def permute(state: GF) -> GF:
+def _dispatching_permute(state: GF) -> GF:
     """Poseidon2 permutation on state (..., 12).
 
-    Dispatch is trace-time static: on TPU, batches that tile the Pallas
-    block go through the VMEM-resident kernel (all 30 rounds on-chip —
-    the scanned XLA path round-trips the (B, 12) carry through HBM every
-    round); everything else (CPU, small/ragged batches) keeps the scanned
-    XLA path. Both are bit-identical (tests/test_pallas.py) so proofs and
-    goldens do not depend on the route. Opt out: ZKTPU_PALLAS=0.
+    Dispatch is trace-time static: with ZKTPU_PALLAS=1 on TPU, batches
+    that tile the Pallas block go through the VMEM-resident kernel;
+    everything else uses the scanned XLA path (which XLA:TPU already
+    keeps VMEM-resident at prover batches — measured 27x FASTER than the
+    Pallas kernel, tools/kernel_bench.py, hence the opt-in default).
+    Both are bit-identical (tests/test_pallas.py) so proofs and goldens
+    do not depend on the route.
     """
     from . import pallas_kernels as pks
     if pks.poseidon2_supported(state.shape):
@@ -68,8 +69,12 @@ def permute(state: GF) -> GF:
     return _permute_xla(state)
 
 
+# the inner jitted computation must keep the NAME `permute`: nested pjit
+# computation names land in the persistent-cache key, and renaming it
+# invalidated every cached TPU prove kernel (observed 2026-08-20 — the
+# 2^19x130 commit kernel recompiled after a pure refactor)
 @jax.jit
-def _permute_xla(state: GF) -> GF:
+def permute(state: GF) -> GF:
     assert state.shape[-1] == T
     ext_np, int_np, diag_np = _const_tables()
     ext_rc = gl.from_int(ext_np)          # (R_F, T)
@@ -95,6 +100,10 @@ def _permute_xla(state: GF) -> GF:
     state, _ = jax.lax.scan(int_round, state, int_rc)
     state, _ = jax.lax.scan(ext_round, state, ext_rc[half:])
     return state
+
+
+_permute_xla = permute
+permute = _dispatching_permute
 
 
 # ---------------------------------------------------------------------------

@@ -79,6 +79,20 @@ class PlonkishIR:
     # on the fused MainVM graph (round 3).
     eval_gates_parts: "Optional[Tuple[Callable, ...]]" = None
     gate_part_counts: "Optional[Tuple[int, ...]]" = None
+    # optional DEGREE STRATIFICATION of the quotient (prover-only; the
+    # resulting quotient polynomial — and therefore the whole proof — is
+    # bit-identical, since a constraint family whose quotient has degree
+    # < D*n is exactly determined by its values on D cosets). Per gate
+    # part: its max algebraic degree in the (witness, const) polynomials
+    # (e.g. sel*w*w -> 3) and optionally the witness columns it reads
+    # (for skipping coset NTTs of unused bundles on high cosets). When
+    # gate_part_degrees is set the prover evaluates each family only on
+    # the ceil_pow2(degree-1) cosets it needs: copy chunks on
+    # ceil_pow2(copy_chunk), lookup/boundary/PI terms on ONE coset.
+    # Profiled motivation: coset NTTs were 5.8 s of the 7.6 s quotient
+    # phase at 2^19 x 130 (BASELINE.md round-5).
+    gate_part_degrees: "Optional[Tuple[int, ...]]" = None
+    gate_part_cols: "Optional[Tuple[Optional[Tuple[int, ...]], ...]]" = None
 
 
 @dataclasses.dataclass
@@ -802,25 +816,489 @@ def _coset_fn(ir: PlonkishIR):
             eager = jax.default_backend() == "cpu"
             hbm_edge = (wit_coeffs.shape[-1] * wit_coeffs.shape[0]
                         >= (1 << 20) * 100)
-            wit_ev, s2_ev, s3_ev, const_ev, sigma_ev, table_ev = \
-                (f_evals if eager else jf_evals)(
-                    wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs,
-                    sigma_coeffs, table_coeffs, s_c)
-            g = None
-            for f_eager, f_jit in zip(gate_fns, jf_gate_fns):
-                part = (f_eager if eager else f_jit)(
-                    wit_ev, const_ev, s_c, zh_inv, u_pows, apows,
-                    pi_vals)
-                if not eager and hbm_edge:
-                    part = jax.block_until_ready(part)  # cap HBM liveness
-                g = part if g is None else gl.ext_add(g, part)
-            r = (f_rest if eager else jf_rest)(
-                wit_ev, s2_ev, s3_ev, sigma_ev, table_ev,
-                s_c, zh_inv, u_pows, ks_vec, apows, beta, gamma, theta,
-                beta_lk)
-            return gl.ext_add(g, r)
+            # sub-spans + _psync: host-side only (the jitted kernels and
+            # their cache entries are untouched); under ZKTPU_PROFILE_SYNC
+            # they decompose the quotient phase into NTT / gates / rest
+            with tracing.span("coset_ntts"):
+                wit_ev, s2_ev, s3_ev, const_ev, sigma_ev, table_ev = \
+                    (f_evals if eager else jf_evals)(
+                        wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs,
+                        sigma_coeffs, table_coeffs, s_c)
+                _psync(wit_ev)
+            with tracing.span("coset_gates"):
+                g = None
+                for f_eager, f_jit in zip(gate_fns, jf_gate_fns):
+                    part = (f_eager if eager else f_jit)(
+                        wit_ev, const_ev, s_c, zh_inv, u_pows, apows,
+                        pi_vals)
+                    if not eager and hbm_edge:
+                        part = jax.block_until_ready(part)  # cap HBM live
+                    g = part if g is None else gl.ext_add(g, part)
+                _psync(g)
+            with tracing.span("coset_rest"):
+                r = (f_rest if eager else jf_rest)(
+                    wit_ev, s2_ev, s3_ev, sigma_ev, table_ev,
+                    s_c, zh_inv, u_pows, ks_vec, apows, beta, gamma, theta,
+                    beta_lk)
+                out = gl.ext_add(g, r)
+                _psync(out)
+            return out
 
         _PHASE_CACHE[key] = call
+    return _PHASE_CACHE[key]
+
+
+def _ceil_pow2(x: int) -> int:
+    return 1 << max(0, (int(x) - 1).bit_length())
+
+
+class _DegAlg:
+    """Degree/column-support tracing algebra.
+
+    Values are (degree, frozenset of witness cols). Witness and const
+    columns are degree-1 polynomials (deg <= n-1); scalar int constants
+    are degree 0. add/sub take the max (exact upper bound), mul sums —
+    conservative upper bounds, so a derived class size can only be >= the
+    true requirement (never unsound)."""
+
+    def add(self, a, b):
+        return (max(a[0], b[0]), a[1] | b[1])
+
+    sub = add
+
+    def mul(self, a, b):
+        return (a[0] + b[0], a[1] | b[1])
+
+    def mul_int(self, a, c):
+        return a
+
+    add_int = mul_int
+
+
+def derive_gate_part_meta(ir: PlonkishIR):
+    """(gate_part_degrees, gate_part_cols) derived by tracing each gate
+    part with _DegAlg — the mechanical route to stratification for large
+    hand-built gate sets (MainVM etc.). Use with dataclasses.replace."""
+    parts = ir.eval_gates_parts or (ir.eval_gates,)
+    alg = _DegAlg()
+    w = [(1, frozenset([j])) for j in range(ir.num_witness)]
+    c = [(1, frozenset()) for _ in range(ir.num_const)]
+    degs = []
+    cols = []
+    for pf in parts:
+        outs = pf(alg, w, w, c)
+        degs.append(max([d for d, _cc in outs], default=1))
+        support = frozenset().union(*[cc for _d, cc in outs]) if outs \
+            else frozenset()
+        cols.append(tuple(sorted(support)))
+    return tuple(degs), tuple(cols)
+
+
+def stratify(ir: PlonkishIR) -> PlonkishIR:
+    """Opt a circuit into degree-stratified quotient evaluation with
+    automatically derived per-part degrees and column support. Proofs are
+    bit-identical (tests/test_stratified_quotient.py)."""
+    degs, cols = derive_gate_part_meta(ir)
+    assert max(degs) <= ir.gate_degree, (degs, ir.gate_degree)
+    return dataclasses.replace(ir, gate_part_degrees=degs,
+                               gate_part_cols=cols)
+
+
+def _coset_fn_strat(ir: PlonkishIR, lde_eval: int):
+    """Degree-STRATIFIED constraint composition (PlonkishIR.gate_part_degrees).
+
+    Each constraint family's quotient contribution C(x)/Z_H(x) has degree
+    < (d-1)*n for a degree-d family, so it is exactly determined by its
+    values on ceil_pow2(d-1) cosets of the n-domain — evaluating it on all
+    lde_eval cosets (what _coset_fn does) is redundant work. This variant
+    evaluates each family only on the cosets its degree needs:
+
+      gate part p (declared degree d_p)      -> ceil_pow2(d_p - 1) cosets
+      copy chunks (degree copy_chunk + 1)    -> ceil_pow2(copy_chunk)
+      lookup + boundary + PI (quotient < n)  -> ONE coset
+
+    The per-class coefficient vectors (INTT over the class's own coset
+    domain) sum to the IDENTICAL total quotient polynomial — proofs and
+    goldens are bit-equal to the unstratified path (pinned by
+    tests/test_stratified_quotient.py). Profiled motivation: coset NTTs
+    were 5.8 s of the 7.6 s quotient phase at 2^19 x 130.
+
+    Returns (call, class_Ds) where call(c, ...) -> {D: GF2 contribution at
+    coset c} and class_Ds is the sorted set of distinct class sizes.
+    """
+    key = ("coset_strat", id(ir), lde_eval)
+    if key in _PHASE_CACHE:
+        return _PHASE_CACHE[key]
+
+    chunks = _copy_chunks(ir.num_witness, ir.copy_chunk)
+    has_lk = bool(ir.lookup_sets)
+    n_tables = len(ir.lookup_tables)
+    tslices = _table_col_slices(ir)
+    alg = DeviceAlgebra()
+    w_gen_cached = gl.primitive_root_of_unity(ir.log_n)
+    G = ir.num_gate_constraints
+    C = len(chunks)
+    L = (len(ir.lookup_sets) + n_tables + 1) if has_lk else 0
+    b_z = G + C + L
+    pi_off = b_z + 1 + (1 if has_lk else 0)
+    nw = ir.num_witness
+
+    # ---- class table ----------------------------------------------------
+    if ir.eval_gates_parts is not None:
+        part_fns = list(ir.eval_gates_parts)
+        part_counts = list(ir.gate_part_counts)
+    else:
+        part_fns = [ir.eval_gates]
+        part_counts = [G]
+    part_degs = list(ir.gate_part_degrees)
+    assert len(part_degs) == len(part_fns), "one degree per gate part"
+    part_cols = (list(ir.gate_part_cols) if ir.gate_part_cols is not None
+                 else [None] * len(part_fns))
+    part_offs = [0]
+    for cnt in part_counts[:-1]:
+        part_offs.append(part_offs[-1] + cnt)
+    part_D = [min(lde_eval, _ceil_pow2(max(1, d - 1))) for d in part_degs]
+    D_copy = min(lde_eval, _ceil_pow2(ir.copy_chunk))
+    D_lkbp = 1
+
+    lk_cols = sorted({cc for (_t, cols) in ir.lookup_sets for cc in cols})
+    pi_cols = sorted({cc for (cc, _r) in ir.public_input_cells})
+
+    roll = lambda a: GF(jnp.roll(a.lo, -1, -1), jnp.roll(a.hi, -1, -1))
+
+    def apow_at(apows, i, n):
+        a = _scalar2(apows, i)
+        return _ebc(a, (n,))
+
+    def _coset_ntt(coeffs, s_c):
+        if coeffs is None:
+            return None
+        n_ = coeffs.shape[-1]
+        pw = nt.powers_device(s_c, n_)
+        return nt.ntt(gl.mul(coeffs, gl.broadcast_to(pw, coeffs.shape)))
+
+    # ---- per-coset roles ------------------------------------------------
+    # role = (active gate parts, copy?, lkbp?); class D is active at coset
+    # c iff c % (lde_eval // D) == 0 (its cosets ARE the subgroup coset
+    # points s * <v^(lde/D)> interleaved into the big domain)
+    roles = {}
+    for c in range(lde_eval):
+        act_parts = tuple(p for p in range(len(part_fns))
+                          if c % (lde_eval // part_D[p]) == 0)
+        copy_on = c % (lde_eval // D_copy) == 0
+        lkbp_on = c % (lde_eval // D_lkbp) == 0
+        roles[c] = (act_parts, copy_on, lkbp_on)
+
+    def _role_wit_cols(role):
+        act_parts, copy_on, lkbp_on = role
+        need = set()
+        for p in act_parts:
+            if part_cols[p] is None:
+                return None  # all columns
+            need.update(part_cols[p])
+        if copy_on:
+            return None
+        if lkbp_on:
+            need.update(lk_cols)
+            need.update(pi_cols)
+        return tuple(sorted(need))
+
+    _evals_cache = {}
+
+    def _evals_for_role(role):
+        if role in _evals_cache:
+            return _evals_cache[role]
+        act_parts, copy_on, lkbp_on = role
+        wcols = _role_wit_cols(role)
+        need_const = bool(act_parts) and ir.num_const > 0
+        need_s2 = copy_on or lkbp_on
+        need_s3 = lkbp_on and has_lk
+        need_tbl = lkbp_on and has_lk and n_tables > 0
+        need_sigma = copy_on
+        sel = (None if wcols is None
+               else jnp.asarray(np.array(wcols, dtype=np.int32)))
+
+        def f_evals_s(wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs,
+                      sigma_coeffs, table_coeffs, s_c):
+            wc = wit_coeffs if sel is None else gl.take(wit_coeffs, sel,
+                                                        axis=0)
+            return (_coset_ntt(wc, s_c),
+                    _coset_ntt(s2_coeffs if need_s2 else None, s_c),
+                    _coset_ntt(s3_coeffs if need_s3 else None, s_c),
+                    _coset_ntt(const_coeffs if need_const else None, s_c),
+                    _coset_ntt(sigma_coeffs if need_sigma else None, s_c),
+                    _coset_ntt(table_coeffs if need_tbl else None, s_c))
+
+        col_map = ({j: j for j in range(nw)} if wcols is None
+                   else {cc: k for k, cc in enumerate(wcols)})
+        out = (_phase_jit(f_evals_s), col_map)
+        _evals_cache[role] = out
+        return out
+
+    # ---- constraint family bodies ---------------------------------------
+    def _mk_gate_part(p):
+        gate_fn, cnt, off = part_fns[p], part_counts[p], part_offs[p]
+
+        def f_gate_s(wit_ev, const_ev, zh_inv, apows, col_sel):
+            # col_sel: static tuple of original col indices present in
+            # wit_ev rows (passed via closure wrapper below)
+            n = wit_ev.shape[-1]
+            rolled = roll(wit_ev)
+            w = [None] * nw
+            wn = [None] * nw
+            for k, cc in enumerate(col_sel):
+                w[cc] = wit_ev[k]
+                wn[cc] = rolled[k]
+            const_cols_l = ([const_ev[j] for j in range(ir.num_const)]
+                            if const_ev is not None else [])
+            gate_vals = gate_fn(alg, w, wn, const_cols_l)
+            assert len(gate_vals) == cnt, (len(gate_vals), cnt)
+            comb = gl.ext_zeros((n,))
+            for i, gv in enumerate(gate_vals):
+                a = _scalar2(apows, off + i)
+                comb = gl.ext_add(comb, GF2(
+                    gl.mul(gl.broadcast_to(a.c0, (n,)), gv),
+                    gl.mul(gl.broadcast_to(a.c1, (n,)), gv)))
+            return GF2(gl.mul(comb.c0, gl.broadcast_to(zh_inv, (n,))),
+                       gl.mul(comb.c1, gl.broadcast_to(zh_inv, (n,))))
+
+        jits = {}
+
+        def run(wit_ev, const_ev, zh_inv, apows, col_sel):
+            if col_sel not in jits:
+                jits[col_sel] = _phase_jit(functools.partial(
+                    f_gate_s, col_sel=col_sel))
+            return jits[col_sel](wit_ev, const_ev, zh_inv, apows)
+
+        return run
+
+    gate_runs = [_mk_gate_part(p) for p in range(len(part_fns))]
+
+    def f_copy(wit_ev, s2_ev, sigma_ev, s_c, zh_inv, u_pows, ks_vec,
+               apows, beta, gamma):
+        n = wit_ev.shape[-1]
+        xs = gl.mul(u_pows, gl.broadcast_to(s_c, (n,)))
+        z_ext = GF2(s2_ev[0], s2_ev[1])
+        z_next = GF2(roll(s2_ev)[0], roll(s2_ev)[1])
+        K = ir.copy_chunk
+        pad = C * K - nw
+        ids_b = gl.mul(GF(jnp.broadcast_to(xs.lo[None, :], (nw, n)),
+                          jnp.broadcast_to(xs.hi[None, :], (nw, n))),
+                       GF(jnp.broadcast_to(ks_vec.lo[:nw, None], (nw, n)),
+                          jnp.broadcast_to(ks_vec.hi[:nw, None], (nw, n))))
+        t_num = _lin_term_device(wit_ev, ids_b, beta, gamma)
+        t_den = _lin_term_device(wit_ev, sigma_ev, beta, gamma)
+
+        def _pad_ones(t):
+            if pad == 0:
+                return t
+            ones = gl.ext_ones((pad, n))
+            return GF2(GF(jnp.concatenate([t.c0.lo, ones.c0.lo]),
+                          jnp.concatenate([t.c0.hi, ones.c0.hi])),
+                       GF(jnp.concatenate([t.c1.lo, ones.c1.lo]),
+                          jnp.concatenate([t.c1.hi, ones.c1.hi])))
+
+        def _chunk_prod(t):
+            t = _pad_ones(t)
+            r = GF2(GF(t.c0.lo.reshape(C, K, n), t.c0.hi.reshape(C, K, n)),
+                    GF(t.c1.lo.reshape(C, K, n), t.c1.hi.reshape(C, K, n)))
+            acc = GF2(GF(r.c0.lo[:, 0], r.c0.hi[:, 0]),
+                      GF(r.c1.lo[:, 0], r.c1.hi[:, 0]))
+            for k in range(1, K):
+                acc = gl.ext_mul(acc, GF2(
+                    GF(r.c0.lo[:, k], r.c0.hi[:, k]),
+                    GF(r.c1.lo[:, k], r.c1.hi[:, k])))
+            return acc
+
+        nums_b = _chunk_prod(t_num)
+        dens_b = _chunk_prod(t_den)
+        pp_lo0 = s2_ev.lo[2:2 * C]
+        pp_hi0 = s2_ev.hi[2:2 * C]
+        pps_b = GF2(GF(pp_lo0[0::2], pp_hi0[0::2]),
+                    GF(pp_lo0[1::2], pp_hi0[1::2]))
+        prev_b = GF2(GF(jnp.concatenate([z_ext.c0.lo[None], pps_b.c0.lo]),
+                        jnp.concatenate([z_ext.c0.hi[None], pps_b.c0.hi])),
+                     GF(jnp.concatenate([z_ext.c1.lo[None], pps_b.c1.lo]),
+                        jnp.concatenate([z_ext.c1.hi[None], pps_b.c1.hi])))
+        nxt_b = GF2(GF(jnp.concatenate([pps_b.c0.lo, z_next.c0.lo[None]]),
+                       jnp.concatenate([pps_b.c0.hi, z_next.c0.hi[None]])),
+                    GF(jnp.concatenate([pps_b.c1.lo, z_next.c1.lo[None]]),
+                       jnp.concatenate([pps_b.c1.hi, z_next.c1.hi[None]])))
+        cv_b = gl.ext_sub(gl.ext_mul(nxt_b, dens_b),
+                          gl.ext_mul(prev_b, nums_b))
+        comb = gl.ext_zeros((n,))
+        for t in range(C):
+            cv = GF2(GF(cv_b.c0.lo[t], cv_b.c0.hi[t]),
+                     GF(cv_b.c1.lo[t], cv_b.c1.hi[t]))
+            comb = gl.ext_add(comb, gl.ext_mul(apow_at(apows, G + t, n), cv))
+        return GF2(gl.mul(comb.c0, gl.broadcast_to(zh_inv, (n,))),
+                   gl.mul(comb.c1, gl.broadcast_to(zh_inv, (n,))))
+
+    def f_lkbp(wit_ev, s2_ev, s3_ev, table_ev, s_c, zh_inv, u_pows,
+               apows, theta, beta_lk, pi_vals, col_sel):
+        # lookup terms + boundary terms + PI terms; quotient degree < n
+        n = (wit_ev.shape[-1] if wit_ev is not None else s2_ev.shape[-1])
+        xs = gl.mul(u_pows, gl.broadcast_to(s_c, (n,)))
+        wit_cols = [None] * nw
+        if wit_ev is not None:
+            for k, cc in enumerate(col_sel):
+                wit_cols[cc] = wit_ev[k]
+        comb = gl.ext_zeros((n,))
+        lookup_vals: List[GF2] = []
+        s_ext = None
+        if has_lk:
+            m_ofs = 2 + 2 * (len(chunks) - 1)
+            s_ext = GF2(s3_ev[0], s3_ev[1])
+            s_next = GF2(roll(s3_ev)[0], roll(s3_ev)[1])
+            h_tables = [GF2(s3_ev[2 + 2 * t], s3_ev[3 + 2 * t])
+                        for t in range(n_tables)]
+            h_ofs = 2 + 2 * n_tables
+            h_sets = [GF2(s3_ev[h_ofs + 2 * s], s3_ev[h_ofs + 2 * s + 1])
+                      for s in range(len(ir.lookup_sets))]
+            one_v = gl.ext_ones((n,))
+            for i, (tbl, cols) in enumerate(ir.lookup_sets):
+                a_comp = _compress_theta_traced(
+                    [wit_cols[cc] for cc in cols], theta)
+                denom = gl.ext_add(a_comp, _ebc(beta_lk, (n,)))
+                lookup_vals.append(gl.ext_sub(gl.ext_mul(h_sets[i], denom),
+                                              one_v))
+            for t, (start, width) in enumerate(tslices):
+                t_comp = _compress_theta_traced(
+                    [table_ev[start + j] for j in range(width)], theta)
+                denom = gl.ext_add(t_comp, _ebc(beta_lk, (n,)))
+                m_ext = GF2(s2_ev[m_ofs + t], gl.zeros((n,)))
+                lookup_vals.append(gl.ext_sub(gl.ext_mul(h_tables[t], denom),
+                                              m_ext))
+            s_trans = gl.ext_sub(s_next, s_ext)
+            for h in h_sets:
+                s_trans = gl.ext_sub(s_trans, h)
+            for h in h_tables:
+                s_trans = gl.ext_add(s_trans, h)
+            lookup_vals.append(s_trans)
+        for i, cv in enumerate(lookup_vals):
+            comb = gl.ext_add(comb, gl.ext_mul(
+                apow_at(apows, G + C + i, n), cv))
+        comb = GF2(gl.mul(comb.c0, gl.broadcast_to(zh_inv, (n,))),
+                   gl.mul(comb.c1, gl.broadcast_to(zh_inv, (n,))))
+        # boundary z(1) = 1 (and s(1) = 0 for lookups)
+        z_ext = GF2(s2_ev[0], s2_ev[1])
+        zm1 = GF2(gl.sub(z_ext.c0, gl.broadcast_to(gl.from_int(1), (n,))),
+                  z_ext.c1)
+        xm1_inv = gl.inv(gl.sub(xs, gl.broadcast_to(gl.from_int(1), (n,))))
+        comb = gl.ext_add(comb, gl.ext_mul(apow_at(apows, b_z, n), GF2(
+            gl.mul(zm1.c0, xm1_inv), gl.mul(zm1.c1, xm1_inv))))
+        if has_lk:
+            comb = gl.ext_add(comb, gl.ext_mul(
+                apow_at(apows, b_z + 1, n), GF2(
+                    gl.mul(s_ext.c0, xm1_inv),
+                    gl.mul(s_ext.c1, xm1_inv))))
+        for idx, (col, row) in enumerate(ir.public_input_cells):
+            a = _scalar2(apows, pi_off + idx)
+            pt = pow(w_gen_cached, row, P)
+            den_inv = gl.inv(gl.sub(xs, gl.broadcast_to(gl.from_int(pt),
+                                                        (n,))))
+            num = gl.sub(wit_cols[col],
+                         gl.broadcast_to(_scalar(pi_vals, idx), (n,)))
+            term = gl.mul(num, den_inv)
+            comb = gl.ext_add(comb, GF2(
+                gl.mul(gl.broadcast_to(a.c0, (n,)), term),
+                gl.mul(gl.broadcast_to(a.c1, (n,)), term)))
+        return comb
+
+    jf_copy = _phase_jit(f_copy)
+    _lkbp_jits = {}
+
+    def run_lkbp(args, col_sel):
+        if col_sel not in _lkbp_jits:
+            _lkbp_jits[col_sel] = _phase_jit(functools.partial(
+                f_lkbp, col_sel=col_sel))
+        return _lkbp_jits[col_sel](*args)
+
+    def call(c, wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs,
+             sigma_coeffs, table_coeffs, s_c, zh_inv, u_pows, ks_vec,
+             apows, beta, gamma, theta, beta_lk, pi_vals):
+        role = roles[c]
+        act_parts, copy_on, lkbp_on = role
+        jf_ev, col_map = _evals_for_role(role)
+        wit_ev, s2_ev, s3_ev, const_ev, sigma_ev, table_ev = jf_ev(
+            wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs,
+            sigma_coeffs, table_coeffs, s_c)
+        col_sel = tuple(sorted(col_map.keys(),
+                               key=lambda cc: col_map[cc]))
+        out: Dict[int, GF2] = {}
+
+        def add(D, v):
+            out[D] = v if D not in out else gl.ext_add(out[D], v)
+
+        for p in act_parts:
+            add(part_D[p], gate_runs[p](wit_ev, const_ev, zh_inv, apows,
+                                        col_sel))
+        if copy_on:
+            add(D_copy, jf_copy(
+                wit_ev, s2_ev, sigma_ev, s_c, zh_inv, u_pows, ks_vec,
+                apows, beta, gamma))
+        if lkbp_on:
+            add(D_lkbp, run_lkbp(
+                (wit_ev, s2_ev, s3_ev, table_ev, s_c, zh_inv, u_pows,
+                 apows, theta, beta_lk, pi_vals), col_sel))
+        return out
+
+    class_Ds = sorted({*part_D, D_copy, D_lkbp})
+    _PHASE_CACHE[key] = (call, class_Ds)
+    return _PHASE_CACHE[key]
+
+
+def _quotient_coeffs_strat_fn(Ds: Tuple[int, ...], num_q_chunks: int,
+                              n: int):
+    """Per-class coset values -> total quotient chunk columns.
+
+    For each class D: interleave its D cosets into the class's own D*n
+    coset domain, INTT there, unscale by shift^-i. The class coefficient
+    vectors (degree < D*n each) SUM to the identical total quotient the
+    unstratified path computes over the full lde_eval*n domain."""
+    key = ("qcoeffs_strat", Ds, num_q_chunks, n)
+    if key not in _PHASE_CACHE:
+
+        def f(per_D_combs, unscales):
+            acc0 = None  # (num_q_chunks, n) c0 coeff rows
+            acc1 = None
+            for D, combs, unscale in zip(Ds, per_D_combs, unscales):
+                c0lo = jnp.stack([cm.c0.lo for cm in combs],
+                                 axis=1).reshape(D * n)
+                c0hi = jnp.stack([cm.c0.hi for cm in combs],
+                                 axis=1).reshape(D * n)
+                c1lo = jnp.stack([cm.c1.lo for cm in combs],
+                                 axis=1).reshape(D * n)
+                c1hi = jnp.stack([cm.c1.hi for cm in combs],
+                                 axis=1).reshape(D * n)
+                co0 = gl.mul(nt.intt(GF(c0lo, c0hi)), unscale)
+                co1 = gl.mul(nt.intt(GF(c1lo, c1hi)), unscale)
+                rows0 = GF(co0.lo.reshape(D, n), co0.hi.reshape(D, n))
+                rows1 = GF(co1.lo.reshape(D, n), co1.hi.reshape(D, n))
+                k = min(D, num_q_chunks)  # rows >= num_q_chunks are zero
+                pad = num_q_chunks - k
+
+                def _p(r):
+                    r = GF(r.lo[:k], r.hi[:k])
+                    if pad:
+                        z = gl.zeros((pad, n))
+                        return GF(jnp.concatenate([r.lo, z.lo]),
+                                  jnp.concatenate([r.hi, z.hi]))
+                    return r
+
+                rows0, rows1 = _p(rows0), _p(rows1)
+                if acc0 is None:
+                    acc0, acc1 = rows0, rows1
+                else:
+                    acc0 = gl.add(acc0, rows0)
+                    acc1 = gl.add(acc1, rows1)
+            out_lo = jnp.stack([acc0.lo, acc1.lo],
+                               axis=1).reshape(2 * num_q_chunks, n)
+            out_hi = jnp.stack([acc0.hi, acc1.hi],
+                               axis=1).reshape(2 * num_q_chunks, n)
+            return GF(out_lo, out_hi)
+
+        _PHASE_CACHE[key] = _phase_jit(f)
     return _PHASE_CACHE[key]
 
 
@@ -1216,69 +1694,105 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     u_pows = gl.powers_dev_cached(u, n)
     pi_vals = gl.from_int(np.asarray(public_inputs if public_inputs else
                                      np.zeros(0, dtype=object), dtype=object))
-    coset_eval = _coset_fn(ir)
     # per-bundle arrays flow straight into the kernels — no stacked
     # all-coefficients concat (the 2.8 GB duplicate + in-kernel slice copies
-    # were part of the 2^20 x 130 HBM budget overrun)
+    # were part of the 2^20 x 130 HBM budget overrun); sizes consumed by the
+    # DEEP stage below
     bundle_sizes = (
         wit_coeffs.shape[0], s2_coeffs.shape[0],
         s3_coeffs.shape[0] if s3_coeffs is not None else 0,
         const_coeffs.shape[0] if const_coeffs is not None else 0,
         sigma_coeffs.shape[0],
         table_coeffs.shape[0] if table_coeffs is not None else 0)
-    comp_cosets = []
-    for c in range(lde_eval):
-        s_c = (shift * pow(v, c, P)) % P
-        zh_c = (pow(s_c, n, P) - 1) % P
-        with tracing.span("coset_scalars"):
-            s_dev = gl.from_int(s_c)
-            zh_dev = gl.from_int(pow(zh_c, P - 2, P))
-        with tracing.span("coset_dispatch"):
-            res = coset_eval(
-                wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs, sigma_coeffs,
-                table_coeffs, s_dev, zh_dev,
-                u_pows, ks_vec, apows, beta_gf, gamma_gf, theta_gf,
-                beta_lk_gf, pi_vals)
-        if lean and hbm_edge:
-            # sequence the cosets: async dispatch would queue lde_eval
-            # multi-GB working sets at once and exhaust HBM at 2^20 x 130
-            res = jax.block_until_ready(res)
-        comp_cosets.append(res)
-
-    # interleave cosets -> full eval-domain values -> coefficients, in ONE
-    # jitted kernel (the eager stack/intt/unscale/slice chain was ~25
-    # op-by-op dispatches over the remote-TPU tunnel)
-    _psync(comp_cosets[-1] if comp_cosets else None)
-    _sp.__exit__(None, None, None)
-    _sp = tracing.span("quotient_commit")
-    _sp.__enter__()
-    unscale = gl.powers_dev_cached(pow(shift, P - 2, P), n_eval)
-    if hbm_edge:
-        # unfused sequence at the HBM edge: the fused kernel's transients
-        # (stack + two 8n-point INTTs + unscale live at once) blow the
-        # 2^20 x 130 compile-time HBM budget
-        comp0 = jnp.stack([c.c0.lo for c in comp_cosets],
-                          axis=1).reshape(n_eval)
-        comp1 = jnp.stack([c.c0.hi for c in comp_cosets],
-                          axis=1).reshape(n_eval)
-        comp2 = jnp.stack([c.c1.lo for c in comp_cosets],
-                          axis=1).reshape(n_eval)
-        comp3 = jnp.stack([c.c1.hi for c in comp_cosets],
-                          axis=1).reshape(n_eval)
-        del comp_cosets
-        q_coeff_c0 = gl.mul(nt.intt(GF(comp0, comp1)), unscale)
-        del comp0, comp1
-        q_coeff_c1 = gl.mul(nt.intt(GF(comp2, comp3)), unscale)
-        del comp2, comp3
-        q_cols = []
-        for j in range(num_q_chunks):
-            q_cols.append(q_coeff_c0[j * n:(j + 1) * n])
-            q_cols.append(q_coeff_c1[j * n:(j + 1) * n])
-        q_coeffs = gl.stack(q_cols, axis=0)
-        del q_coeff_c0, q_coeff_c1
+    strat = ir.gate_part_degrees is not None
+    if strat:
+        scall, class_Ds = _coset_fn_strat(ir, lde_eval)
+        acc: Dict[int, List] = {D: [None] * D for D in class_Ds}
+        last_res = None
+        for c in range(lde_eval):
+            if all(c % (lde_eval // D) for D in class_Ds):
+                continue  # no class needs this coset
+            s_c = (shift * pow(v, c, P)) % P
+            zh_c = (pow(s_c, n, P) - 1) % P
+            with tracing.span("coset_scalars"):
+                s_dev = gl.from_int(s_c)
+                zh_dev = gl.from_int(pow(zh_c, P - 2, P))
+            with tracing.span("coset_dispatch"):
+                res = scall(
+                    c, wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs,
+                    sigma_coeffs, table_coeffs, s_dev, zh_dev,
+                    u_pows, ks_vec, apows, beta_gf, gamma_gf, theta_gf,
+                    beta_lk_gf, pi_vals)
+            if lean and hbm_edge:
+                res = jax.block_until_ready(res)
+            for D, val in res.items():
+                acc[D][c // (lde_eval // D)] = val
+                last_res = val
+        _psync(last_res)
+        _sp.__exit__(None, None, None)
+        _sp = tracing.span("quotient_commit")
+        _sp.__enter__()
+        unscales = [gl.powers_dev_cached(pow(shift, P - 2, P), D * n)
+                    for D in class_Ds]
+        q_coeffs = _quotient_coeffs_strat_fn(tuple(class_Ds), num_q_chunks,
+                                             n)(
+            [acc[D] for D in class_Ds], unscales)
+        # falls through to the shared quotient commit below
     else:
-        q_coeffs = _quotient_coeffs_fn(num_q_chunks)(comp_cosets, unscale)
-        del comp_cosets
+        coset_eval = _coset_fn(ir)
+        comp_cosets = []
+        for c in range(lde_eval):
+            s_c = (shift * pow(v, c, P)) % P
+            zh_c = (pow(s_c, n, P) - 1) % P
+            with tracing.span("coset_scalars"):
+                s_dev = gl.from_int(s_c)
+                zh_dev = gl.from_int(pow(zh_c, P - 2, P))
+            with tracing.span("coset_dispatch"):
+                res = coset_eval(
+                    wit_coeffs, s2_coeffs, s3_coeffs, const_coeffs, sigma_coeffs,
+                    table_coeffs, s_dev, zh_dev,
+                    u_pows, ks_vec, apows, beta_gf, gamma_gf, theta_gf,
+                    beta_lk_gf, pi_vals)
+            if lean and hbm_edge:
+                # sequence the cosets: async dispatch would queue lde_eval
+                # multi-GB working sets at once and exhaust HBM at 2^20 x 130
+                res = jax.block_until_ready(res)
+            comp_cosets.append(res)
+
+        # interleave cosets -> full eval-domain values -> coefficients, in ONE
+        # jitted kernel (the eager stack/intt/unscale/slice chain was ~25
+        # op-by-op dispatches over the remote-TPU tunnel)
+        _psync(comp_cosets[-1] if comp_cosets else None)
+        _sp.__exit__(None, None, None)
+        _sp = tracing.span("quotient_commit")
+        _sp.__enter__()
+        unscale = gl.powers_dev_cached(pow(shift, P - 2, P), n_eval)
+        if hbm_edge:
+            # unfused sequence at the HBM edge: the fused kernel's transients
+            # (stack + two 8n-point INTTs + unscale live at once) blow the
+            # 2^20 x 130 compile-time HBM budget
+            comp0 = jnp.stack([c.c0.lo for c in comp_cosets],
+                              axis=1).reshape(n_eval)
+            comp1 = jnp.stack([c.c0.hi for c in comp_cosets],
+                              axis=1).reshape(n_eval)
+            comp2 = jnp.stack([c.c1.lo for c in comp_cosets],
+                              axis=1).reshape(n_eval)
+            comp3 = jnp.stack([c.c1.hi for c in comp_cosets],
+                              axis=1).reshape(n_eval)
+            del comp_cosets
+            q_coeff_c0 = gl.mul(nt.intt(GF(comp0, comp1)), unscale)
+            del comp0, comp1
+            q_coeff_c1 = gl.mul(nt.intt(GF(comp2, comp3)), unscale)
+            del comp2, comp3
+            q_cols = []
+            for j in range(num_q_chunks):
+                q_cols.append(q_coeff_c0[j * n:(j + 1) * n])
+                q_cols.append(q_coeff_c1[j * n:(j + 1) * n])
+            q_coeffs = gl.stack(q_cols, axis=0)
+            del q_coeff_c0, q_coeff_c1
+        else:
+            q_coeffs = _quotient_coeffs_fn(num_q_chunks)(comp_cosets, unscale)
+            del comp_cosets
     if backend is not None:
         q_lde, q_tree = _backend_commit(coeffs=q_coeffs)
         tr.absorb_fr(q_tree.cap)
