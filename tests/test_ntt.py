@@ -78,3 +78,18 @@ def test_eval_poly_at_ext(rng):
         xp = ((xp[0] * x0 + 7 * xp[1] * x1) % P, (xp[0] * x1 + xp[1] * x0) % P)
     assert int(gl.to_ints(got.c0)) == acc[0]
     assert int(gl.to_ints(got.c1)) == acc[1]
+
+
+def test_four_step_matches_small(rng):
+    """The four-step core (engaged at log_n >= 14) must be bit-identical
+    to the radix-2 form — every committed polynomial at prover shapes
+    flows through it."""
+    import numpy as np
+    from zkevm_harness_tpu.ops import ntt as nt
+    log_n = nt._FOUR_STEP_MIN_LOG
+    n = 1 << log_n
+    x = gl.from_u64(rng.integers(0, gl.P, size=(2, n), dtype=np.uint64))
+    for inverse in (False, True):
+        a = gl.to_u64(nt._ntt_small(x, log_n, inverse))
+        b = gl.to_u64(nt._ntt_core(x, log_n, inverse))
+        assert np.array_equal(a, b)

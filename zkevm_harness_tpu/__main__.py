@@ -181,8 +181,12 @@ def cmd_generate_vks(args):
                 print(f"[vks] leaf[{t}] + node vks written "
                       f"(leaf 2^{built.ir.log_n} x {built.ir.num_witness}, "
                       f"{time.time() - t0:.1f}s)", flush=True)
-    source.set({"geometry": args.geometry,
-                "vk_sha256": {str(k): v for k, v in digests.items()}},
+    # merge with digests from earlier runs (the production set is
+    # generated in batches — heavy types need their own sessions)
+    prior = source.get("vk_digests") or {}
+    merged = dict(prior.get("vk_sha256", {}))
+    merged.update({str(k): v for k, v in digests.items()})
+    source.set({"geometry": args.geometry, "vk_sha256": merged},
                "vk_digests")
     print(f"verification keys written to {args.out}")
 

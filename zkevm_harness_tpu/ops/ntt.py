@@ -49,7 +49,8 @@ def _stage_twiddles(log_n: int, inverse: bool):
     return tables
 
 
-def _ntt_core(values: GF, log_n: int, inverse: bool) -> GF:
+def _ntt_small(values: GF, log_n: int, inverse: bool) -> GF:
+    """Classic iterative radix-2 DIT over the last axis."""
     n = 1 << log_n
     rev = bit_reverse_indices(n)
     x = gl.take(values, jnp.asarray(rev), axis=-1)
@@ -67,6 +68,85 @@ def _ntt_core(values: GF, log_n: int, inverse: bool) -> GF:
         out1 = gl.sub(even, t)
         x = gl.stack([out0, out1], axis=-2).reshape(*batch, n)
     return x
+
+
+def _ntt_axis2(values: GF, log_m: int, inverse: bool) -> GF:
+    """Radix-2 DIT over axis -2, keeping the minor axis intact.
+
+    The minor (lane) dimension stays the full length-L last axis through
+    every stage, so all butterflies are well-tiled vector ops — the
+    classic last-axis form degrades to lane width `half` (1, 2, 4, ...)
+    in its early stages, which measured ~5x off the NTT's bandwidth bound
+    at prover shapes (BASELINE.md round-5)."""
+    m = 1 << log_m
+    rev = bit_reverse_indices(m)
+    x = gl.take(values, jnp.asarray(rev), axis=-2)
+    batch = values.shape[:-2]
+    L = values.shape[-1]
+    tables = _stage_twiddles(log_m, inverse)
+    for s in range(log_m):
+        half = 1 << s
+        groups = m >> (s + 1)
+        x = x.reshape(*batch, groups, 2, half, L)
+        even = x[..., 0, :, :]
+        odd = x[..., 1, :, :]
+        w = gl.from_u64(tables[s])  # (half,)
+        wb = GF(w.lo[:, None], w.hi[:, None])  # (half, 1): lane-constant
+        t = gl.mul(odd, gl.broadcast_to(wb, odd.shape))
+        out0 = gl.add(even, t)
+        out1 = gl.sub(even, t)
+        x = gl.stack([out0, out1], axis=-3).reshape(*batch, m, L)
+    return x
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_grid_indices(log_n: int) -> np.ndarray:
+    """(n1, n2) int32 grid of (k1 * j2) mod n — gather indices into the
+    length-n power table for the inter-step twiddle w_n^(k1*j2)."""
+    n = 1 << log_n
+    log1 = log_n // 2
+    n1, n2 = 1 << log1, n >> log1
+    grid = (np.outer(np.arange(n1, dtype=np.int64),
+                     np.arange(n2, dtype=np.int64)) % n).astype(np.int32)
+    return grid
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_twiddles(log_n: int, inverse: bool):
+    """Full (n1, n2) inter-step twiddle matrix as host uint64 (cached)."""
+    n = 1 << log_n
+    w = gl.primitive_root_of_unity(log_n)
+    if inverse:
+        w = pow(w, P - 2, P)
+    pw = gl.powers_host(w, n)  # (n,) uint64
+    return pw[_four_step_grid_indices(log_n)]
+
+
+_FOUR_STEP_MIN_LOG = 14
+
+
+def _ntt_core(values: GF, log_n: int, inverse: bool) -> GF:
+    """NTT over the last axis; four-step decomposition for large n.
+
+    n = n1*n2: (1) length-n1 NTTs down the columns of the (n1, n2) view
+    (axis -2, minor dim n2 intact), (2) full twiddle grid w_n^(k1*j2),
+    (3) transpose, (4) length-n2 NTTs (axis -2 again, minor dim n1). The
+    result C[k2, k1] flattens directly to natural order (k = k1 + n1*k2).
+    Exact field arithmetic -> bit-identical to the radix-2 form (pinned
+    by tests/test_ntt.py::test_four_step_matches_small)."""
+    if log_n < _FOUR_STEP_MIN_LOG:
+        return _ntt_small(values, log_n, inverse)
+    n = 1 << log_n
+    log1 = log_n // 2
+    n1, n2 = 1 << log1, n >> log1
+    batch = values.shape[:-1]
+    A = values.reshape(*batch, n1, n2)
+    B = _ntt_axis2(A, log1, inverse)
+    W = gl.from_u64(_four_step_twiddles(log_n, inverse))  # (n1, n2)
+    B = gl.mul(B, gl.broadcast_to(W, B.shape))
+    Bt = GF(jnp.swapaxes(B.lo, -1, -2), jnp.swapaxes(B.hi, -1, -2))
+    C = _ntt_axis2(Bt, log_n - log1, inverse)
+    return C.reshape(*batch, n)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

@@ -563,6 +563,31 @@ def _commit_cols_jit(cols: GF, rate: int, cap_size: int):
     return _commit_cols_jitted(cols, rate, cap_size)
 
 
+def _commit_cols_with_coeffs_body(cols: GF, rate: int, cap_size: int):
+    """Commit + coefficient bundle in ONE kernel: the INTT runs once
+    (prove previously computed `intt(cols)` standalone for the quotient
+    bundles AND again inside coset_lde during the commit — two separate
+    jits XLA cannot share)."""
+    coeffs = nt.intt(cols)
+    n = cols.shape[-1]
+    pad = gl.zeros((cols.shape[0], n * rate - n))
+    lde = nt.ntt(nt.scale_by_powers(gl.concatenate([coeffs, pad], axis=-1),
+                                    gl.MULTIPLICATIVE_GENERATOR))
+    rows = GF(jnp.moveaxis(lde.lo, 0, 1), jnp.moveaxis(lde.hi, 0, 1))
+    tree = mk.build_tree(mk.hash_leaves(rows), cap_size)
+    return coeffs, lde, tree
+
+
+_commit_cols_with_coeffs_jitted = jax.jit(_commit_cols_with_coeffs_body,
+                                          static_argnums=(1, 2))
+
+
+def _commit_cols_with_coeffs(cols: GF, rate: int, cap_size: int):
+    if jax.default_backend() == "cpu":
+        return _commit_cols_with_coeffs_body(cols, rate, cap_size)
+    return _commit_cols_with_coeffs_jitted(cols, rate, cap_size)
+
+
 def _coset_fn(ir: PlonkishIR):
     """Constraint composition on one coset of the evaluation domain, split
     into TWO kernels (gates+PI vs copy+lookup+boundary) so per-dispatch HBM
@@ -1589,12 +1614,13 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
     # -- stage 1: witness commitment --------------------------------------
     _sp = tracing.span("stage1_commit")
     _sp.__enter__()
-    wit_coeffs = nt.intt(witness)
     if backend is not None:
+        wit_coeffs = nt.intt(witness)
         wit_lde, wit_tree = _backend_commit(cols=witness)
         tr.absorb_fr(wit_tree.cap)
     else:
-        wit_lde, wit_tree = _commit_cols_jit(witness, rate, cfg.cap_size)
+        wit_coeffs, wit_lde, wit_tree = _commit_cols_with_coeffs(
+            witness, rate, cfg.cap_size)
         if lean:
             wit_lde = None
         tr.absorb_gf_device(wit_tree.cap)
@@ -1632,12 +1658,13 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         m_cols_np = _multiplicities(ir, setup, wit_cols_np, n)
         m_cols = gl.from_int(np.stack(m_cols_np))
         stage2 = gl.concatenate([stage2, m_cols], axis=0)
-    s2_coeffs = nt.intt(stage2)
     if backend is not None:
+        s2_coeffs = nt.intt(stage2)
         s2_lde, s2_tree = _backend_commit(cols=stage2)
         tr.absorb_fr(s2_tree.cap)
     else:
-        s2_lde, s2_tree = _commit_cols_jit(stage2, rate, cfg.cap_size)
+        s2_coeffs, s2_lde, s2_tree = _commit_cols_with_coeffs(
+            stage2, rate, cfg.cap_size)
         if lean:
             s2_lde = None
         tr.absorb_gf_device(s2_tree.cap)
@@ -1653,12 +1680,13 @@ def _prove_impl(ir: PlonkishIR, setup: PlonkishSetup, witness: GF,
         beta_lk_gf = _draw_ext()
         stage3 = _stage3_fn(ir)(witness, setup.table_cols, m_cols,
                                 theta_gf, beta_lk_gf)
-        s3_coeffs = nt.intt(stage3)
         if backend is not None:
+            s3_coeffs = nt.intt(stage3)
             s3_lde, s3_tree = _backend_commit(cols=stage3)
             tr.absorb_fr(s3_tree.cap)
         else:
-            s3_lde, s3_tree = _commit_cols_jit(stage3, rate, cfg.cap_size)
+            s3_coeffs, s3_lde, s3_tree = _commit_cols_with_coeffs(
+                stage3, rate, cfg.cap_size)
             if lean:
                 s3_lde = None
             tr.absorb_gf_device(s3_tree.cap)
