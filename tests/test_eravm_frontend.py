@@ -144,3 +144,61 @@ def test_era_and_native_programs_trace_identically():
         q2 = b2.artifacts.recursion_queues[t]
         assert [int(v) for v in q1.tail] == [int(v) for v in q2.tail], t
     assert b1.artifacts.per_circuit[9].num_instances >= 1
+
+
+COND_LOOP_ASM = r"""
+        .text
+        .globl	__entry
+    __entry:
+    .main:
+        add 5, r0, r1
+        add 1, r0, r3
+        add 0, r0, r2
+    loop:
+        add r2, r1, r2
+        sub r1, r3, r1
+        jump.eq @done
+        jump @loop
+    done:
+        event r2, r0
+        ret.ok r0
+"""
+
+
+def test_jump_eq_predicate_bridges_and_traces_identically():
+    """`jump.eq` is the one EraVM predicate the MainVM circuit already
+    carries in-gates (EQF column); the bridge maps it onto JumpIfEq. A
+    countdown loop (5..1, accumulating 15) runs through the front end and
+    traces identically to the hand-written native program."""
+    _w, era_prog = eravm.assemble_era_program(COND_LOOP_ASM)
+    assert any(isinstance(op, isa.JumpIfEq) for op in era_prog)
+    I, R = isa.imm, isa.reg
+    native = [
+        isa.BinOp("add", I(5), R(0), 1),
+        isa.BinOp("add", I(1), R(0), 3),
+        isa.BinOp("add", I(0), R(0), 2),
+        isa.BinOp("add", R(2), R(1), 2),
+        isa.BinOp("sub", R(1), R(3), 1),
+        isa.JumpIfEq(7),
+        isa.Jump(3),
+        isa.Event(R(2), R(0)),
+        isa.Ret(),
+    ]
+    b1 = harness.run_block(era_prog, prove_mode="dry")
+    b2 = harness.run_block(native, prove_mode="dry")
+    # 3 prologue + 4 full iterations x4 + final iteration x3 + event + ret
+    assert b1.cycles == b2.cycles == 24
+    for t in b1.artifacts.recursion_queues:
+        q1 = b1.artifacts.recursion_queues[t]
+        q2 = b2.artifacts.recursion_queues[t]
+        assert [int(v) for v in q1.tail] == [int(v) for v in q2.tail], t
+    # the event sink saw the accumulated 5+4+3+2+1
+    assert b1.artifacts.per_circuit[11].num_instances >= 1
+
+
+def test_other_predicates_still_raise():
+    w = eravm.pack_instruction(
+        eravm._VARIANT_INDEX[("jump", "", eravm.SRC_IMM, False)],
+        eravm.COND_LT, imm0=3)
+    with pytest.raises(eravm.EraVmEncodingError, match="conditional"):
+        eravm.decode_to_structured(w)

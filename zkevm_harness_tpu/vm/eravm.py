@@ -376,9 +376,17 @@ def decode_to_structured(word: int) -> isa.Instruction:
     structured ISA is predicate-free); raising keeps the gap explicit."""
     d = unpack_instruction(word)
     v = d.variant
+    if d.condition == COND_EQ and v.kind == "jump" and v.src_mode == SRC_IMM:
+        # `jump.eq @target`: the ONE predicate the circuit already carries
+        # in-gates (EQF column + zero-sum flag gadget,
+        # circuits/main_vm_circuit.py JumpIfEq) — bridged natively instead
+        # of raising. Other predicates (lt/gt/ge/le/ne/gtlt) would need
+        # more carried flag columns; they still raise below.
+        return isa.JumpIfEq(d.imm0)
     if d.condition != COND_ALWAYS:
         raise EraVmEncodingError(
-            "conditional execution is not bridged to the structured ISA")
+            "conditional execution is not bridged to the structured ISA "
+            f"(condition {d.condition}; only jump.eq is)")
 
     def s0():
         if v.src_mode == SRC_REG:
